@@ -1,0 +1,136 @@
+"""Reference test corpora, re-expressed as deterministic DataFrames.
+
+Sources (see FIXTURES.md):
+* 18-doc search corpus — tests/unit/index/th-doc.lisp:242-271 (primary
+  golden-query fixture; whitespace-analyzer per
+  tests/unit/search/tc-index-searcher.lisp:40)
+* simple array corpus — tests/unit/index/tc-index.lisp:17-26
+* synthetic web_pages generator matching BASELINE.json input_hint
+  (url, warc_ts, html, text, lang) — seeded, no external data.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+
+# docid → (date, field, cat), verbatim from th-doc.lisp:242-271
+SEARCH_DOCS = [
+    ("20050930", "word1", "cat1/"),
+    ("20051001", "word1 word2 the quick brown fox", "cat1/sub1"),
+    ("20051002", "word1 word3", "cat1/sub1/subsub1"),
+    ("20051003", "word1 word3", "cat1/sub2"),
+    ("20051004", "word1 word2", "cat1/sub2/subsub2"),
+    ("20051005", "word1", "cat2/sub1"),
+    ("20051006", "word1 word3", "cat2/sub1"),
+    ("20051007", "word1", "cat2/sub1"),
+    ("20051008", "word1 word2 word3 the fast brown fox", "cat2/sub1"),
+    ("20051009", "word1", "cat3/sub1"),
+    ("20051010", "word1", "cat3/sub1"),
+    ("20051011", "word1 word3 the quick red fox", "cat3/sub1"),
+    ("20051012", "word1", "cat3/sub1"),
+    ("20051013", "word1", "cat1/sub2"),
+    ("20051014", "word1 word3 the quick hairy fox", "cat1/sub1"),
+    ("20051015", "word1", "cat1/sub2/subsub1"),
+    ("20051016", "word1 the quick fox is brown and hairy and a little red",
+     "cat1/sub1/subsub2"),
+    ("20051017", "word1 the brown fox is quick and red", "cat1/"),
+]
+
+# tc-index.lisp:17-26 — "|" separates multiple values of the default field;
+# the reference concatenates them with a position-increment gap of 0, which
+# for whitespace analysis equals joining with a space.
+SIMPLE_DOCS = [
+    "one two", "one|three", "two", "one|four", "one two",
+    "two|three|four", "one", "two|three|four|five",
+]
+
+
+def search_docs_pdf() -> pd.DataFrame:
+    rows = []
+    for i, (date, field, cat) in enumerate(SEARCH_DOCS):
+        rows.append(
+            {
+                "url": f"test://search-docs/{i:04d}",
+                "docid_expected": i,
+                "date": date,
+                "field": field,
+                "cat": cat,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def search_docs_df(spark):
+    return spark.createDataFrame(search_docs_pdf())
+
+
+def simple_docs_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "url": [f"test://simple/{i:04d}" for i in range(len(SIMPLE_DOCS))],
+            "docid_expected": list(range(len(SIMPLE_DOCS))),
+            "text": [s.replace("|", " ") for s in SIMPLE_DOCS],
+        }
+    )
+
+
+def simple_docs_df(spark):
+    return spark.createDataFrame(simple_docs_pdf())
+
+
+# ---------------------------------------------------------------------------
+# synthetic web_pages (BASELINE.json input_hint schema), deterministic
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "spark index term query search merge sort shuffle partition broadcast "
+    "filter join scan parquet arrow vector batch stream window document "
+    "token corpus engine score rank posting block delta varint shard"
+).split()
+
+
+def synth_web_pages_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Seeded Common-Crawl-style web_pages table (url, warc_ts, html, text, lang)."""
+    rng = np.random.RandomState(seed)
+    lengths = rng.randint(5, 120, size=n_docs)
+    texts = [
+        " ".join(rng.choice(_WORDS, size=ln)) for ln in lengths
+    ]
+    base = _dt.datetime(2026, 1, 1)
+    return pd.DataFrame(
+        {
+            "url": [f"http://example.com/{i:08d}" for i in range(n_docs)],
+            "warc_ts": [base + _dt.timedelta(seconds=int(i)) for i in range(n_docs)],
+            "html": [f"<html><body>{t}</body></html>".encode() for t in texts],
+            "text": texts,
+            "lang": [["en", "de", "fr", "es", "zh"][i % 5] for i in range(n_docs)],
+        }
+    )
+
+
+def synth_web_pages_df(spark, n_docs: int, seed: int = 42):
+    return spark.createDataFrame(synth_web_pages_pdf(n_docs, seed))
+
+
+def documents_as_web_pages(spark, sf_dir: str):
+    """Adapt the driver's documents.parquet to the web_pages shape.
+
+    url is zero-padded so lexicographic url order == doc_id order, making
+    docid assignment (rank by url) equal doc_id — which keeps the DuckDB
+    oracle SQL simple (ROW_NUMBER over url ordering).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.format_string("doc://%010d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("doc_id"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""Index configuration: per-field analysis + physical layout knobs.
+
+The reference's index config analog (src/index/index-writer.lisp:7-11 defaults,
+src/index/field-infos.lisp flags): here static per build, per BASELINE.json
+input_hint (fixed schema, one analyzed text field + untokenized keys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from montezuma_spark.codec.postings import BM25_B, BM25_K1, DEFAULT_BLOCK
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    name: str                      # index field name (query side: field:term)
+    column: str                    # source DataFrame column
+    analyzer: str | None = "standard"  # None → untokenized: whole value = 1 term
+    positions: bool = True         # store the positions sidecar (phrase support)
+
+
+@dataclass
+class IndexConfig:
+    fields: list[FieldConfig] = dc_field(
+        default_factory=lambda: [FieldConfig("text", "text")]
+    )
+    key_col: str = "url"           # unique doc key; docid = rank in key order
+    shard_bits: int = 20           # docid-range shard = docid >> shard_bits
+    block_size: int = DEFAULT_BLOCK
+    k1: float = BM25_K1
+    b: float = BM25_B
+    num_partitions: int | None = None  # build parallelism (None → spark default)
+    max_field_length: int = 10_000     # token truncation per field
+                                       # (ref: index-writer.lisp:10)
+
+    def to_json(self) -> dict:
+        return {
+            "fields": [
+                {
+                    "name": f.name,
+                    "column": f.column,
+                    "analyzer": f.analyzer,
+                    "positions": f.positions,
+                }
+                for f in self.fields
+            ],
+            "key_col": self.key_col,
+            "shard_bits": self.shard_bits,
+            "block_size": self.block_size,
+            "k1": self.k1,
+            "b": self.b,
+            "max_field_length": self.max_field_length,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "IndexConfig":
+        return IndexConfig(
+            fields=[
+                FieldConfig(f["name"], f["column"], f["analyzer"], f["positions"])
+                for f in d["fields"]
+            ],
+            key_col=d["key_col"],
+            shard_bits=d["shard_bits"],
+            block_size=d["block_size"],
+            k1=d["k1"],
+            b=d["b"],
+            max_field_length=d.get("max_field_length", 10_000),
+        )

@@ -1,0 +1,131 @@
+"""Query AST + logical rewrites.
+
+Mirrors the reference's query classes (src/search/*.lisp) and its rewrite
+fixpoint (src/search/index-searcher.lisp:121-127):
+
+* 1-term phrase → term query          (src/search/phrase-query.lisp:102-112)
+* single-clause boolean unwrap + boost folding
+                                      (src/search/boolean-query.lisp:75-102)
+* range/wildcard stay as dictionary *predicates* (better than the reference's
+  OR-of-every-term expansion, src/search/range-query.lisp:21-45 — the
+  predicate pushes into the parquet dictionary scan; concrete terms are only
+  materialized driver-side, capped).
+
+Occur semantics per src/search/boolean-clause.lisp:36-46.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from dataclasses import dataclass, field as dc_field, replace
+
+MUST = "MUST"
+SHOULD = "SHOULD"
+MUST_NOT = "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    field: str
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Ordered terms at explicit relative positions; slop per the reference
+    (src/search/phrase-query.lisp:6-44, sloppy-phrase-scorer.lisp:6-34)."""
+
+    field: str
+    terms: tuple[str, ...]
+    offsets: tuple[int, ...]  # position offset of each term (gaps allowed)
+    slop: int = 0
+    boost: float = 1.0
+
+    @staticmethod
+    def of(field: str, terms, slop: int = 0, boost: float = 1.0) -> "PhraseQuery":
+        return PhraseQuery(
+            field, tuple(terms), tuple(range(len(terms))), slop, boost
+        )
+
+
+@dataclass(frozen=True)
+class RangeQuery(Query):
+    field: str
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    field: str
+    pattern: str  # glob: * and ?
+    boost: float = 1.0
+
+    def to_regex(self) -> str:
+        return fnmatch.translate(self.pattern)
+
+    def literal_prefix(self) -> str:
+        m = re.match(r"^[^*?]*", self.pattern)
+        return m.group(0) if m else ""
+
+
+@dataclass(frozen=True)
+class MatchAllQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: str = SHOULD
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...] = ()
+    boost: float = 1.0
+
+    def add(self, query: Query, occur: str = SHOULD) -> "BooleanQuery":
+        return BooleanQuery(self.clauses + (BooleanClause(query, occur),), self.boost)
+
+
+def bool_query(*clauses: tuple[Query, str]) -> BooleanQuery:
+    return BooleanQuery(tuple(BooleanClause(q, o) for q, o in clauses))
+
+
+def _scale_boost(q: Query, factor: float) -> Query:
+    return replace(q, boost=q.boost * factor)
+
+
+def rewrite(q: Query) -> Query:
+    """Apply the rewrite fixpoint (cheap, driver-side)."""
+    while True:
+        q2 = _rewrite_once(q)
+        if q2 == q:
+            return q
+        q = q2
+
+
+def _rewrite_once(q: Query) -> Query:
+    if isinstance(q, PhraseQuery) and len(q.terms) == 1:
+        return TermQuery(q.field, q.terms[0], q.boost)
+    if isinstance(q, BooleanQuery):
+        new_clauses = tuple(
+            BooleanClause(_rewrite_once(c.query), c.occur) for c in q.clauses
+        )
+        q = BooleanQuery(new_clauses, q.boost)
+        # single non-prohibited clause → unwrap with boost folded
+        if len(q.clauses) == 1 and q.clauses[0].occur != MUST_NOT:
+            return _scale_boost(q.clauses[0].query, q.boost)
+        return q
+    return q

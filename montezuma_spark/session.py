@@ -21,6 +21,15 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Make the package importable in executor-side Python workers regardless
+    # of the driver's cwd. On a real cluster this is `spark-submit --py-files
+    # montezuma_spark.zip`; in local mode workers inherit PYTHONPATH.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")

@@ -1,0 +1,125 @@
+"""Round-trip + property tests for the varint / postings-cell codec."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from montezuma_spark.codec import (
+    decode_cell,
+    decode_positions,
+    decode_varints,
+    encode_cell,
+    encode_positions,
+    encode_varints,
+    grouped_delta_decode,
+)
+
+
+def test_varint_known_values():
+    # LEB128: 0→00, 127→7f, 128→80 01, 300→ac 02
+    assert encode_varints(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert encode_varints(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert encode_varints(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert encode_varints(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+    assert list(decode_varints(b"\x00\x7f\x80\x01\xac\x02")) == [0, 127, 128, 300]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200)
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert list(decode_varints(encode_varints(arr))) == vals
+
+
+def test_grouped_delta_decode():
+    # groups [5, 2, 7] / [3] / [10, 1]  (first absolute, rest deltas)
+    deltas = np.array([5, 2, 7, 3, 10, 1])
+    lens = np.array([3, 1, 2])
+    out = grouped_delta_decode(deltas, lens)
+    assert list(out) == [5, 7, 14, 3, 10, 11]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),  # docid gap seed
+            st.integers(min_value=1, max_value=50),  # tf
+        ),
+        min_size=0,
+        max_size=500,
+    ),
+    st.integers(min_value=4, max_value=128),
+)
+@settings(max_examples=100, deadline=None)
+def test_cell_roundtrip(entries, block):
+    if entries:
+        gaps = np.array([e[0] for e in entries], dtype=np.int64)
+        docids = np.cumsum(gaps + 1) - 1
+        tfs = np.array([e[1] for e in entries], dtype=np.int64)
+    else:
+        docids = np.empty(0, dtype=np.int64)
+        tfs = np.empty(0, dtype=np.int64)
+    cell, meta = encode_cell(docids, tfs, block_size=block)
+    d, t = decode_cell(cell, meta)
+    np.testing.assert_array_equal(d, docids)
+    np.testing.assert_array_equal(t, tfs)
+
+
+def test_cell_partial_block_decode():
+    docids = np.arange(0, 1000, 3, dtype=np.int64)
+    tfs = (docids % 7 + 1).astype(np.int64)
+    cell, meta = encode_cell(docids, tfs, block_size=64)
+    nblocks = len(meta["n"])
+    assert nblocks == int(np.ceil(len(docids) / 64))
+    # decode only blocks 1 and 3
+    d, t = decode_cell(cell, meta, blocks=[1, 3])
+    expect_idx = np.r_[64:128, 192:256]
+    np.testing.assert_array_equal(d, docids[expect_idx])
+    np.testing.assert_array_equal(t, tfs[expect_idx])
+    # block metadata is consistent
+    assert meta["first"][1] == docids[64]
+    assert meta["last"][1] == docids[127]
+
+
+def test_blockmax_bound_is_upper_bound():
+    rng = np.random.RandomState(7)
+    docids = np.sort(rng.choice(10_000, size=500, replace=False)).astype(np.int64)
+    tfs = rng.randint(1, 30, size=500).astype(np.int64)
+    dls = rng.randint(10, 300, size=500).astype(np.int64)
+    avgdl = 120.0
+    cell, meta = encode_cell(docids, tfs, dls=dls, avgdl=avgdl, block_size=32)
+    from montezuma_spark.codec import bm25_tf_norm
+
+    norms = bm25_tf_norm(tfs, dls, avgdl)
+    for j in range(len(meta["n"])):
+        s, e = 32 * j, min(32 * (j + 1), 500)
+        assert meta["maxw"][j] >= norms[s:e].max() - 1e-12
+
+
+def test_positions_roundtrip():
+    rng = np.random.RandomState(3)
+    ndocs = 300
+    tfs = rng.randint(1, 8, size=ndocs).astype(np.int64)
+    pos_lists = [np.sort(rng.choice(5000, size=tf, replace=False)) for tf in tfs]
+    flat = np.concatenate(pos_lists).astype(np.int64)
+    docids = np.arange(ndocs, dtype=np.int64) * 2
+    cell, meta = encode_cell(docids, tfs, block_size=50)
+    pos_cell, pos_off = encode_positions(tfs, flat, block_size=50)
+    # decode positions of blocks 0 and 2
+    _, t0 = decode_cell(cell, meta, blocks=[0])
+    _, t2 = decode_cell(cell, meta, blocks=[2])
+    out = decode_positions(pos_cell, pos_off, meta, {0: t0, 2: t2})
+    b0 = np.concatenate(pos_lists[0:50])
+    b2 = np.concatenate(pos_lists[100:150])
+    np.testing.assert_array_equal(out[0], b0)
+    np.testing.assert_array_equal(out[2], b2)
+
+
+def test_empty_cell():
+    cell, meta = encode_cell(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    assert cell == b""
+    d, t = decode_cell(cell, meta)
+    assert len(d) == 0 and len(t) == 0

@@ -1,0 +1,163 @@
+"""Index-construction tests: docid determinism, postings correctness,
+checkpoint/resume."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from montezuma_spark.codec import decode_cell, decode_positions
+from montezuma_spark.fixtures import search_docs_df, synth_web_pages_df
+from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+
+
+SEARCH_CFG = IndexConfig(
+    fields=[
+        FieldConfig("field", "field", "whitespace"),
+        FieldConfig("date", "date", None, positions=False),
+        FieldConfig("cat", "cat", None, positions=False),
+    ],
+    key_col="url",
+    shard_bits=3,  # 8-doc shards → exercises multi-shard merge on 18 docs
+    block_size=4,  # tiny blocks → exercises block metadata
+)
+
+
+@pytest.fixture(scope="module")
+def search_index(spark):
+    return build_index(spark, search_docs_df(spark), SEARCH_CFG)
+
+
+def test_docids_match_reference_order(spark, search_index):
+    dm = search_index.doc_map.orderBy("docid").toPandas()
+    assert list(dm["docid"]) == list(range(18))
+    # urls zero-padded → url order == reference doc order
+    assert list(dm["key"]) == [f"test://search-docs/{i:04d}" for i in range(18)]
+
+
+def test_corpus_stats(search_index):
+    st = search_index.stats["field"]
+    assert st["num_docs"] == 18
+    # total tokens in 'field': count words of each doc
+    from montezuma_spark.fixtures import SEARCH_DOCS
+
+    total = sum(len(f.split()) for _, f, _ in SEARCH_DOCS)
+    assert st["total_tokens"] == total
+    assert abs(st["avgdl"] - total / 18) < 1e-9
+
+
+def test_postings_word2(search_index):
+    rows = search_index.postings.filter(
+        (F.col("field") == "field") & (F.col("term") == "word2")
+    ).collect()
+    docids = []
+    for r in rows:
+        meta = {
+            "first": list(r["blk_first"]),
+            "last": list(r["blk_last"]),
+            "n": list(r["blk_n"]),
+            "off": list(r["blk_off"]),
+            "codes_len": list(r["blk_codes_len"]),
+            "maxw": list(r["blk_maxw"]),
+        }
+        d, t = decode_cell(bytes(r["postings"]), meta)
+        assert (t == 1).all()
+        docids.extend(d.tolist())
+    assert sorted(docids) == [1, 4, 8]  # tc-index-searcher.lisp:67-69
+
+
+def test_positions_roundtrip_via_index(search_index):
+    # doc 16: "word1 the quick fox is brown and hairy and a little red"
+    # whitespace-analyzer → "and" at positions 6 and 8
+    rows = search_index.postings.filter(
+        (F.col("field") == "field") & (F.col("term") == "and")
+    ).collect()
+    found = {}
+    for r in rows:
+        meta = {
+            "first": list(r["blk_first"]),
+            "last": list(r["blk_last"]),
+            "n": list(r["blk_n"]),
+            "off": list(r["blk_off"]),
+            "codes_len": list(r["blk_codes_len"]),
+            "maxw": list(r["blk_maxw"]),
+        }
+        d, t = decode_cell(bytes(r["postings"]), meta)
+        block_tfs = {}
+        # split tfs by block
+        i = 0
+        for j, nb in enumerate(meta["n"]):
+            block_tfs[j] = t[i : i + nb]
+            i += nb
+        pos = decode_positions(
+            bytes(r["positions"]), list(r["pos_off"]), meta, block_tfs
+        )
+        flat = np.concatenate([pos[j] for j in sorted(pos)])
+        bounds = np.cumsum(t)
+        for k, doc in enumerate(d):
+            found[int(doc)] = flat[bounds[k] - t[k] : bounds[k]].tolist()
+    assert found[16] == [6, 8]
+    assert found[17] == [6]  # "word1 the brown fox is quick and red"
+
+
+def test_term_stats_df(search_index):
+    ts = {
+        (r["field"], r["term"]): r["df"]
+        for r in search_index.term_stats.collect()
+    }
+    assert ts[("field", "word1")] == 18
+    assert ts[("field", "word2")] == 3
+    assert ts[("field", "word3")] == 6
+    assert ts[("date", "20051008")] == 1
+    assert ts[("cat", "cat1/sub1")] == 2
+
+
+def test_untokenized_fields(search_index):
+    # date/cat indexed as single whole-value terms
+    ts = [
+        r["term"]
+        for r in search_index.term_stats.filter(F.col("field") == "cat").collect()
+    ]
+    assert "cat1/sub1/subsub1" in ts
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    idx = build_index(
+        spark, search_docs_df(spark), SEARCH_CFG, index_dir=str(tmp_path / "ix")
+    )
+    from montezuma_spark.index import Index
+
+    idx2 = Index.load(spark, str(tmp_path / "ix"))
+    assert idx2.stats["field"]["num_docs"] == 18
+    assert idx2.term_stats.count() == idx.term_stats.count()
+    assert idx2.build_report["tokenize_docs"] == 18
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    docs = synth_web_pages_df(spark, 200)
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")], shard_bits=6
+    )
+    d = str(tmp_path / "ck")
+    idx1 = build_index(spark, docs, cfg, index_dir=d)
+    assert idx1.build_report["tokenize_skipped"] == 0
+    t1 = {(r["field"], r["term"]): (r["df"], r["cf"]) for r in idx1.term_stats.collect()}
+    stats1 = idx1.stats
+    # resume: all partitions already committed → zero re-tokenization
+    idx2 = build_index(spark, docs, cfg, index_dir=d, resume=True)
+    assert idx2.build_report["tokenize_skipped"] == idx2.build_report[
+        "tokenize_partitions"
+    ]
+    assert idx2.stats == stats1
+    t2 = {(r["field"], r["term"]): (r["df"], r["cf"]) for r in idx2.term_stats.collect()}
+    assert t1 == t2
+
+
+def test_deterministic_docids_across_parallelism(spark):
+    docs = synth_web_pages_df(spark, 150)
+    cfg = IndexConfig(fields=[FieldConfig("text", "text", "simple")])
+    a = build_index(spark, docs.repartition(3), cfg)
+    b = build_index(spark, docs.repartition(11), cfg)
+    da = a.doc_map.orderBy("docid").toPandas()
+    db = b.doc_map.orderBy("docid").toPandas()
+    assert list(da["key"]) == list(db["key"])
+    assert list(da["docid"]) == list(db["docid"])
