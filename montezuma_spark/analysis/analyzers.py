@@ -100,6 +100,12 @@ STOP_ANALYZER = Analyzer(
 STANDARD_ANALYZER = Analyzer(
     "standard", STANDARD_TOKENIZER, lowercase=True, stop_words=ENGLISH_STOP_WORDS
 )
+# The stop-less variant the reference's *tests* assume (tc-standard-analyzer,
+# tc-query-parser expect stop words to survive — stale vs shipped
+# analyzers.lisp:55-65; see SURVEY.md §2.2). Kept for golden parity checks.
+STANDARD_NOSTOP_ANALYZER = Analyzer(
+    "standard-nostop", STANDARD_TOKENIZER, lowercase=True
+)
 PORTER_ANALYZER = Analyzer(
     "porter",
     STANDARD_TOKENIZER,
@@ -118,6 +124,7 @@ ANALYZERS: dict[str, Analyzer] = {
         WHITESPACE_ANALYZER,
         STOP_ANALYZER,
         STANDARD_ANALYZER,
+        STANDARD_NOSTOP_ANALYZER,
         PORTER_ANALYZER,
         SIMPLE_ANALYZER,
     )

@@ -1,0 +1,198 @@
+"""Single-process reference oracle: identical analysis + BM25, pure Python.
+
+Generates the BM25 top-k goldens the Spark engine must match
+rank-identically (SURVEY.md §5 rebuild strategy (c)). Implements the exact
+same semantics as the distributed engine but over plain dicts — small
+corpora only.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from montezuma_spark.analysis import get_analyzer
+from montezuma_spark.search.ast import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    Query,
+    RangeQuery,
+    TermQuery,
+    WildcardQuery,
+    rewrite,
+)
+
+
+class OracleIndex:
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        self.k1 = k1
+        self.b = b
+        # (field, term) -> {docid: [positions]}
+        self.postings: dict = defaultdict(dict)
+        self.dl: dict = defaultdict(dict)  # field -> {docid: dl}
+        self.docids: set = set()
+
+    def add(self, docid: int, fields: dict[str, tuple[str, str | None]]):
+        """fields: name → (text, analyzer_name | None for untokenized)."""
+        self.docids.add(docid)
+        for fname, (text, an) in fields.items():
+            toks = (
+                [text] if an is None else get_analyzer(an).tokens(text or "")
+            )
+            self.dl[fname][docid] = len(toks)
+            for pos, t in enumerate(toks):
+                self.postings[(fname, t)].setdefault(docid, []).append(pos)
+
+    # ------------------------------------------------------------------ stats
+    def n_docs(self, field: str) -> int:
+        return len(self.dl[field])
+
+    def avgdl(self, field: str) -> float:
+        d = self.dl[field]
+        return sum(d.values()) / len(d) if d else 0.0
+
+    def idf(self, field: str, term: str) -> float:
+        df = len(self.postings.get((field, term), {}))
+        n = self.n_docs(field)
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5)) if n else 0.0
+
+    def _bm25(self, field, docid, tf, idf, boost) -> float:
+        dl = self.dl[field].get(docid, 1)
+        avgdl = max(self.avgdl(field), 1e-9)
+        return (
+            idf * boost * tf * (self.k1 + 1.0)
+            / (tf + self.k1 * (1.0 - self.b + self.b * dl / avgdl))
+        )
+
+    # ------------------------------------------------------------------- eval
+    def eval(self, q: Query) -> dict[int, float]:
+        q = rewrite(q)
+        if isinstance(q, TermQuery):
+            idf = self.idf(q.field, q.term)
+            return {
+                d: self._bm25(q.field, d, len(ps), idf, q.boost)
+                for d, ps in self.postings.get((q.field, q.term), {}).items()
+            }
+        if isinstance(q, MatchAllQuery):
+            return {d: q.boost for d in self.docids}
+        if isinstance(q, RangeQuery):
+            out: dict[int, float] = defaultdict(float)
+            for (f, t), plist in self.postings.items():
+                if f != q.field:
+                    continue
+                if q.lower is not None and (
+                    t < q.lower or (not q.include_lower and t == q.lower)
+                ):
+                    continue
+                if q.upper is not None and (
+                    t > q.upper or (not q.include_upper and t == q.upper)
+                ):
+                    continue
+                idf = self.idf(f, t)
+                for d, ps in plist.items():
+                    out[d] += self._bm25(f, d, len(ps), idf, q.boost)
+            return dict(out)
+        if isinstance(q, WildcardQuery):
+            import re
+
+            rx = re.compile(q.to_regex())
+            out = defaultdict(float)
+            for (f, t), plist in self.postings.items():
+                if f != q.field or not rx.match(t):
+                    continue
+                idf = self.idf(f, t)
+                for d, ps in plist.items():
+                    out[d] += self._bm25(f, d, len(ps), idf, q.boost)
+            return dict(out)
+        if isinstance(q, PhraseQuery):
+            return self._eval_phrase(q)
+        if isinstance(q, BooleanQuery):
+            return self._eval_bool(q)
+        raise TypeError(type(q))
+
+    def _eval_phrase(self, q: PhraseQuery) -> dict[int, float]:
+        cand: set | None = None
+        for t in q.terms:
+            docs = set(self.postings.get((q.field, t), {}))
+            cand = docs if cand is None else (cand & docs)
+        out = {}
+        idf = sum(self.idf(q.field, t) for t in set(q.terms))
+        for d in cand or ():
+            shifted = [
+                sorted(
+                    p - off
+                    for p in self.postings[(q.field, t)][d]
+                )
+                for t, off in zip(q.terms, q.offsets)
+            ]
+            if q.slop == 0:
+                common = set(shifted[0])
+                for s in shifted[1:]:
+                    common &= set(s)
+                freq = len(common)
+            else:
+                freq = _sloppy_freq_py(shifted, q.slop)
+            if freq > 0:
+                out[d] = self._bm25(q.field, d, freq, idf, q.boost)
+        return out
+
+    def _eval_bool(self, q: BooleanQuery) -> dict[int, float]:
+        musts = [c.query for c in q.clauses if c.occur == MUST]
+        shoulds = [c.query for c in q.clauses if c.occur == SHOULD]
+        nots = [c.query for c in q.clauses if c.occur == MUST_NOT]
+        if not musts and not shoulds:
+            return {}
+        scores: dict[int, float] = defaultdict(float)
+        if musts:
+            sets = []
+            for m in musts:
+                r = self.eval(m)
+                sets.append(r)
+            docs = set(sets[0])
+            for r in sets[1:]:
+                docs &= set(r)
+            for r in sets:
+                for d in docs:
+                    scores[d] += r[d]
+            for sq in shoulds:
+                r = self.eval(sq)
+                for d in docs & set(r):
+                    scores[d] += r[d]
+            scores = {d: s for d, s in scores.items() if d in docs}
+        else:
+            for sq in shoulds:
+                for d, s in self.eval(sq).items():
+                    scores[d] += s
+            scores = dict(scores)
+        for nq in nots:
+            for d in self.eval(nq):
+                scores.pop(d, None)
+        if q.boost != 1.0:
+            scores = {d: s * q.boost for d, s in scores.items()}
+        return scores
+
+    def top_k(self, q: Query, k: int = 10) -> list[tuple[int, float]]:
+        scores = self.eval(q)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def matching(self, q: Query) -> list[int]:
+        return sorted(self.eval(q))
+
+
+def _sloppy_freq_py(shifted: list[list[int]], slop: int) -> int:
+    if any(len(s) == 0 for s in shifted):
+        return 0
+    ptr = [0] * len(shifted)
+    count = 0
+    while True:
+        cur = [s[p] for s, p in zip(shifted, ptr)]
+        if max(cur) - min(cur) <= slop:
+            count += 1
+        mi = cur.index(min(cur))
+        ptr[mi] += 1
+        if ptr[mi] >= len(shifted[mi]):
+            return count

@@ -1,0 +1,16 @@
+from montezuma_spark.search.ast import (  # noqa: F401
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanClause,
+    BooleanQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    Query,
+    RangeQuery,
+    TermQuery,
+    WildcardQuery,
+    bool_query,
+    rewrite,
+)
+from montezuma_spark.search.searcher import Searcher, bm25_idf  # noqa: F401

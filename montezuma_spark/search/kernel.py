@@ -1,0 +1,399 @@
+"""Per-shard vectorized query-evaluation kernel (numpy, runs in applyInPandas).
+
+This replaces the reference's doc-at-a-time scorer tree
+(src/search/scorer.lisp, conjunction-scorer.lisp, disjunction-sum-scorer.lisp,
+req-excl-scorer.lisp, phrase-scorer.lisp) with term-at-a-time array ops:
+
+* term        → whole-cell varint decode + BM25 over arrays
+                (term-scorer.lisp:5-91 → one numpy expression)
+* MUST        → progressive sorted-array intersection, smallest df first,
+                with block skipping: larger terms decode only blocks whose
+                [first,last] ranges contain surviving candidates — the
+                leapfrog skip-to analog (conjunction-scorer.lisp:45-73,
+                term-doc-enum.lisp:124-163) at block granularity
+* SHOULD      → union + score sum via np.unique/np.add.at
+                (disjunction-sum-scorer.lisp:40-108)
+* MUST_NOT    → sorted setdiff (req-excl-scorer.lisp:8-64)
+* phrase      → intersect postings, then block-selective positions decode and
+                shifted-position intersection (exact-phrase-scorer.lisp:6-22)
+                or min-window sweep within slop (sloppy-phrase-scorer.lisp:6-34)
+
+Scoring is BM25 (north star; replaces the reference's TF-IDF,
+src/search/similarity.lisp:138-169):
+    idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
+    score    = Σ_t idf(t)·boost · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))
+Determinism: docids are processed in sorted order, clause contributions are
+summed in fixed clause order → bit-identical across runs and parallelism.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from montezuma_spark.codec.postings import decode_cell, decode_positions
+from montezuma_spark.search.ast import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    Query,
+    TermQuery,
+)
+
+
+@dataclass(frozen=True)
+class MultiTermGroup(Query):
+    """Compiled form of range/wildcard: a disjunction of concrete terms
+    (each scored with its own idf), produced by the driver-side dictionary
+    scan (the rewrite of src/search/multi-term-query.lisp:12-25)."""
+
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass
+class CompiledPlan:
+    query: Query
+    idf: dict  # (field, term) -> idf
+    df_est: dict  # (field, term) -> global df (for MUST ordering)
+    stats: dict  # field -> {"num_docs", "avgdl"}
+    k1: float
+    b: float
+    k: int | None  # top-k per shard; None = return all matches
+    need_positions: bool
+
+
+_EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+
+class ShardEval:
+    """Evaluates a compiled plan against one shard's postings + doc lens."""
+
+    def __init__(self, plan: CompiledPlan, postings_pdf: pd.DataFrame,
+                 lens_pdf: pd.DataFrame):
+        self.plan = plan
+        self.cells = {}
+        for r in postings_pdf.itertuples(index=False):
+            self.cells[(r.field, r.term)] = r
+        self.lens = {}
+        if len(lens_pdf):
+            for f, grp in lens_pdf.groupby("field"):
+                d = grp["docid"].to_numpy(dtype=np.int64)
+                order = np.argsort(d)
+                self.lens[f] = (d[order], grp["dl"].to_numpy(dtype=np.int64)[order])
+
+    # ---------------------------------------------------------------- helpers
+    def _dl(self, field: str, docids: np.ndarray) -> np.ndarray:
+        ent = self.lens.get(field)
+        if ent is None:
+            return np.ones(len(docids), dtype=np.int64)
+        d, dl = ent
+        idx = np.searchsorted(d, docids)
+        idx = np.clip(idx, 0, len(d) - 1)
+        out = dl[idx]
+        out = np.where(d[idx] == docids, out, 1)
+        return out
+
+    def _meta(self, row):
+        return {
+            "first": list(row.blk_first),
+            "last": list(row.blk_last),
+            "n": list(row.blk_n),
+            "off": list(row.blk_off),
+            "codes_len": list(row.blk_codes_len),
+            "maxw": list(row.blk_maxw),
+        }
+
+    def _blocks_for(self, meta, candidates: np.ndarray | None):
+        """Indices of blocks containing any candidate docid (skip-to analog)."""
+        nb = len(meta["n"])
+        if candidates is None or nb == 0:
+            return None  # all blocks
+        first = np.asarray(meta["first"], dtype=np.int64)
+        last = np.asarray(meta["last"], dtype=np.int64)
+        # block j needed iff ∃ candidate c with first[j] <= c <= last[j]
+        lo = np.searchsorted(candidates, first, side="left")
+        needed = (lo < len(candidates)) & (
+            candidates[np.clip(lo, 0, len(candidates) - 1)] <= last
+        )
+        sel = np.flatnonzero(needed)
+        return sel if len(sel) < nb else None
+
+    def _decode(self, field, term, candidates=None, with_block_info=False):
+        row = self.cells.get((field, term))
+        if row is None:
+            if with_block_info:
+                return _EMPTY[0], _EMPTY[0], None, None
+            return _EMPTY[0], _EMPTY[0]
+        meta = self._meta(row)
+        sel = self._blocks_for(meta, candidates)
+        blocks = sel if sel is not None else np.arange(len(meta["n"]))
+        docids, tfs = decode_cell(bytes(row.postings), meta, blocks=blocks)
+        if with_block_info:
+            ns = np.asarray(meta["n"], dtype=np.int64)[blocks]
+            block_of = np.repeat(blocks, ns)
+            return docids, tfs, block_of, (row, meta, blocks)
+        return docids, tfs
+
+    def _bm25(self, field, term, docids, tfs, boost) -> np.ndarray:
+        p = self.plan
+        idf = p.idf.get((field, term), 0.0)
+        dl = self._dl(field, docids).astype(np.float64)
+        avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
+        tf = tfs.astype(np.float64)
+        return (
+            idf
+            * boost
+            * tf
+            * (p.k1 + 1.0)
+            / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
+        )
+
+    @staticmethod
+    def _restrict(docids, scores, candidates):
+        if candidates is None:
+            return docids, scores
+        if len(candidates) == 0 or len(docids) == 0:
+            return _EMPTY
+        idx = np.clip(np.searchsorted(candidates, docids), 0, len(candidates) - 1)
+        mask = candidates[idx] == docids
+        return docids[mask], scores[mask]
+
+    @staticmethod
+    def _union_sum(parts):
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return _EMPTY
+        alld = np.concatenate([p[0] for p in parts])
+        alls = np.concatenate([p[1] for p in parts])
+        uniq, inv = np.unique(alld, return_inverse=True)
+        out = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(out, inv, alls)
+        return uniq, out
+
+    # ------------------------------------------------------------------ eval
+    def eval(self, node: Query, candidates: np.ndarray | None = None):
+        """→ (sorted docids, scores). candidates (sorted) restricts output."""
+        if isinstance(node, TermQuery):
+            d, t = self._decode(node.field, node.term, candidates)
+            s = self._bm25(node.field, node.term, d, t, node.boost)
+            return self._restrict(d, s, candidates)
+        if isinstance(node, MultiTermGroup):
+            parts = []
+            for term in node.terms:
+                d, t = self._decode(node.field, term, candidates)
+                d, s = self._restrict(
+                    d, self._bm25(node.field, term, d, t, node.boost), candidates
+                )
+                parts.append((d, s))
+            return self._union_sum(parts)
+        if isinstance(node, MatchAllQuery):
+            alld = [d for d, _ in self.lens.values()]
+            if not alld:
+                return _EMPTY
+            docs = np.unique(np.concatenate(alld))
+            if candidates is not None:
+                docs, _ = self._restrict(
+                    docs, np.zeros(len(docs)), candidates
+                )
+            return docs, np.full(len(docs), float(node.boost))
+        if isinstance(node, PhraseQuery):
+            return self._eval_phrase(node, candidates)
+        if isinstance(node, BooleanQuery):
+            return self._eval_bool(node, candidates)
+        raise TypeError(f"unknown query node {type(node)}")
+
+    def _eval_bool(self, node: BooleanQuery, candidates):
+        musts = [c.query for c in node.clauses if c.occur == MUST]
+        shoulds = [c.query for c in node.clauses if c.occur == SHOULD]
+        nots = [c.query for c in node.clauses if c.occur == MUST_NOT]
+        if not musts and not shoulds:
+            return _EMPTY  # pure negation matches nothing
+            # (ref: boolean-scorer.lisp — no required/optional scorers)
+        contributions = []
+        docs = candidates
+        if musts:
+            # smallest-df first — conjunction-scorer's sort-by-current-doc
+            # leapfrog, at plan level (conjunction-scorer.lisp:45-56)
+            musts = sorted(musts, key=self._est_df)
+            for m in musts:
+                d, s = self.eval(m, docs)
+                docs = d
+                contributions.append((d, s))
+                if len(docs) == 0:
+                    return _EMPTY
+            base = docs
+            score = np.zeros(len(base), dtype=np.float64)
+            for d, s in contributions:
+                idx = np.searchsorted(d, base)
+                score += s[np.clip(idx, 0, max(len(s) - 1, 0))] if len(s) else 0.0
+            # SHOULD adds score where it coincides (req-opt-sum-scorer.lisp)
+            for sq in shoulds:
+                d, s = self.eval(sq, base)
+                if len(d):
+                    idx = np.searchsorted(base, d)
+                    score[idx] += s
+            result = (base, score)
+        else:
+            result = self._union_sum([self.eval(sq, candidates) for sq in shoulds])
+        if nots and len(result[0]):
+            base, score = result
+            excluded = [self.eval(nq, base)[0] for nq in nots]
+            if excluded:
+                exc = (
+                    np.unique(np.concatenate(excluded))
+                    if len(excluded) > 1
+                    else excluded[0]
+                )
+                if len(exc):
+                    mask = ~np.isin(base, exc, assume_unique=False)
+                    result = (base[mask], score[mask])
+        if node.boost != 1.0:
+            result = (result[0], result[1] * node.boost)
+        return result
+
+    def _est_df(self, q: Query) -> float:
+        dfm = self.plan.df_est
+        if isinstance(q, TermQuery):
+            return dfm.get((q.field, q.term), 0)
+        if isinstance(q, MultiTermGroup):
+            return sum(dfm.get((q.field, t), 0) for t in q.terms)
+        if isinstance(q, PhraseQuery):
+            return min(
+                (dfm.get((q.field, t), 0) for t in q.terms), default=0
+            )
+        if isinstance(q, BooleanQuery):
+            ests = [self._est_df(c.query) for c in q.clauses if c.occur == MUST]
+            if ests:
+                return min(ests)
+            return sum(
+                self._est_df(c.query) for c in q.clauses if c.occur == SHOULD
+            )
+        return float("inf")
+
+    # ---------------------------------------------------------------- phrase
+    def _positions_for(self, field, term, wanted: np.ndarray):
+        """positions of ``wanted`` docids for (field, term) → list of arrays."""
+        d_all, t_all, block_of, handle = self._decode(
+            field, term, wanted, with_block_info=True
+        )
+        if handle is None or len(d_all) == 0:
+            return [np.empty(0, dtype=np.int64)] * len(wanted)
+        row, meta, blocks = handle
+        ns = np.asarray(meta["n"], dtype=np.int64)[blocks]
+        bounds = np.concatenate([[0], np.cumsum(ns)])
+        block_tfs = {
+            int(b): t_all[bounds[i] : bounds[i + 1]] for i, b in enumerate(blocks)
+        }
+        pos_by_block = decode_positions(
+            bytes(row.positions), list(row.pos_off), meta, block_tfs
+        )
+        # flat position bounds per posting within each decoded block
+        out = []
+        for doc in wanted:
+            j = np.searchsorted(d_all, doc)
+            if j >= len(d_all) or d_all[j] != doc:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            b = int(block_of[j])
+            i_block = int(np.flatnonzero(blocks == b)[0])
+            local = j - bounds[i_block]
+            tfs_blk = block_tfs[b]
+            pstart = int(tfs_blk[:local].sum())
+            out.append(pos_by_block[b][pstart : pstart + int(tfs_blk[local])])
+        return out
+
+    def _eval_phrase(self, node: PhraseQuery, candidates):
+        # 1. intersect postings of all phrase terms (rarest first)
+        terms = sorted(
+            range(len(node.terms)),
+            key=lambda i: self.plan.df_est.get((node.field, node.terms[i]), 0),
+        )
+        docs = candidates
+        for i in terms:
+            d, _ = self._decode(node.field, node.terms[i], docs)
+            d, _unused = self._restrict(d, np.zeros(len(d)), docs)
+            docs = d
+            if len(docs) == 0:
+                return _EMPTY
+        # 2. positions per term for surviving docs, shifted by offsets
+        pos_lists = [
+            self._positions_for(node.field, node.terms[i], docs) for i in
+            range(len(node.terms))
+        ]
+        freqs = np.zeros(len(docs), dtype=np.int64)
+        for di in range(len(docs)):
+            shifted = [
+                pos_lists[i][di] - node.offsets[i] for i in range(len(node.terms))
+            ]
+            if node.slop == 0:
+                inter = shifted[0]
+                for s in shifted[1:]:
+                    inter = np.intersect1d(inter, s, assume_unique=True)
+                    if len(inter) == 0:
+                        break
+                freqs[di] = len(inter)
+            else:
+                freqs[di] = _sloppy_freq(shifted, node.slop)
+        keep = freqs > 0
+        docs = docs[keep]
+        freqs = freqs[keep]
+        # 3. BM25 with tf = phrase freq, idf = Σ constituent idfs
+        # (idf-phrase analog: tc-similarity.lisp:36-38)
+        p = self.plan
+        idf = sum(p.idf.get((node.field, t), 0.0) for t in set(node.terms))
+        dl = self._dl(node.field, docs).astype(np.float64)
+        avgdl = max(p.stats.get(node.field, {}).get("avgdl", 1.0), 1e-9)
+        tf = freqs.astype(np.float64)
+        score = (
+            idf
+            * node.boost
+            * tf
+            * (p.k1 + 1.0)
+            / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
+        )
+        return docs, score
+
+
+def _sloppy_freq(shifted: list[np.ndarray], slop: int) -> int:
+    """Count minimal windows with span ≤ slop over the shifted position
+    lists (k-pointer sweep; sloppy-phrase-scorer.lisp:6-34 semantics —
+    we count matches, the BM25 tf, instead of summing 1/(1+len))."""
+    if any(len(s) == 0 for s in shifted):
+        return 0
+    ptr = [0] * len(shifted)
+    count = 0
+    while True:
+        cur = [s[p] for s, p in zip(shifted, ptr)]
+        if max(cur) - min(cur) <= slop:
+            count += 1
+        mi = int(np.argmin(cur))
+        ptr[mi] += 1
+        if ptr[mi] >= len(shifted[mi]):
+            return count
+
+
+def make_kernel(plan: CompiledPlan):
+    """Build the cogrouped applyInPandas function: (key, postings, lens) →
+    (docid, score) rows, per-shard top-k if plan.k is set."""
+
+    def kernel(key, postings_pdf: pd.DataFrame, lens_pdf: pd.DataFrame):
+        ev = ShardEval(plan, postings_pdf, lens_pdf)
+        docids, scores = ev.eval(plan.query)
+        if len(docids) == 0:
+            return pd.DataFrame({"docid": [], "score": []}).astype(
+                {"docid": "int64", "score": "float64"}
+            )
+        if plan.k is not None and len(docids) > plan.k:
+            # tie-break (score desc, docid asc) — hit-queue.lisp:3-9 inverted
+            order = np.lexsort((docids, -scores))[: plan.k]
+            docids, scores = docids[order], scores[order]
+        return pd.DataFrame({"docid": docids, "score": scores})
+
+    return kernel

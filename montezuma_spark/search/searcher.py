@@ -1,0 +1,257 @@
+"""Searcher: driver-side query compilation + distributed execution.
+
+Query lifecycle (the Spark-first re-expression of SURVEY.md §3):
+
+1. ``rewrite`` fixpoint on the AST (driver, pure Python).
+2. Dictionary resolution: range/wildcard predicates run against the
+   ``term_stats`` dictionary DataFrame — parquet min/max pruning on the
+   sorted (field, term) layout is the .tii two-level index analog
+   (src/index/term-infos-io.lisp:135-148). Concrete terms + global df come
+   back to the driver (bounded by ``max_expansion``).
+3. The needed (field, term) set is pushed as an ``isin`` predicate into the
+   postings scan (broadcast of query terms); the positions column is only
+   read when a phrase needs it (column pruning).
+4. Per-shard evaluation via ``cogroup(postings, doc_lens).applyInPandas``:
+   docid-range shards are disjoint, so per-shard exact top-k is globally
+   correct and the only cross-shard traffic is k rows per shard.
+5. Global ``orderBy(score desc, docid asc).limit(k)`` + broadcast join back
+   to doc_map for the key. Tie-break matches hit-queue.lisp:3-9 (inverted).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from montezuma_spark.index.builder import Index
+from montezuma_spark.search.ast import (
+    BooleanQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    Query,
+    RangeQuery,
+    TermQuery,
+    WildcardQuery,
+    rewrite,
+)
+from montezuma_spark.search.kernel import (
+    CompiledPlan,
+    MultiTermGroup,
+    make_kernel,
+)
+
+RESULT_SCHEMA = "docid long, score double"
+
+
+def bm25_idf(df: int, n: int) -> float:
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+class Searcher:
+    def __init__(self, index: Index, max_expansion: int = 10_000):
+        self.index = index
+        self.max_expansion = max_expansion
+        self._dict_cache: dict | None = None
+
+    # ------------------------------------------------------------- dictionary
+    def _dictionary(self) -> dict:
+        """Collect the (small at test scale) term dictionary once.
+
+        At web scale this becomes a per-query filtered collect (pushdown on
+        field+term); the cache is an optimization for repeated queries.
+        """
+        if self._dict_cache is None:
+            rows = self.index.term_stats.collect()
+            self._dict_cache = {
+                (r["field"], r["term"]): int(r["df"]) for r in rows
+            }
+        return self._dict_cache
+
+    def _resolve(self, q: Query) -> tuple[Query, dict, dict, bool]:
+        """Expand range/wildcard against the dictionary; gather idf/df maps."""
+        dictionary = self._dictionary()
+        idf: dict = {}
+        df_est: dict = {}
+        need_pos = False
+
+        def idf_for(field, term):
+            df = dictionary.get((field, term), 0)
+            n = self.index.stats.get(field, {}).get("num_docs", 0)
+            idf[(field, term)] = bm25_idf(df, n) if n else 0.0
+            df_est[(field, term)] = df
+
+        def walk(node: Query) -> Query:
+            nonlocal need_pos
+            if isinstance(node, TermQuery):
+                idf_for(node.field, node.term)
+                return node
+            if isinstance(node, PhraseQuery):
+                need_pos = True
+                for t in node.terms:
+                    idf_for(node.field, t)
+                return node
+            if isinstance(node, RangeQuery):
+                terms = sorted(
+                    t
+                    for (f, t) in dictionary
+                    if f == node.field
+                    and _in_range(t, node.lower, node.upper,
+                                  node.include_lower, node.include_upper)
+                )[: self.max_expansion]
+                for t in terms:
+                    idf_for(node.field, t)
+                return MultiTermGroup(node.field, tuple(terms), node.boost)
+            if isinstance(node, WildcardQuery):
+                import re as _re
+
+                rx = _re.compile(node.to_regex())
+                prefix = node.literal_prefix()
+                terms = sorted(
+                    t
+                    for (f, t) in dictionary
+                    if f == node.field and t.startswith(prefix) and rx.match(t)
+                )[: self.max_expansion]
+                for t in terms:
+                    idf_for(node.field, t)
+                return MultiTermGroup(node.field, tuple(terms), node.boost)
+            if isinstance(node, BooleanQuery):
+                from montezuma_spark.search.ast import BooleanClause
+
+                return BooleanQuery(
+                    tuple(
+                        BooleanClause(walk(c.query), c.occur)
+                        for c in node.clauses
+                    ),
+                    node.boost,
+                )
+            if isinstance(node, MatchAllQuery):
+                return node
+            raise TypeError(f"cannot resolve {type(node)}")
+
+        resolved = walk(rewrite(q))
+        return resolved, idf, df_est, need_pos
+
+    # ---------------------------------------------------------------- execute
+    def _needed_terms(self, q: Query) -> dict[str, set]:
+        out: dict[str, set] = {}
+
+        def walk(node):
+            if isinstance(node, TermQuery):
+                out.setdefault(node.field, set()).add(node.term)
+            elif isinstance(node, MultiTermGroup):
+                out.setdefault(node.field, set()).update(node.terms)
+            elif isinstance(node, PhraseQuery):
+                out.setdefault(node.field, set()).update(node.terms)
+            elif isinstance(node, BooleanQuery):
+                for c in node.clauses:
+                    walk(c.query)
+
+        walk(q)
+        return out
+
+    def _fields_in(self, q: Query) -> set:
+        f = set(self._needed_terms(q))
+        # MatchAll needs every field's doc set
+        def walk(node):
+            if isinstance(node, MatchAllQuery):
+                f.update(self.index.stats.keys())
+            elif isinstance(node, BooleanQuery):
+                for c in node.clauses:
+                    walk(c.query)
+
+        walk(q)
+        return f
+
+    def _execute(self, query: Query, k: int | None) -> DataFrame:
+        resolved, idf, df_est, need_pos = self._resolve(query)
+        plan = CompiledPlan(
+            query=resolved,
+            idf=idf,
+            df_est=df_est,
+            stats=self.index.stats,
+            k1=self.index.config.k1,
+            b=self.index.config.b,
+            k=k,
+            need_positions=need_pos,
+        )
+        needed = self._needed_terms(resolved)
+        fields = self._fields_in(resolved)
+        cond = None
+        for f, terms in needed.items():
+            c = (F.col("field") == f) & F.col("term").isin(sorted(terms))
+            cond = c if cond is None else (cond | c)
+        cols = [
+            "field", "term", "shard", "df", "cf", "postings",
+            "blk_first", "blk_last", "blk_n", "blk_off", "blk_codes_len",
+            "blk_maxw",
+        ]
+        if need_pos:
+            cols += ["positions", "pos_off"]
+        else:
+            # column pruning: never read the positions sidecar for
+            # non-phrase queries (the .prx/.frq separation pays off here)
+            pass
+        postings = self.index.postings
+        if cond is not None:
+            postings = postings.filter(cond)
+        else:
+            postings = postings.filter(F.lit(False))
+        postings = postings.select(*cols)
+        if not need_pos:
+            postings = postings.withColumn(
+                "positions", F.lit(b"")
+            ).withColumn("pos_off", F.array().cast("array<long>"))
+        lens = self.index.doc_lens.filter(
+            F.col("field").isin(sorted(fields)) if fields else F.lit(False)
+        )
+        kernel = make_kernel(plan)
+        result = (
+            postings.groupBy("shard")
+            .cogroup(lens.groupBy("shard"))
+            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+        )
+        return result
+
+    # ------------------------------------------------------------------- API
+    def search(self, query: Query, k: int | None = 10) -> DataFrame:
+        """Top-k (docid, score, key), tie-break (score desc, docid asc)."""
+        result = self._execute(query, k)
+        if k is not None:
+            result = result.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        out = result.join(
+            self.index.doc_map.withColumnRenamed("key", "key"), "docid", "left"
+        )
+        if k is not None:
+            out = out.orderBy(F.desc("score"), F.asc("docid"))
+        return out.select("docid", "key", "score")
+
+    def top_docs(self, query: Query, k: int = 10) -> list[tuple[int, float]]:
+        return [
+            (r["docid"], r["score"]) for r in self.search(query, k).collect()
+        ]
+
+    def matching_docids(self, query: Query) -> list[int]:
+        """All matching docids, sorted — the golden doc-set surface."""
+        rows = self._execute(query, None).select("docid").collect()
+        return sorted(r["docid"] for r in rows)
+
+    def count(self, query: Query) -> int:
+        return self._execute(query, None).count()
+
+
+def _in_range(term: str, lower, upper, incl_lo: bool, incl_hi: bool) -> bool:
+    if lower is not None:
+        if incl_lo:
+            if term < lower:
+                return False
+        elif term <= lower:
+            return False
+    if upper is not None:
+        if incl_hi:
+            if term > upper:
+                return False
+        elif term >= upper:
+            return False
+    return True
