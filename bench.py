@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark: index-build throughput + BM25 query latency + scaling efficiency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "build": {...}, "scaling": {...}}
+
+* Primary suite: build the inverted index over $SPARK_GRAFT_SF_DIR/documents
+  (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], then run the
+  headline BM25/boolean/phrase/wildcard queries, reporting seconds each.
+* Scaling: the SAME deterministic synthetic corpus built at N and N/4 cores
+  (the sandbox stand-in for N vs 4N executors); reports docs/sec and
+  postings/sec at both plus efficiency = thr_hi / (4 * thr_lo).
+
+Reference baseline (BASELINE.md): 18 docs/sec build, 0.050 s top-10 query
+(single-threaded 2006 Common Lisp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
+
+
+def _fresh_spark(cores: int, app: str):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from montezuma_spark.session import get_spark
+
+    return get_spark(app, cores=cores, shuffle_partitions=cores)
+
+
+def build_suite(spark, docs, analyzer="simple", shard_bits=10):
+    from pyspark.sql import functions as F
+
+    from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", analyzer)],
+        key_col="url",
+        shard_bits=shard_bits,
+    )
+    t0 = time.time()
+    idx = build_index(spark, docs, cfg)
+    idx.postings = idx.postings.persist()
+    idx.doc_lens = idx.doc_lens.persist()
+    npost = idx.postings.count()  # force full materialization
+    idx.doc_lens.count()
+    build_s = time.time() - t0
+    st = idx.stats["text"]
+    total_postings = idx.postings.agg(F.sum("df")).collect()[0][0]
+    bytes_compressed = idx.postings.agg(
+        F.sum(F.length("postings")) + F.sum(F.length("positions"))
+    ).collect()[0][0]
+    return idx, {
+        "build_seconds": round(build_s, 3),
+        "num_docs": st["num_docs"],
+        "total_tokens": st["total_tokens"],
+        "postings_rows": npost,
+        "total_postings": int(total_postings),
+        "postings_bytes": int(bytes_compressed),
+        "docs_per_sec": round(st["num_docs"] / build_s, 2),
+        "tokens_per_sec": round(st["total_tokens"] / build_s, 1),
+        "postings_per_sec": round(total_postings / build_s, 1),
+    }
+
+
+def query_suite(searcher) -> dict[str, float]:
+    from montezuma_spark.search import (
+        MUST,
+        MUST_NOT,
+        SHOULD,
+        PhraseQuery,
+        RangeQuery,
+        TermQuery,
+        WildcardQuery,
+        bool_query,
+    )
+    from montezuma_spark.search.parser import QueryParser
+
+    p = QueryParser(default_field="text", analyzer="simple")
+    queries = {
+        "q_term_top10": TermQuery("text", "spark"),
+        "q_bool_and_top10": bool_query(
+            (TermQuery("text", "spark"), MUST), (TermQuery("text", "merge"), MUST)
+        ),
+        "q_bool_or_top10": bool_query(
+            (TermQuery("text", "spark"), SHOULD),
+            (TermQuery("text", "vector"), SHOULD),
+            (TermQuery("text", "window"), SHOULD),
+        ),
+        "q_bool_not_top10": bool_query(
+            (TermQuery("text", "merge"), MUST),
+            (TermQuery("text", "spark"), MUST_NOT),
+        ),
+        "q_phrase_top10": PhraseQuery.of("text", ["batch", "batch"]),
+        "q_range_top10": RangeQuery("text", "key", "merge", True, True),
+        "q_wildcard_top10": WildcardQuery("text", "s*"),
+        "q_parsed_top10": p.parse("+spark merge vector"),
+    }
+    # warm-up (JIT, dictionary cache, persisted postings)
+    searcher.top_docs(TermQuery("text", "merge"), k=10)
+    out = {}
+    for name, q in queries.items():
+        t0 = time.time()
+        searcher.top_docs(q, k=10)
+        out[name] = round(time.time() - t0, 4)
+    return out
+
+
+def scaling_run(cores: int, n_docs: int) -> dict:
+    from montezuma_spark.fixtures import synth_corpus_spark
+
+    spark = _fresh_spark(cores, f"bench-scale-{cores}")
+    docs = synth_corpus_spark(spark, n_docs, parts=max(cores * 2, 16))
+    _, rep = build_suite(spark, docs, shard_bits=13)
+    rep["cores"] = cores
+    spark.stop()
+    return rep
+
+
+def main():
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {"metric": "bm25_query_suite_seconds", "unit": "sec", "sf": float(sf)}
+
+    spark = _fresh_spark(CPUS, "bench-main")
+    from montezuma_spark.fixtures import documents_as_web_pages
+    from montezuma_spark.search import Searcher
+
+    docs = documents_as_web_pages(spark, SF_DIR)
+    idx, build_rep = build_suite(spark, docs, shard_bits=8)
+    searcher = Searcher(idx)
+    queries = query_suite(searcher)
+    result["queries"] = queries
+    result["value"] = round(sum(queries.values()), 4)
+    result["build"] = build_rep
+    spark.stop()
+
+    lo_cores = max(CPUS // 4, 1)
+    if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        lo = scaling_run(lo_cores, SCALE_DOCS)
+        hi = scaling_run(CPUS, SCALE_DOCS)
+        ratio = CPUS / lo_cores
+        eff = hi["docs_per_sec"] / (lo["docs_per_sec"] * ratio)
+        result["scaling"] = {
+            "n_docs": SCALE_DOCS,
+            "cores_lo": lo_cores,
+            "cores_hi": CPUS,
+            "docs_per_sec_lo": lo["docs_per_sec"],
+            "docs_per_sec_hi": hi["docs_per_sec"],
+            "postings_per_sec_lo": lo["postings_per_sec"],
+            "postings_per_sec_hi": hi["postings_per_sec"],
+            "build_seconds_lo": lo["build_seconds"],
+            "build_seconds_hi": hi["build_seconds"],
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,7 +3,12 @@
 One cell holds the postings of one (field, term) within one docid-range shard.
 Layout (per block of ``block_size`` docs):
 
-    [doc_code varints][extra-tf varints]
+    [doc_code varints][extra-tf varints][dl varints]
+
+The dl (doc length) stream makes a cell self-contained for BM25 scoring —
+no doc-length join at query time. It duplicates dl across terms (~1 byte
+per posting) in exchange for removing the only query-time co-partitioned
+join; the doc_lens table remains the source of truth for stats/match-all.
 
 ``doc_code = (delta_docid << 1) | (tf == 1)`` — the reference's .frq wire
 format (src/index/segment-merger.lisp:233-245, decode
@@ -38,7 +43,7 @@ DEFAULT_BLOCK = 128
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-META_FIELDS = ("first", "last", "n", "off", "codes_len", "maxw")
+META_FIELDS = ("first", "last", "n", "off", "codes_len", "ext_len", "maxw")
 
 
 def bm25_tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
@@ -69,8 +74,9 @@ def encode_cell(
     if n == 0:
         return b"", meta
     if dls is None:
-        dls = np.full(n, avgdl)
-    norm = bm25_tf_norm(tfs, np.asarray(dls), avgdl, k1, b)
+        dls = np.full(n, int(round(avgdl)) or 1, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    norm = bm25_tf_norm(tfs, dls, avgdl, k1, b)
     chunks: list[bytes] = []
     off = 0
     for s in range(0, n, block_size):
@@ -84,49 +90,63 @@ def encode_cell(
         code_bytes = encode_varints(codes)
         extra = t[t > 1].astype(np.uint64)
         extra_bytes = encode_varints(extra)
+        dl_bytes = encode_varints(dls[s:e].astype(np.uint64))
         meta["first"].append(int(d[0]))
         meta["last"].append(int(d[-1]))
         meta["n"].append(int(e - s))
         meta["off"].append(off)
         meta["codes_len"].append(len(code_bytes))
+        meta["ext_len"].append(len(extra_bytes))
         meta["maxw"].append(float(norm[s:e].max()))
         chunks.append(code_bytes)
         chunks.append(extra_bytes)
-        off += len(code_bytes) + len(extra_bytes)
+        chunks.append(dl_bytes)
+        off += len(code_bytes) + len(extra_bytes) + len(dl_bytes)
     return b"".join(chunks), meta
+
+
+_EMPTY3 = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+)
 
 
 def decode_cell(
     cell: bytes | memoryview,
     meta: dict,
     blocks: np.ndarray | list | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Decode selected blocks (default all) → (docids, tfs)."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode selected blocks (default all) → (docids, tfs, dls)."""
     nblocks = len(meta["n"])
     if nblocks == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return _EMPTY3
     buf = np.frombuffer(cell, dtype=np.uint8)
     if blocks is None:
         blocks = range(nblocks)
     off = meta["off"]
     clen = meta["codes_len"]
+    elen = meta["ext_len"]
     firsts, ns = [], []
-    code_parts, extra_parts = [], []
+    code_parts, extra_parts, dl_parts = [], [], []
     total = len(buf)
     for j in blocks:
         s = off[j]
         ce = s + clen[j]
+        ee = ce + elen[j]
         be = off[j + 1] if j + 1 < nblocks else total
         code_parts.append(buf[s:ce])
-        extra_parts.append(buf[ce:be])
+        extra_parts.append(buf[ce:ee])
+        dl_parts.append(buf[ee:be])
         firsts.append(meta["first"][j])
         ns.append(meta["n"][j])
     if not ns:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return _EMPTY3
     codes = decode_varints(np.concatenate(code_parts))
     extras = decode_varints(np.concatenate(extra_parts)) if any(
         len(p) for p in extra_parts
     ) else np.empty(0, dtype=np.uint64)
+    dls = decode_varints(np.concatenate(dl_parts)).astype(np.int64)
     ns_arr = np.asarray(ns, dtype=np.int64)
     deltas = (codes >> np.uint64(1)).astype(np.int64)
     docids = grouped_delta_decode(deltas, ns_arr) + np.repeat(
@@ -135,7 +155,7 @@ def decode_cell(
     tfs = np.ones(len(codes), dtype=np.int64)
     multi = (codes & np.uint64(1)) == 0
     tfs[multi] = extras.astype(np.int64)
-    return docids, tfs
+    return docids, tfs, dls
 
 
 # ---------------------------------------------------------------------------

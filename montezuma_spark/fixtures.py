@@ -115,6 +115,69 @@ def synth_web_pages_df(spark, n_docs: int, seed: int = 42):
     return spark.createDataFrame(synth_web_pages_pdf(n_docs, seed))
 
 
+_SYNTH_VOCAB_SIZE = 10_000
+
+
+def synth_corpus_spark(spark, n_docs: int, avg_len: int = 80,
+                       vocab_size: int = _SYNTH_VOCAB_SIZE,
+                       parts: int | None = None):
+    """Distributed deterministic synthetic corpus (url, text, lang).
+
+    Content is a pure function of the row id (arithmetic hashing, Zipf-ish
+    term skew) — identical regardless of partitioning/parallelism, so the
+    same corpus feeds both arms of the scaling benchmark without shipping
+    data from the driver.
+    """
+    import pandas as pd
+
+    parts = parts or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        # letters-only words (digits don't survive letter tokenizers)
+        letters = "abcdefghijklmnopqrstuvwxyz"
+
+        def b26(i: int) -> str:
+            s = ""
+            for _ in range(4):
+                s += letters[i % 26]
+                i //= 26
+            return s
+
+        vocab = np.array(
+            ["w" + b26(i) for i in range(vocab_size)], dtype=object
+        )
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            lens = 20 + ((ids * 2654435761) % (2 * avg_len - 40 + 1))
+            bounds = np.cumsum(lens)
+            total = int(bounds[-1]) if len(bounds) else 0
+            row_of = np.repeat(np.arange(len(ids)), lens)
+            j = np.arange(total, dtype=np.int64) - np.repeat(
+                bounds - lens, lens
+            )
+            h = (ids[row_of] * 1315423911 + j * 2654435761 + 97) & 0x7FFFFFFF
+            # Zipf-ish skew: square the uniform draw
+            u = (h % 1_000_000) / 1_000_000.0
+            tok_idx = (u * u * vocab_size).astype(np.int64)
+            toks = vocab[tok_idx]
+            texts = [
+                " ".join(toks[bounds[i] - lens[i] : bounds[i]])
+                for i in range(len(ids))
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": [f"synth://doc/{i:012d}" for i in ids],
+                    "text": texts,
+                    "lang": ["en"] * len(ids),
+                }
+            )
+
+    return (
+        spark.range(0, n_docs, 1, parts)
+        .mapInPandas(gen, schema="url string, text string, lang string")
+    )
+
+
 def documents_as_web_pages(spark, sf_dir: str):
     """Adapt the driver's documents.parquet to the web_pages shape.
 

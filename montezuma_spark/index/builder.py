@@ -56,7 +56,8 @@ POSTINGS_SCHEMA = (
     "field string, term string, shard long, df long, cf long, "
     "postings binary, positions binary, pos_off array<long>, "
     "blk_first array<long>, blk_last array<long>, blk_n array<int>, "
-    "blk_off array<long>, blk_codes_len array<long>, blk_maxw array<float>"
+    "blk_off array<long>, blk_codes_len array<long>, blk_ext_len array<long>, "
+    "blk_maxw array<float>"
 )
 
 
@@ -188,6 +189,7 @@ def _make_encoder(avgdl_by_field: dict, cfg_block: int, k1: float, b: float,
                 "blk_n": [np.asarray(meta["n"], dtype=np.int32)],
                 "blk_off": [np.asarray(meta["off"], dtype=np.int64)],
                 "blk_codes_len": [np.asarray(meta["codes_len"], dtype=np.int64)],
+                "blk_ext_len": [np.asarray(meta["ext_len"], dtype=np.int64)],
                 "blk_maxw": [np.asarray(meta["maxw"], dtype=np.float32)],
             }
         )

@@ -1,0 +1,420 @@
+"""Driver-contract queries: Spark engine vs DuckDB oracle, over the
+testdata ``documents`` / ``embeddings`` tables.
+
+Every entry here exists twice: a Spark implementation (the engine under
+test — full inverted-index path for ft_*, Spark-native text ops for ta_*/
+dd_*/ann_*) and an equivalent ANSI-SQL oracle DuckDB runs on the same
+parquet (ORACLE dict). Column names/types are aligned on both sides; float
+scores are rounded to 6 decimals AFTER ordering/limiting on both sides.
+
+The analysis pipeline used for oracle-checked ft_* queries is the
+``simple`` analyzer (lowercase [a-zA-Z]+ tokens) because it is exactly
+expressible in SQL:  list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+x -> lower(x)).  Standard/porter fidelity is covered by the pytest goldens
+instead (tests/test_analysis.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from montezuma_spark.analysis import ENGLISH_STOP_WORDS
+from montezuma_spark.fixtures import documents_as_web_pages
+from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+from montezuma_spark.search import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    PhraseQuery,
+    RangeQuery,
+    Searcher,
+    TermQuery,
+    WildcardQuery,
+    bool_query,
+)
+
+K1, B = 1.2, 0.75
+
+_INDEX_CACHE: dict = {}
+
+
+def get_index(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _INDEX_CACHE:
+        docs = documents_as_web_pages(spark, sf_dir)
+        cfg = IndexConfig(
+            fields=[FieldConfig("text", "text", "simple")],
+            key_col="url",
+            shard_bits=8,
+            block_size=128,
+        )
+        idx = build_index(spark, docs, cfg)
+        idx.postings = idx.postings.persist()
+        idx.doc_lens = idx.doc_lens.persist()
+        _INDEX_CACHE[sf_dir] = (idx, Searcher(idx))
+    return _INDEX_CACHE[sf_dir]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens_df(spark, sf_dir) -> DataFrame:
+    """(docid, dl, tok) exploded token table, Spark-native (no index)."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    toks = d.select(
+        F.col("doc_id"),
+        F.col("source"),
+        F.col("lang"),
+        F.col("n_chars"),
+        F.expr(
+            "transform(regexp_extract_all(text, '[a-zA-Z]+', 0), x -> lower(x))"
+        ).alias("toks"),
+    ).withColumn(
+        "docid",
+        F.row_number().over(Window.orderBy("doc_id")).cast("long") - 1,
+    )
+    return toks
+
+
+# ===========================================================================
+# Spark-side query callables
+# ===========================================================================
+
+def _topk(searcher, q, k=10):
+    df = searcher.search(q, k=k)
+    return df.select(
+        F.col("docid"), F.round(F.col("score"), 6).alias("score")
+    )
+
+
+def ft_term_topk(spark, sf_dir):
+    _, s = get_index(spark, sf_dir)
+    return _topk(s, TermQuery("text", "spark"))
+
+
+def ft_bool_and_topk(spark, sf_dir):
+    _, s = get_index(spark, sf_dir)
+    return _topk(
+        s, bool_query((TermQuery("text", "spark"), MUST),
+                      (TermQuery("text", "merge"), MUST))
+    )
+
+
+def ft_bool_or_topk(spark, sf_dir):
+    _, s = get_index(spark, sf_dir)
+    return _topk(
+        s,
+        bool_query(
+            (TermQuery("text", "spark"), SHOULD),
+            (TermQuery("text", "vector"), SHOULD),
+            (TermQuery("text", "window"), SHOULD),
+        ),
+    )
+
+
+def ft_bool_not_docs(spark, sf_dir):
+    _, s = get_index(spark, sf_dir)
+    q = bool_query((TermQuery("text", "merge"), MUST),
+                   (TermQuery("text", "spark"), MUST_NOT))
+    out = s._execute(q, None)
+    return out.select("docid", F.round(F.col("score"), 6).alias("score"))
+
+
+def ft_phrase_docs(spark, sf_dir):
+    _, s = get_index(spark, sf_dir)
+    q = PhraseQuery.of("text", ["batch", "batch"])
+    return s._execute(q, None).select("docid")
+
+
+def ft_range_docs(spark, sf_dir):
+    _, s = get_index(spark, sf_dir)
+    q = RangeQuery("text", "key", "merge", True, True)
+    return s._execute(q, None).select("docid")
+
+
+def ft_wildcard_docs(spark, sf_dir):
+    _, s = get_index(spark, sf_dir)
+    q = WildcardQuery("text", "s*")
+    return s._execute(q, None).select("docid")
+
+
+def ft_dictionary(spark, sf_dir):
+    idx, _ = get_index(spark, sf_dir)
+    return idx.term_stats.select(
+        F.col("term"), F.col("df").cast("long"), F.col("cf").cast("long")
+    )
+
+
+def ft_doc_stats(spark, sf_dir):
+    idx, _ = get_index(spark, sf_dir)
+    st = idx.stats["text"]
+    return spark.createDataFrame(
+        [(st["num_docs"], round(st["avgdl"], 6), st["total_tokens"])],
+        "num_docs long, avgdl double, total_tokens long",
+    )
+
+
+def ft_doclens(spark, sf_dir):
+    idx, _ = get_index(spark, sf_dir)
+    return idx.doc_lens.filter(F.col("field") == "text").select(
+        "docid", F.col("dl").cast("long").alias("dl")
+    )
+
+
+def ta_token_count(spark, sf_dir):
+    t = _tokens_df(spark, sf_dir)
+    return (
+        t.groupBy("source")
+        .agg(
+            F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def ta_quality(spark, sf_dir):
+    t = _tokens_df(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    return t.select(
+        "docid",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.size(F.array_intersect("toks", stop_arr))
+            / F.greatest(F.size(F.array_distinct("toks")), F.lit(1)),
+            6,
+        ).alias("stop_distinct_ratio"),
+        F.round(
+            F.col("n_chars") / F.greatest(F.size("toks"), F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def ta_langid(spark, sf_dir):
+    t = _tokens_df(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    hits = F.size(
+        F.filter("toks", lambda x: F.array_contains(stop_arr, x))
+    )
+    ratio = hits / F.greatest(F.size("toks"), F.lit(1))
+    return t.select(
+        "docid",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+def dd_exact_groups(spark, sf_dir):
+    t = _tokens_df(spark, sf_dir)
+    h = F.md5(F.encode(F.array_join(F.slice("toks", 1, 3), " "), "UTF-8"))
+    return (
+        t.select("docid", h.alias("h3"))
+        .groupBy("h3")
+        .agg(F.count("*").cast("long").alias("cnt"),
+             F.min("docid").alias("first_docid"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def dd_minhash_bands(spark, sf_dir):
+    t = _tokens_df(spark, sf_dir)
+    ex = t.select("docid", F.explode("toks").alias("tok")).distinct()
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("tok")), "UTF-8")))
+        .alias(f"m{i}")
+        for i in range(4)
+    ]
+    mh = ex.groupBy("docid").agg(*aggs)
+    band = F.concat(*[F.substring(f"m{i}", 1, 8) for i in range(4)])
+    return mh.select("docid", band.alias("band"))
+
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow["embedding"]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    ex = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "ev"),
+    ).withColumn("qv", F.element_at(qlit, F.col("i") + 1))
+    sums = ex.groupBy("vec_id").agg(
+        F.sum(F.col("ev").cast("double") * F.col("qv").cast("double")).alias("dot"),
+        F.sum(F.col("ev").cast("double") * F.col("ev").cast("double")).alias("nn"),
+    )
+    import math
+
+    qnorm = math.sqrt(sum(x * x for x in qvec))
+    cos = F.col("dot") / (F.sqrt("nn") * F.lit(qnorm))
+    return (
+        sums.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round(F.col("cos"), 5).alias("cos"))
+    )
+
+
+QUERIES = {
+    "ft_term_topk": ft_term_topk,
+    "ft_bool_and_topk": ft_bool_and_topk,
+    "ft_bool_or_topk": ft_bool_or_topk,
+    "ft_bool_not_docs": ft_bool_not_docs,
+    "ft_phrase_docs": ft_phrase_docs,
+    "ft_range_docs": ft_range_docs,
+    "ft_wildcard_docs": ft_wildcard_docs,
+    "ft_dictionary": ft_dictionary,
+    "ft_doc_stats": ft_doc_stats,
+    "ft_doclens": ft_doclens,
+    "ta_token_count": ta_token_count,
+    "ta_quality": ta_quality,
+    "ta_langid": ta_langid,
+    "dd_exact_groups": dd_exact_groups,
+    "dd_minhash_bands": dd_minhash_bands,
+    "ann_cosine_topk": ann_cosine_topk,
+}
+
+# ===========================================================================
+# DuckDB oracle SQL
+# ===========================================================================
+
+_BASE = """
+WITH docs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS docid, doc_id, source,
+         lang, n_chars, text,
+         list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+lens AS (SELECT docid, len(toks) AS dl FROM docs),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+tokens AS (
+  SELECT d.docid, l.dl, unnest(d.toks) AS tok
+  FROM docs d JOIN lens l USING (docid)
+)
+"""
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
+
+
+def _bm25_cte(terms: list[str]) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+, tf AS (
+  SELECT docid, dl, tok, count(*) AS tf
+  FROM tokens WHERE tok IN ({tlist})
+  GROUP BY docid, dl, tok
+),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+  SELECT t.docid, t.tok,
+         ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+         * t.tf * ({K1} + 1)
+         / (t.tf + {K1} * (1 - {B} + {B} * t.dl / (SELECT avgdl FROM stats)))
+         AS s
+  FROM tf t JOIN dfs d USING (tok)
+)
+"""
+
+
+ORACLE = {
+    "ft_term_topk": _BASE + _bm25_cte(["spark"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_bool_and_topk": _BASE + _bm25_cte(["spark", "merge"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores GROUP BY docid HAVING count(*) = 2
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_bool_or_topk": _BASE + _bm25_cte(["spark", "vector", "window"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_bool_not_docs": _BASE + _bm25_cte(["merge"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores
+  WHERE docid NOT IN (SELECT docid FROM tokens WHERE tok = 'spark')
+  GROUP BY docid
+)
+""",
+    "ft_phrase_docs": _BASE + """
+SELECT docid FROM docs
+WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% batch batch %'
+""",
+    "ft_range_docs": _BASE + """
+SELECT DISTINCT docid FROM tokens WHERE tok >= 'key' AND tok <= 'merge'
+""",
+    "ft_wildcard_docs": _BASE + """
+SELECT DISTINCT docid FROM tokens WHERE tok LIKE 's%'
+""",
+    "ft_dictionary": _BASE + """
+SELECT tok AS term, count(DISTINCT docid)::BIGINT AS df,
+       count(*)::BIGINT AS cf
+FROM tokens GROUP BY tok
+""",
+    "ft_doc_stats": _BASE + """
+SELECT (SELECT n FROM stats)::BIGINT AS num_docs,
+       round((SELECT avgdl FROM stats), 6) AS avgdl,
+       (SELECT sum(dl) FROM lens)::BIGINT AS total_tokens
+""",
+    "ft_doclens": _BASE + """
+SELECT docid, dl::BIGINT AS dl FROM lens
+""",
+    "ta_token_count": _BASE + """
+SELECT d.source, sum(l.dl)::BIGINT AS n_tokens, count(*)::BIGINT AS n_docs
+FROM docs d JOIN lens l USING (docid) GROUP BY d.source
+""",
+    "ta_quality": _BASE + f"""
+SELECT d.docid, l.dl::BIGINT AS n_tokens, d.n_chars::BIGINT AS n_chars,
+  round(len(list_intersect(list_distinct(d.toks),
+        {sorted(ENGLISH_STOP_WORDS)}))::DOUBLE
+        / greatest(len(list_distinct(d.toks)), 1), 6) AS stop_distinct_ratio,
+  round(d.n_chars::DOUBLE / greatest(l.dl, 1), 6) AS chars_per_token
+FROM docs d JOIN lens l USING (docid)
+""",
+    "ta_langid": _BASE + f"""
+SELECT d.docid,
+  CASE WHEN (SELECT count(*) FROM tokens t
+             WHERE t.docid = d.docid AND t.tok IN {_STOP_SQL})::DOUBLE
+            / greatest(l.dl, 1) >= 0.05
+       THEN 'en' ELSE 'und' END AS pred_lang
+FROM docs d JOIN lens l USING (docid)
+""",
+    "dd_exact_groups": _BASE + """
+SELECT h3, count(*)::BIGINT AS cnt, min(docid) AS first_docid FROM (
+  SELECT docid, md5(array_to_string(toks[1:3], ' ')) AS h3 FROM docs
+) GROUP BY h3 HAVING count(*) > 1
+""",
+    "dd_minhash_bands": _BASE + """
+SELECT docid,
+  substr(min(md5('0:' || tok)), 1, 8) || substr(min(md5('1:' || tok)), 1, 8) ||
+  substr(min(md5('2:' || tok)), 1, 8) || substr(min(md5('3:' || tok)), 1, 8)
+  AS band
+FROM (SELECT DISTINCT docid, tok FROM tokens) GROUP BY docid
+""",
+    "ann_cosine_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+expl AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS ev, unnest(q.qe)::DOUBLE AS qv
+  FROM embeddings e, q
+),
+sums AS (
+  SELECT vec_id, sum(ev * qv) AS dot, sum(ev * ev) AS nn FROM expl
+  GROUP BY vec_id
+),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM (
+  SELECT unnest(qe)::DOUBLE AS qv FROM q))
+SELECT vec_id, round(cos, 5) AS cos FROM (
+  SELECT vec_id, dot / (sqrt(nn) * (SELECT qnorm FROM qn)) AS cos
+  FROM sums WHERE vec_id != 0
+  ORDER BY cos DESC, vec_id ASC LIMIT 10
+)
+""",
+}

@@ -76,13 +76,13 @@ class ShardEval:
     """Evaluates a compiled plan against one shard's postings + doc lens."""
 
     def __init__(self, plan: CompiledPlan, postings_pdf: pd.DataFrame,
-                 lens_pdf: pd.DataFrame):
+                 lens_pdf: pd.DataFrame | None = None):
         self.plan = plan
         self.cells = {}
         for r in postings_pdf.itertuples(index=False):
             self.cells[(r.field, r.term)] = r
         self.lens = {}
-        if len(lens_pdf):
+        if lens_pdf is not None and len(lens_pdf):
             for f, grp in lens_pdf.groupby("field"):
                 d = grp["docid"].to_numpy(dtype=np.int64)
                 order = np.argsort(d)
@@ -107,6 +107,7 @@ class ShardEval:
             "n": list(row.blk_n),
             "off": list(row.blk_off),
             "codes_len": list(row.blk_codes_len),
+            "ext_len": list(row.blk_ext_len),
             "maxw": list(row.blk_maxw),
         }
 
@@ -129,22 +130,22 @@ class ShardEval:
         row = self.cells.get((field, term))
         if row is None:
             if with_block_info:
-                return _EMPTY[0], _EMPTY[0], None, None
-            return _EMPTY[0], _EMPTY[0]
+                return _EMPTY[0], _EMPTY[0], _EMPTY[0], None, None
+            return _EMPTY[0], _EMPTY[0], _EMPTY[0]
         meta = self._meta(row)
         sel = self._blocks_for(meta, candidates)
         blocks = sel if sel is not None else np.arange(len(meta["n"]))
-        docids, tfs = decode_cell(bytes(row.postings), meta, blocks=blocks)
+        docids, tfs, dls = decode_cell(bytes(row.postings), meta, blocks=blocks)
         if with_block_info:
             ns = np.asarray(meta["n"], dtype=np.int64)[blocks]
             block_of = np.repeat(blocks, ns)
-            return docids, tfs, block_of, (row, meta, blocks)
-        return docids, tfs
+            return docids, tfs, dls, block_of, (row, meta, blocks)
+        return docids, tfs, dls
 
-    def _bm25(self, field, term, docids, tfs, boost) -> np.ndarray:
+    def _bm25(self, field, term, docids, tfs, dls, boost) -> np.ndarray:
         p = self.plan
         idf = p.idf.get((field, term), 0.0)
-        dl = self._dl(field, docids).astype(np.float64)
+        dl = dls.astype(np.float64)
         avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
         tf = tfs.astype(np.float64)
         return (
@@ -181,15 +182,16 @@ class ShardEval:
     def eval(self, node: Query, candidates: np.ndarray | None = None):
         """→ (sorted docids, scores). candidates (sorted) restricts output."""
         if isinstance(node, TermQuery):
-            d, t = self._decode(node.field, node.term, candidates)
-            s = self._bm25(node.field, node.term, d, t, node.boost)
+            d, t, dl = self._decode(node.field, node.term, candidates)
+            s = self._bm25(node.field, node.term, d, t, dl, node.boost)
             return self._restrict(d, s, candidates)
         if isinstance(node, MultiTermGroup):
             parts = []
             for term in node.terms:
-                d, t = self._decode(node.field, term, candidates)
+                d, t, dl = self._decode(node.field, term, candidates)
                 d, s = self._restrict(
-                    d, self._bm25(node.field, term, d, t, node.boost), candidates
+                    d, self._bm25(node.field, term, d, t, dl, node.boost),
+                    candidates,
                 )
                 parts.append((d, s))
             return self._union_sum(parts)
@@ -280,7 +282,7 @@ class ShardEval:
     # ---------------------------------------------------------------- phrase
     def _positions_for(self, field, term, wanted: np.ndarray):
         """positions of ``wanted`` docids for (field, term) → list of arrays."""
-        d_all, t_all, block_of, handle = self._decode(
+        d_all, t_all, _dls, block_of, handle = self._decode(
             field, term, wanted, with_block_info=True
         )
         if handle is None or len(d_all) == 0:
@@ -316,10 +318,11 @@ class ShardEval:
             key=lambda i: self.plan.df_est.get((node.field, node.terms[i]), 0),
         )
         docs = candidates
+        doc_dls = None
         for i in terms:
-            d, _ = self._decode(node.field, node.terms[i], docs)
-            d, _unused = self._restrict(d, np.zeros(len(d)), docs)
-            docs = d
+            d, _, dl = self._decode(node.field, node.terms[i], docs)
+            d, dl = self._restrict(d, dl.astype(np.float64), docs)
+            docs, doc_dls = d, dl
             if len(docs) == 0:
                 return _EMPTY
         # 2. positions per term for surviving docs, shifted by offsets
@@ -348,7 +351,7 @@ class ShardEval:
         # (idf-phrase analog: tc-similarity.lisp:36-38)
         p = self.plan
         idf = sum(p.idf.get((node.field, t), 0.0) for t in set(node.terms))
-        dl = self._dl(node.field, docs).astype(np.float64)
+        dl = doc_dls[keep]
         avgdl = max(p.stats.get(node.field, {}).get("avgdl", 1.0), 1e-9)
         tf = freqs.astype(np.float64)
         score = (
@@ -379,21 +382,61 @@ def _sloppy_freq(shifted: list[np.ndarray], slop: int) -> int:
             return count
 
 
+def _finish(plan: CompiledPlan, docids, scores) -> pd.DataFrame:
+    if len(docids) == 0:
+        return pd.DataFrame({"docid": [], "score": []}).astype(
+            {"docid": "int64", "score": "float64"}
+        )
+    if plan.k is not None and len(docids) > plan.k:
+        # tie-break (score desc, docid asc) — hit-queue.lisp:3-9 inverted
+        order = np.lexsort((docids, -scores))[: plan.k]
+        docids, scores = docids[order], scores[order]
+    return pd.DataFrame({"docid": docids, "score": scores})
+
+
 def make_kernel(plan: CompiledPlan):
-    """Build the cogrouped applyInPandas function: (key, postings, lens) →
-    (docid, score) rows, per-shard top-k if plan.k is set."""
+    """Cogrouped applyInPandas fn: (key, postings, lens) → (docid, score)
+    rows, per-shard top-k if plan.k is set. Needed only when the plan
+    contains MatchAll (doc universe comes from doc_lens)."""
 
     def kernel(key, postings_pdf: pd.DataFrame, lens_pdf: pd.DataFrame):
         ev = ShardEval(plan, postings_pdf, lens_pdf)
-        docids, scores = ev.eval(plan.query)
-        if len(docids) == 0:
-            return pd.DataFrame({"docid": [], "score": []}).astype(
-                {"docid": "int64", "score": "float64"}
-            )
-        if plan.k is not None and len(docids) > plan.k:
-            # tie-break (score desc, docid asc) — hit-queue.lisp:3-9 inverted
-            order = np.lexsort((docids, -scores))[: plan.k]
-            docids, scores = docids[order], scores[order]
-        return pd.DataFrame({"docid": docids, "score": scores})
+        return _finish(plan, *ev.eval(plan.query))
 
     return kernel
+
+
+def make_kernel_postings_only(plan: CompiledPlan):
+    """groupBy(shard).applyInPandas fn — postings cells are self-contained
+    (dl stream in-cell), so ordinary queries never touch doc_lens."""
+
+    def kernel(key, postings_pdf: pd.DataFrame):
+        ev = ShardEval(plan, postings_pdf, None)
+        return _finish(plan, *ev.eval(plan.query))
+
+    return kernel
+
+
+def eval_local(plan: CompiledPlan, postings_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side evaluation over collected postings rows (the fast path
+    for small matched sets): group by shard, evaluate, global top-k."""
+    parts = []
+    if len(postings_pdf):
+        for _, grp in postings_pdf.groupby("shard", sort=True):
+            ev = ShardEval(plan, grp, None)
+            d, s = ev.eval(plan.query)
+            if len(d):
+                parts.append((d, s))
+    if not parts:
+        return pd.DataFrame({"docid": [], "score": []}).astype(
+            {"docid": "int64", "score": "float64"}
+        )
+    docids = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    if plan.k is not None and len(docids) > plan.k:
+        order = np.lexsort((docids, -scores))[: plan.k]
+        docids, scores = docids[order], scores[order]
+    else:
+        order = np.lexsort((docids, -scores))
+        docids, scores = docids[order], scores[order]
+    return pd.DataFrame({"docid": docids, "score": scores})

@@ -39,10 +39,17 @@ from montezuma_spark.search.ast import (
 from montezuma_spark.search.kernel import (
     CompiledPlan,
     MultiTermGroup,
+    eval_local,
     make_kernel,
+    make_kernel_postings_only,
 )
 
 RESULT_SCHEMA = "docid long, score double"
+
+# matched-postings budget below which the driver evaluates locally
+# (collect a handful of binary cells instead of scheduling a Spark job —
+# the reference's whole-query path was always "local"; ours picks by size)
+FAST_PATH_MAX_POSTINGS = 2_000_000
 
 
 def bm25_idf(df: int, n: int) -> float:
@@ -164,7 +171,14 @@ class Searcher:
         walk(q)
         return f
 
-    def _execute(self, query: Query, k: int | None) -> DataFrame:
+    def _has_matchall(self, q: Query) -> bool:
+        if isinstance(q, MatchAllQuery):
+            return True
+        if isinstance(q, BooleanQuery):
+            return any(self._has_matchall(c.query) for c in q.clauses)
+        return False
+
+    def _compile(self, query: Query, k: int | None):
         resolved, idf, df_est, need_pos = self._resolve(query)
         plan = CompiledPlan(
             query=resolved,
@@ -176,8 +190,12 @@ class Searcher:
             k=k,
             need_positions=need_pos,
         )
+        return plan, resolved, need_pos
+
+    def _filtered_postings(self, resolved: Query, need_pos: bool):
+        """Postings scan restricted to the query's (field, term) set, with
+        the positions sidecar column-pruned away for non-phrase queries."""
         needed = self._needed_terms(resolved)
-        fields = self._fields_in(resolved)
         cond = None
         for f, terms in needed.items():
             c = (F.col("field") == f) & F.col("term").isin(sorted(terms))
@@ -185,59 +203,105 @@ class Searcher:
         cols = [
             "field", "term", "shard", "df", "cf", "postings",
             "blk_first", "blk_last", "blk_n", "blk_off", "blk_codes_len",
-            "blk_maxw",
+            "blk_ext_len", "blk_maxw",
         ]
         if need_pos:
             cols += ["positions", "pos_off"]
-        else:
-            # column pruning: never read the positions sidecar for
-            # non-phrase queries (the .prx/.frq separation pays off here)
-            pass
         postings = self.index.postings
-        if cond is not None:
-            postings = postings.filter(cond)
-        else:
-            postings = postings.filter(F.lit(False))
+        postings = postings.filter(cond) if cond is not None else postings.filter(
+            F.lit(False)
+        )
         postings = postings.select(*cols)
         if not need_pos:
             postings = postings.withColumn(
                 "positions", F.lit(b"")
             ).withColumn("pos_off", F.array().cast("array<long>"))
-        lens = self.index.doc_lens.filter(
-            F.col("field").isin(sorted(fields)) if fields else F.lit(False)
+        return postings, needed
+
+    def _est_matched_postings(self, needed: dict, df_est: dict) -> int:
+        return sum(
+            df_est.get((f, t), 0) for f, terms in needed.items() for t in terms
         )
-        kernel = make_kernel(plan)
-        result = (
-            postings.groupBy("shard")
-            .cogroup(lens.groupBy("shard"))
-            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+
+    def _execute(self, query: Query, k: int | None) -> DataFrame:
+        """Distributed execution → DataFrame(docid, score)."""
+        plan, resolved, need_pos = self._compile(query, k)
+        postings, needed = self._filtered_postings(resolved, need_pos)
+        if self._has_matchall(resolved):
+            fields = self._fields_in(resolved)
+            lens = self.index.doc_lens.filter(
+                F.col("field").isin(sorted(fields)) if fields else F.lit(False)
+            )
+            kernel = make_kernel(plan)
+            return (
+                postings.groupBy("shard")
+                .cogroup(lens.groupBy("shard"))
+                .applyInPandas(kernel, schema=RESULT_SCHEMA)
+            )
+        kernel = make_kernel_postings_only(plan)
+        return postings.groupBy("shard").applyInPandas(
+            kernel, schema=RESULT_SCHEMA
         )
-        return result
+
+    def _execute_local(self, query: Query, k: int | None):
+        """Driver-side fast path → pandas DataFrame(docid, score), or None
+        if not eligible (MatchAll present or matched postings too large)."""
+        plan, resolved, need_pos = self._compile(query, k)
+        if self._has_matchall(resolved):
+            return None
+        needed = self._needed_terms(resolved)
+        if self._est_matched_postings(needed, plan.df_est) > FAST_PATH_MAX_POSTINGS:
+            return None
+        postings, _ = self._filtered_postings(resolved, need_pos)
+        return eval_local(plan, postings.toPandas())
 
     # ------------------------------------------------------------------- API
     def search(self, query: Query, k: int | None = 10) -> DataFrame:
         """Top-k (docid, score, key), tie-break (score desc, docid asc)."""
-        result = self._execute(query, k)
+        local = self._execute_local(query, k)
+        if local is not None:
+            if k is not None:
+                local = local.head(k)
+            result = self.index.spark.createDataFrame(
+                local, schema=RESULT_SCHEMA
+            )
+        else:
+            result = self._execute(query, k)
+            if k is not None:
+                result = result.orderBy(
+                    F.desc("score"), F.asc("docid")
+                ).limit(k)
+        # every docid exists in doc_map → inner join; broadcast the k-row
+        # result side so the docid→url lookup never shuffles doc_map
         if k is not None:
-            result = result.orderBy(F.desc("score"), F.asc("docid")).limit(k)
-        out = result.join(
-            self.index.doc_map.withColumnRenamed("key", "key"), "docid", "left"
-        )
-        if k is not None:
+            out = F.broadcast(result).join(self.index.doc_map, "docid", "inner")
             out = out.orderBy(F.desc("score"), F.asc("docid"))
+        else:
+            out = result.join(self.index.doc_map, "docid", "inner")
         return out.select("docid", "key", "score")
 
     def top_docs(self, query: Query, k: int = 10) -> list[tuple[int, float]]:
+        local = self._execute_local(query, k)
+        if local is not None:
+            return list(
+                local.head(k).itertuples(index=False, name=None)
+            )
         return [
             (r["docid"], r["score"]) for r in self.search(query, k).collect()
         ]
 
     def matching_docids(self, query: Query) -> list[int]:
         """All matching docids, sorted — the golden doc-set surface."""
+        local = self._execute_local(query, None)
+        if local is not None:
+            return sorted(int(d) for d in local["docid"])
         rows = self._execute(query, None).select("docid").collect()
         return sorted(r["docid"] for r in rows)
 
     def count(self, query: Query) -> int:
+        local = self._execute_local(query, None)
+        if local is not None:
+            return len(local)
         return self._execute(query, None).count()
 
 

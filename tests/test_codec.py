@@ -63,9 +63,10 @@ def test_cell_roundtrip(entries, block):
         docids = np.empty(0, dtype=np.int64)
         tfs = np.empty(0, dtype=np.int64)
     cell, meta = encode_cell(docids, tfs, block_size=block)
-    d, t = decode_cell(cell, meta)
+    d, t, dl = decode_cell(cell, meta)
     np.testing.assert_array_equal(d, docids)
     np.testing.assert_array_equal(t, tfs)
+    assert len(dl) == len(docids)
 
 
 def test_cell_partial_block_decode():
@@ -75,7 +76,7 @@ def test_cell_partial_block_decode():
     nblocks = len(meta["n"])
     assert nblocks == int(np.ceil(len(docids) / 64))
     # decode only blocks 1 and 3
-    d, t = decode_cell(cell, meta, blocks=[1, 3])
+    d, t, _dl = decode_cell(cell, meta, blocks=[1, 3])
     expect_idx = np.r_[64:128, 192:256]
     np.testing.assert_array_equal(d, docids[expect_idx])
     np.testing.assert_array_equal(t, tfs[expect_idx])
@@ -109,8 +110,8 @@ def test_positions_roundtrip():
     cell, meta = encode_cell(docids, tfs, block_size=50)
     pos_cell, pos_off = encode_positions(tfs, flat, block_size=50)
     # decode positions of blocks 0 and 2
-    _, t0 = decode_cell(cell, meta, blocks=[0])
-    _, t2 = decode_cell(cell, meta, blocks=[2])
+    _, t0, _dl0 = decode_cell(cell, meta, blocks=[0])
+    _, t2, _dl2 = decode_cell(cell, meta, blocks=[2])
     out = decode_positions(pos_cell, pos_off, meta, {0: t0, 2: t2})
     b0 = np.concatenate(pos_lists[0:50])
     b2 = np.concatenate(pos_lists[100:150])
@@ -121,5 +122,5 @@ def test_positions_roundtrip():
 def test_empty_cell():
     cell, meta = encode_cell(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     assert cell == b""
-    d, t = decode_cell(cell, meta)
-    assert len(d) == 0 and len(t) == 0
+    d, t, dl = decode_cell(cell, meta)
+    assert len(d) == 0 and len(t) == 0 and len(dl) == 0

@@ -57,10 +57,12 @@ def test_postings_word2(search_index):
             "n": list(r["blk_n"]),
             "off": list(r["blk_off"]),
             "codes_len": list(r["blk_codes_len"]),
+            "ext_len": list(r["blk_ext_len"]),
             "maxw": list(r["blk_maxw"]),
         }
-        d, t = decode_cell(bytes(r["postings"]), meta)
+        d, t, dl = decode_cell(bytes(r["postings"]), meta)
         assert (t == 1).all()
+        assert (dl > 0).all()
         docids.extend(d.tolist())
     assert sorted(docids) == [1, 4, 8]  # tc-index-searcher.lisp:67-69
 
@@ -79,9 +81,10 @@ def test_positions_roundtrip_via_index(search_index):
             "n": list(r["blk_n"]),
             "off": list(r["blk_off"]),
             "codes_len": list(r["blk_codes_len"]),
+            "ext_len": list(r["blk_ext_len"]),
             "maxw": list(r["blk_maxw"]),
         }
-        d, t = decode_cell(bytes(r["postings"]), meta)
+        d, t, _dl = decode_cell(bytes(r["postings"]), meta)
         block_tfs = {}
         # split tfs by block
         i = 0
