@@ -52,6 +52,10 @@ INVERTED_SCHEMA = (
     "positions array<int>"
 )
 
+# terms are hash-bucketed for the encode shuffle: tasks = shards × buckets,
+# each bucket encodes many terms in one pandas batch
+ENCODE_BUCKETS = 128
+
 POSTINGS_SCHEMA = (
     "field string, term string, shard long, df long, cf long, "
     "postings binary, positions binary, pos_off array<long>, "
@@ -154,45 +158,71 @@ def _invert_iter(
 
 def _make_encoder(avgdl_by_field: dict, cfg_block: int, k1: float, b: float,
                   store_positions: dict):
+    """Encoder for groupBy(field, shard, tbucket) — each group carries MANY
+    terms (hash-bucketed), amortizing applyInPandas overhead across a
+    bucket instead of paying it per term."""
+
     def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        field_name, term, shard = key
-        order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-        docids = pdf["docid"].to_numpy(dtype=np.int64)[order]
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
-        dls = pdf["dl"].to_numpy(dtype=np.int64)[order]
+        field_name = key[0]
+        shard = key[1]
         avgdl = avgdl_by_field.get(field_name, 1.0)
-        cell, meta = encode_cell(
-            docids, tfs, dls=dls, avgdl=avgdl, block_size=cfg_block, k1=k1, b=b
-        )
-        if store_positions.get(field_name, True):
-            plists = pdf["positions"].to_numpy(dtype=object)[order]
-            flat = (
-                np.concatenate(plists).astype(np.int64)
-                if len(plists)
-                else np.empty(0, dtype=np.int64)
+        with_pos = store_positions.get(field_name, True)
+        terms_arr = pdf["term"].to_numpy(dtype=object)
+        docid_arr = pdf["docid"].to_numpy(dtype=np.int64)
+        tf_arr = pdf["tf"].to_numpy(dtype=np.int64)
+        dl_arr = pdf["dl"].to_numpy(dtype=np.int64)
+        term_codes, term_inv = np.unique(terms_arr, return_inverse=True)
+        order = np.lexsort((docid_arr, term_inv))
+        ti = term_inv[order]
+        starts = np.flatnonzero(np.diff(ti, prepend=-1))
+        bounds = np.append(starts, len(ti))
+        pos_arr = pdf["positions"].to_numpy(dtype=object) if with_pos else None
+        out = {c: [] for c in (
+            "field", "term", "shard", "df", "cf", "postings", "positions",
+            "pos_off", "blk_first", "blk_last", "blk_n", "blk_off",
+            "blk_codes_len", "blk_ext_len", "blk_maxw",
+        )}
+        for gi in range(len(starts)):
+            sl = order[bounds[gi] : bounds[gi + 1]]
+            docids = docid_arr[sl]
+            tfs = tf_arr[sl]
+            dls = dl_arr[sl]
+            cell, meta = encode_cell(
+                docids, tfs, dls=dls, avgdl=avgdl, block_size=cfg_block,
+                k1=k1, b=b,
             )
-            pos_cell, pos_off = encode_positions(tfs, flat, block_size=cfg_block)
-        else:
-            pos_cell, pos_off = b"", []
-        return pd.DataFrame(
-            {
-                "field": [field_name],
-                "term": [term],
-                "shard": [shard],
-                "df": [len(docids)],
-                "cf": [int(tfs.sum())],
-                "postings": [cell],
-                "positions": [pos_cell],
-                "pos_off": [np.asarray(pos_off, dtype=np.int64)],
-                "blk_first": [np.asarray(meta["first"], dtype=np.int64)],
-                "blk_last": [np.asarray(meta["last"], dtype=np.int64)],
-                "blk_n": [np.asarray(meta["n"], dtype=np.int32)],
-                "blk_off": [np.asarray(meta["off"], dtype=np.int64)],
-                "blk_codes_len": [np.asarray(meta["codes_len"], dtype=np.int64)],
-                "blk_ext_len": [np.asarray(meta["ext_len"], dtype=np.int64)],
-                "blk_maxw": [np.asarray(meta["maxw"], dtype=np.float32)],
-            }
-        )
+            if with_pos:
+                plists = pos_arr[sl]
+                flat = (
+                    np.concatenate(plists).astype(np.int64)
+                    if len(plists)
+                    else np.empty(0, dtype=np.int64)
+                )
+                pos_cell, pos_off = encode_positions(
+                    tfs, flat, block_size=cfg_block
+                )
+            else:
+                pos_cell, pos_off = b"", []
+            out["field"].append(field_name)
+            out["term"].append(term_codes[gi])
+            out["shard"].append(shard)
+            out["df"].append(len(docids))
+            out["cf"].append(int(tfs.sum()))
+            out["postings"].append(cell)
+            out["positions"].append(pos_cell)
+            out["pos_off"].append(np.asarray(pos_off, dtype=np.int64))
+            out["blk_first"].append(np.asarray(meta["first"], dtype=np.int64))
+            out["blk_last"].append(np.asarray(meta["last"], dtype=np.int64))
+            out["blk_n"].append(np.asarray(meta["n"], dtype=np.int32))
+            out["blk_off"].append(np.asarray(meta["off"], dtype=np.int64))
+            out["blk_codes_len"].append(
+                np.asarray(meta["codes_len"], dtype=np.int64)
+            )
+            out["blk_ext_len"].append(
+                np.asarray(meta["ext_len"], dtype=np.int64)
+            )
+            out["blk_maxw"].append(np.asarray(meta["maxw"], dtype=np.float32))
+        return pd.DataFrame(out)
 
     return encode_group
 
@@ -271,6 +301,7 @@ def build_index(
     config: IndexConfig | None = None,
     index_dir: str | None = None,
     resume: bool = False,
+    docid_base: int = 0,
 ) -> Index:
     """Build the inverted index over ``docs``.
 
@@ -280,7 +311,9 @@ def build_index(
     config = config or IndexConfig()
     t0 = time.time()
     nparts = config.num_partitions or spark.sparkContext.defaultParallelism
-    src_cols = [config.key_col] + sorted({f.column for f in config.fields})
+    src_cols = [config.key_col] + sorted(
+        {f.column for f in config.fields} | set(config.store_cols)
+    )
     ranged = (
         docs.select(F.col(config.key_col).alias("key"),
                     *[c for c in src_cols if c != config.key_col])
@@ -314,11 +347,11 @@ def build_index(
         .collect()
     )
     offsets: dict[int, int] = {}
-    acc = 0
+    acc = docid_base  # segment base for incremental/streaming builds
     for row in pid_counts:
         offsets[row["pid"]] = acc
         acc += row["n"]
-    total_docs = acc
+    total_docs = acc - docid_base
     offset_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
     )
@@ -331,9 +364,13 @@ def build_index(
     )
     with_docid = with_docid.persist(StorageLevel.MEMORY_AND_DISK)
 
-    doc_map = (
-        with_docid.select("docid", "key").distinct()
-    )
+    doc_map = with_docid.select("docid", "key").distinct()
+    if config.store_cols:
+        # stored fields (the .fdt/.fdx analog, src/index/fields-io.lisp):
+        # keep selected source columns alongside the docid for result
+        # hydration and sort-by-stored-field
+        stored = ranged.select("key", *config.store_cols)
+        doc_map = doc_map.join(stored, "key", "left")
     doc_lens = with_docid.select(
         "field",
         "docid",
@@ -368,8 +405,15 @@ def build_index(
     encoder = _make_encoder(
         avgdl_by_field, config.block_size, config.k1, config.b, store_positions
     )
-    postings = inverted.groupBy("field", "term", "shard").applyInPandas(
-        encoder, schema=POSTINGS_SCHEMA
+    # hash-bucket terms so each shuffle group encodes MANY posting lists
+    # (amortizes per-group pandas overhead); (field, term, shard) rows stay
+    # unique because a term maps to exactly one bucket
+    postings = (
+        inverted.withColumn(
+            "tbucket", F.pmod(F.xxhash64("term"), F.lit(ENCODE_BUCKETS))
+        )
+        .groupBy("field", "shard", "tbucket")
+        .applyInPandas(encoder, schema=POSTINGS_SCHEMA)
     )
 
     term_stats = postings.groupBy("field", "term").agg(

@@ -33,6 +33,8 @@ class IndexConfig:
     num_partitions: int | None = None  # build parallelism (None → spark default)
     max_field_length: int = 10_000     # token truncation per field
                                        # (ref: index-writer.lisp:10)
+    store_cols: tuple = ()             # source columns kept in doc_map
+                                       # (stored fields — fields-io.lisp analog)
 
     def to_json(self) -> dict:
         return {
@@ -51,6 +53,7 @@ class IndexConfig:
             "k1": self.k1,
             "b": self.b,
             "max_field_length": self.max_field_length,
+            "store_cols": list(self.store_cols),
         }
 
     @staticmethod
@@ -66,4 +69,5 @@ class IndexConfig:
             k1=d["k1"],
             b=d["b"],
             max_field_length=d.get("max_field_length", 10_000),
+            store_cols=tuple(d.get("store_cols", ())),
         )

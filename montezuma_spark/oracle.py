@@ -141,11 +141,28 @@ class OracleIndex:
         return out
 
     def _eval_bool(self, q: BooleanQuery) -> dict[int, float]:
+        from montezuma_spark.search.ast import FILTER
+
         musts = [c.query for c in q.clauses if c.occur == MUST]
+        filters = [c.query for c in q.clauses if c.occur == FILTER]
         shoulds = [c.query for c in q.clauses if c.occur == SHOULD]
         nots = [c.query for c in q.clauses if c.occur == MUST_NOT]
-        if not musts and not shoulds:
+        if not musts and not shoulds and not filters:
             return {}
+        filter_docs: set | None = None
+        for fq in filters:
+            fd = set(self.eval(fq))
+            filter_docs = fd if filter_docs is None else (filter_docs & fd)
+        if not musts and not shoulds:
+            out = {d: 0.0 for d in filter_docs or ()}
+            for nq in nots:
+                for d in self.eval(nq):
+                    out.pop(d, None)
+            return (
+                {d: s * q.boost for d, s in out.items()}
+                if q.boost != 1.0
+                else out
+            )
         scores: dict[int, float] = defaultdict(float)
         if musts:
             sets = []
@@ -168,6 +185,8 @@ class OracleIndex:
                 for d, s in self.eval(sq).items():
                     scores[d] += s
             scores = dict(scores)
+        if filter_docs is not None:
+            scores = {d: s for d, s in scores.items() if d in filter_docs}
         for nq in nots:
             for d in self.eval(nq):
                 scores.pop(d, None)

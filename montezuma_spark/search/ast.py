@@ -23,6 +23,10 @@ from dataclasses import dataclass, field as dc_field, replace
 MUST = "MUST"
 SHOULD = "SHOULD"
 MUST_NOT = "MUST_NOT"
+# FILTER restricts matches like MUST but contributes no score — the
+# boolean-occur analog of the reference's search :filter option
+# (src/search/filter.lisp:1-8, applied index-searcher.lisp:73-90).
+FILTER = "FILTER"
 
 
 @dataclass(frozen=True)
@@ -124,8 +128,8 @@ def _rewrite_once(q: Query) -> Query:
             BooleanClause(_rewrite_once(c.query), c.occur) for c in q.clauses
         )
         q = BooleanQuery(new_clauses, q.boost)
-        # single non-prohibited clause → unwrap with boost folded
-        if len(q.clauses) == 1 and q.clauses[0].occur != MUST_NOT:
+        # single non-prohibited, scoring clause → unwrap with boost folded
+        if len(q.clauses) == 1 and q.clauses[0].occur in (MUST, SHOULD):
             return _scale_boost(q.clauses[0].query, q.boost)
         return q
     return q

@@ -35,6 +35,7 @@ import pandas as pd
 
 from montezuma_spark.codec.postings import decode_cell, decode_positions
 from montezuma_spark.search.ast import (
+    FILTER,
     MUST,
     MUST_NOT,
     SHOULD,
@@ -78,9 +79,17 @@ class ShardEval:
     def __init__(self, plan: CompiledPlan, postings_pdf: pd.DataFrame,
                  lens_pdf: pd.DataFrame | None = None):
         self.plan = plan
-        self.cells = {}
+        # (field, term) → list of cell rows. Normally one row per key; a
+        # multi-segment (streaming) index contributes one row per segment,
+        # with disjoint ascending docid ranges (segment bases are allocated
+        # monotonically) — merged at decode time by first-docid order, the
+        # multi-term-doc-enum analog (src/index/multi-reader.lisp:225-318).
+        self.cells: dict = {}
         for r in postings_pdf.itertuples(index=False):
-            self.cells[(r.field, r.term)] = r
+            self.cells.setdefault((r.field, r.term), []).append(r)
+        for rows in self.cells.values():
+            if len(rows) > 1:
+                rows.sort(key=lambda r: r.blk_first[0] if len(r.blk_first) else 0)
         self.lens = {}
         if lens_pdf is not None and len(lens_pdf):
             for f, grp in lens_pdf.groupby("field"):
@@ -126,12 +135,7 @@ class ShardEval:
         sel = np.flatnonzero(needed)
         return sel if len(sel) < nb else None
 
-    def _decode(self, field, term, candidates=None, with_block_info=False):
-        row = self.cells.get((field, term))
-        if row is None:
-            if with_block_info:
-                return _EMPTY[0], _EMPTY[0], _EMPTY[0], None, None
-            return _EMPTY[0], _EMPTY[0], _EMPTY[0]
+    def _decode_row(self, row, candidates=None, with_block_info=False):
         meta = self._meta(row)
         sel = self._blocks_for(meta, candidates)
         blocks = sel if sel is not None else np.arange(len(meta["n"]))
@@ -141,6 +145,19 @@ class ShardEval:
             block_of = np.repeat(blocks, ns)
             return docids, tfs, dls, block_of, (row, meta, blocks)
         return docids, tfs, dls
+
+    def _decode(self, field, term, candidates=None):
+        rows = self.cells.get((field, term))
+        if not rows:
+            return _EMPTY[0], _EMPTY[0], _EMPTY[0]
+        if len(rows) == 1:
+            return self._decode_row(rows[0], candidates)
+        parts = [self._decode_row(r, candidates) for r in rows]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
 
     def _bm25(self, field, term, docids, tfs, dls, boost) -> np.ndarray:
         p = self.plan
@@ -213,13 +230,28 @@ class ShardEval:
 
     def _eval_bool(self, node: BooleanQuery, candidates):
         musts = [c.query for c in node.clauses if c.occur == MUST]
+        filters = [c.query for c in node.clauses if c.occur == FILTER]
         shoulds = [c.query for c in node.clauses if c.occur == SHOULD]
         nots = [c.query for c in node.clauses if c.occur == MUST_NOT]
-        if not musts and not shoulds:
+        if not musts and not shoulds and not filters:
             return _EMPTY  # pure negation matches nothing
             # (ref: boolean-scorer.lisp — no required/optional scorers)
+        if not musts and not shoulds:
+            # filters only: match set with score 0 (constant-score filter)
+            docs = candidates
+            for fq in sorted(filters, key=self._est_df):
+                docs, _ = self.eval(fq, docs)
+                if len(docs) == 0:
+                    return _EMPTY
+            result = (docs, np.zeros(len(docs), dtype=np.float64))
+            return self._apply_nots(result, nots, node.boost)
         contributions = []
         docs = candidates
+        # scoreless FILTER clauses restrict first (cheapest pruning)
+        for fq in sorted(filters, key=self._est_df):
+            docs, _ = self.eval(fq, docs)
+            if len(docs) == 0:
+                return _EMPTY
         if musts:
             # smallest-df first — conjunction-scorer's sort-by-current-doc
             # leapfrog, at plan level (conjunction-scorer.lisp:45-56)
@@ -243,7 +275,10 @@ class ShardEval:
                     score[idx] += s
             result = (base, score)
         else:
-            result = self._union_sum([self.eval(sq, candidates) for sq in shoulds])
+            result = self._union_sum([self.eval(sq, docs) for sq in shoulds])
+        return self._apply_nots(result, nots, node.boost)
+
+    def _apply_nots(self, result, nots, boost):
         if nots and len(result[0]):
             base, score = result
             excluded = [self.eval(nq, base)[0] for nq in nots]
@@ -256,8 +291,8 @@ class ShardEval:
                 if len(exc):
                     mask = ~np.isin(base, exc, assume_unique=False)
                     result = (base[mask], score[mask])
-        if node.boost != 1.0:
-            result = (result[0], result[1] * node.boost)
+        if boost != 1.0:
+            result = (result[0], result[1] * boost)
         return result
 
     def _est_df(self, q: Query) -> float:
@@ -271,7 +306,11 @@ class ShardEval:
                 (dfm.get((q.field, t), 0) for t in q.terms), default=0
             )
         if isinstance(q, BooleanQuery):
-            ests = [self._est_df(c.query) for c in q.clauses if c.occur == MUST]
+            ests = [
+                self._est_df(c.query)
+                for c in q.clauses
+                if c.occur in (MUST, FILTER)
+            ]
             if ests:
                 return min(ests)
             return sum(
@@ -282,10 +321,31 @@ class ShardEval:
     # ---------------------------------------------------------------- phrase
     def _positions_for(self, field, term, wanted: np.ndarray):
         """positions of ``wanted`` docids for (field, term) → list of arrays."""
-        d_all, t_all, _dls, block_of, handle = self._decode(
-            field, term, wanted, with_block_info=True
+        rows = self.cells.get((field, term)) or []
+        if len(rows) <= 1:
+            if not rows:
+                return [np.empty(0, dtype=np.int64)] * len(wanted)
+            return self._positions_for_row(rows[0], wanted)
+        # multi-segment: each wanted docid lives in exactly one segment row
+        out = [np.empty(0, dtype=np.int64)] * len(wanted)
+        for row in rows:
+            if not len(row.blk_first):
+                continue
+            lo, hi = row.blk_first[0], row.blk_last[-1]
+            mask = (wanted >= lo) & (wanted <= hi)
+            if not mask.any():
+                continue
+            sub = wanted[mask]
+            sub_out = self._positions_for_row(row, sub)
+            for i, j in enumerate(np.flatnonzero(mask)):
+                out[j] = sub_out[i]
+        return out
+
+    def _positions_for_row(self, row, wanted: np.ndarray):
+        d_all, t_all, _dls, block_of, handle = self._decode_row(
+            row, wanted, with_block_info=True
         )
-        if handle is None or len(d_all) == 0:
+        if len(d_all) == 0:
             return [np.empty(0, dtype=np.int64)] * len(wanted)
         row, meta, blocks = handle
         ns = np.asarray(meta["n"], dtype=np.int64)[blocks]

@@ -57,10 +57,25 @@ def bm25_idf(df: int, n: int) -> float:
 
 
 class Searcher:
-    def __init__(self, index: Index, max_expansion: int = 10_000):
+    def __init__(self, index: Index, max_expansion: int = 10_000,
+                 preload: bool = False):
+        """``preload=True`` caches all postings cells driver-side (grouped by
+        (field, term)) so repeated queries skip Spark entirely — the serving
+        tier for small or hot index slices. Only sensible when the postings
+        table fits driver memory; the distributed path stays the default."""
         self.index = index
         self.max_expansion = max_expansion
         self._dict_cache: dict | None = None
+        self._hot: dict | None = None
+        self._preload = preload
+
+    def _hot_cells(self) -> dict:
+        if self._hot is None:
+            pdf = self.index.postings.toPandas()
+            self._hot = {
+                k: g for k, g in pdf.groupby(["field", "term"], sort=False)
+            }
+        return self._hot
 
     # ------------------------------------------------------------- dictionary
     def _dictionary(self) -> dict:
@@ -252,6 +267,26 @@ class Searcher:
         needed = self._needed_terms(resolved)
         if self._est_matched_postings(needed, plan.df_est) > FAST_PATH_MAX_POSTINGS:
             return None
+        if self._preload:
+            import pandas as pd
+
+            hot = self._hot_cells()
+            groups = [
+                hot[(f, t)]
+                for f, terms in needed.items()
+                for t in terms
+                if (f, t) in hot
+            ]
+            pdf = (
+                pd.concat(groups, ignore_index=True)
+                if groups
+                else next(iter(hot.values())).iloc[0:0]
+                if hot
+                else None
+            )
+            if pdf is not None:
+                return eval_local(plan, pdf)
+            return eval_local(plan, self.index.postings.limit(0).toPandas())
         postings, _ = self._filtered_postings(resolved, need_pos)
         return eval_local(plan, postings.toPandas())
 
@@ -303,6 +338,51 @@ class Searcher:
         if local is not None:
             return len(local)
         return self._execute(query, None).count()
+
+    def search_sorted(self, query: Query, k: int = 10,
+                      sort_by: list[tuple[str, bool]] | None = None) -> DataFrame:
+        """Sort hits by stored fields / score / docid (the reference's sort
+        search option, src/search/sort.lisp + sort-field.lisp).
+
+        ``sort_by``: list of (column, descending) — columns are "score",
+        "docid", or any stored column in doc_map (config.store_cols).
+        """
+        local = self._execute_local(query, None)
+        if local is not None:
+            result = self.index.spark.createDataFrame(local, schema=RESULT_SCHEMA)
+        else:
+            result = self._execute(query, None)
+        out = result.join(self.index.doc_map, "docid", "inner")
+        order = [
+            (F.desc(col) if desc else F.asc(col))
+            for col, desc in (sort_by or [("score", True), ("docid", False)])
+        ]
+        return out.orderBy(*order).limit(k)
+
+    def filtered(self, query: Query, filter_query: Query) -> Query:
+        """Combine a scoring query with a scoreless filter (ref filter.lisp)."""
+        from montezuma_spark.search.ast import FILTER, BooleanClause
+
+        return BooleanQuery(
+            (BooleanClause(query, "MUST"), BooleanClause(filter_query, FILTER))
+        )
+
+    def get_document(self, docid: int) -> dict | None:
+        """Fetch the stored document by docid (get-document analog,
+        src/index/index.lisp:226-233)."""
+        rows = self.index.doc_map.filter(F.col("docid") == docid).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    def each_hit(self, query: Query):
+        """Iterate (docid, score) over every hit — search-each analog
+        (src/search/index-searcher.lisp:110-119); unordered, distributed."""
+        local = self._execute_local(query, None)
+        if local is not None:
+            for t in local.itertuples(index=False, name=None):
+                yield t
+            return
+        for row in self._execute(query, None).toLocalIterator():
+            yield (row["docid"], row["score"])
 
 
 def _in_range(term: str, lower, upper, incl_lo: bool, incl_hi: bool) -> bool:

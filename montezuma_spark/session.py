@@ -36,6 +36,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Python/pandas UDF stages are CPU-bound per byte: the default 64 MB
+        # advisory partition size lets AQE coalesce the (term, shard) encode
+        # shuffle into a handful of tasks, serializing the heaviest stage.
+        # 8 MB keeps post-shuffle parallelism ≳ cores at bench scale while
+        # still coalescing truly tiny partitions.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -1,0 +1,270 @@
+"""Incremental / streaming index maintenance: one segment per micro-batch.
+
+The Spark-first re-expression of the reference's incremental writer
+(src/index/index-writer.lisp:71-91: each added document becomes a RAM
+segment; maybe-merge-segments compacts tiers): here each Structured
+Streaming micro-batch (or explicit ``add_batch`` call) builds one segment —
+a full mini-index under ``<dir>/segments/seg-<n>`` with a docid base
+allocated from the manifest — and the manifest commit is an atomic rename
+(the ``segments`` file protocol, src/index/segment-infos.lisp:144-157).
+
+Query side: ``multi_index`` unions the segment tables; the shard kernel
+merges per-(term, shard) cells across segments by docid order (the
+multi-reader analog, src/index/multi-reader.lisp). ``compact()`` merges all
+segments into one (optimize, src/index/index-writer.lisp:94-107).
+
+Streaming entry: ``writeStream.foreachBatch(indexer.foreach_batch())``.
+Exactly-once: the manifest records the last applied streaming batch_id —
+replayed batches (foreachBatch at-least-once semantics) are skipped.
+
+Docid determinism note: batch arrival order defines segment bases; within a
+batch, docids are rank-of-url as in the bulk build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from montezuma_spark.index.builder import Index, build_index
+from montezuma_spark.index.config import IndexConfig
+
+
+class IncrementalIndexer:
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 config: IndexConfig):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.config = config
+        os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+
+    # ------------------------------------------------------------- manifest
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.index_dir, "segments.json")
+
+    def manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as fh:
+                return json.load(fh)
+        return {"segments": [], "next_docid": 0, "next_seg": 0,
+                "applied_batches": []}
+
+    def _commit(self, man: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=2)
+        os.replace(tmp, self._manifest_path)  # atomic, like segments.new→segments
+
+    # ----------------------------------------------------------------- write
+    def add_batch(self, docs: DataFrame, batch_id: int | None = None) -> dict:
+        """Index one batch as a new segment. Returns the manifest entry.
+
+        Idempotent per batch_id (streaming replays are skipped).
+        """
+        man = self.manifest()
+        if batch_id is not None and batch_id in man["applied_batches"]:
+            return {"skipped": True, "batch_id": batch_id}
+        n = docs.count()
+        if n == 0:
+            if batch_id is not None:
+                man["applied_batches"].append(batch_id)
+                self._commit(man)
+            return {"skipped": True, "empty": True}
+        seg_id = man["next_seg"]
+        seg_dir = os.path.join(self.index_dir, "segments", f"seg-{seg_id:06d}")
+        idx = build_index(
+            self.spark, docs, self.config, index_dir=seg_dir,
+            docid_base=man["next_docid"],
+        )
+        entry = {
+            "id": seg_id,
+            "dir": seg_dir,
+            "docid_base": man["next_docid"],
+            "num_docs": idx.build_report.get("total_docs", n),
+            "stats": idx.stats,
+        }
+        man["segments"].append(entry)
+        man["next_docid"] += entry["num_docs"]
+        man["next_seg"] += 1
+        if batch_id is not None:
+            man["applied_batches"].append(batch_id)
+        self._commit(man)
+        return entry
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch`` (Structured Streaming)."""
+
+        def fn(batch_df: DataFrame, batch_id: int):
+            self.add_batch(batch_df, batch_id=int(batch_id))
+
+        return fn
+
+    # ------------------------------------------------------------------ read
+    def multi_index(self) -> Index:
+        """Union all segments into one queryable Index (multi-reader)."""
+        man = self.manifest()
+        segs = [Index.load(self.spark, e["dir"]) for e in man["segments"]]
+        if not segs:
+            raise ValueError("no segments yet")
+        if len(segs) == 1:
+            return segs[0]
+        from functools import reduce
+        from pyspark.sql import functions as F
+
+        doc_map = reduce(lambda a, b: a.unionByName(b),
+                         [s.doc_map for s in segs])
+        doc_lens = reduce(lambda a, b: a.unionByName(b),
+                          [s.doc_lens for s in segs])
+        postings = reduce(lambda a, b: a.unionByName(b),
+                          [s.postings for s in segs])
+        term_stats = (
+            reduce(lambda a, b: a.unionByName(b), [s.term_stats for s in segs])
+            .groupBy("field", "term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        # combined stats: df-weighted avgdl (exact: totals / counts)
+        stats: dict = {}
+        for s in segs:
+            for f, st in s.stats.items():
+                agg = stats.setdefault(
+                    f, {"num_docs": 0, "total_tokens": 0}
+                )
+                agg["num_docs"] += st["num_docs"]
+                agg["total_tokens"] += st["total_tokens"]
+        for f, st in stats.items():
+            st["avgdl"] = (
+                st["total_tokens"] / st["num_docs"] if st["num_docs"] else 0.0
+            )
+        return Index(
+            self.spark, segs[0].config, doc_map, doc_lens, postings,
+            term_stats, stats, index_dir=None,
+            build_report={"segments": len(segs)},
+        )
+
+    # -------------------------------------------------------------- compact
+    def compact(self) -> Index:
+        """Merge all segments into a single optimized index (the reference's
+        ``optimize``). Postings cells are decoded and re-encoded per
+        (field, term, shard) with the merged corpus avgdl — block-max bounds
+        stay tight. Commits a fresh single-segment manifest."""
+        merged = self.multi_index() if len(self.manifest()["segments"]) > 1 \
+            else Index.load(self.spark, self.manifest()["segments"][0]["dir"])
+        man = self.manifest()
+        seg_id = man["next_seg"]
+        seg_dir = os.path.join(self.index_dir, "segments", f"seg-{seg_id:06d}")
+        compacted = _merge_postings(merged, seg_dir)
+        old_dirs = [e["dir"] for e in man["segments"]]
+        new_man = {
+            "segments": [
+                {
+                    "id": seg_id,
+                    "dir": seg_dir,
+                    "docid_base": 0,
+                    "num_docs": sum(e["num_docs"] for e in man["segments"]),
+                    "stats": compacted.stats,
+                }
+            ],
+            "next_docid": man["next_docid"],
+            "next_seg": seg_id + 1,
+            "applied_batches": man["applied_batches"],
+        }
+        self._commit(new_man)
+        for d in old_dirs:  # delete obsolete segment files (deletable list)
+            shutil.rmtree(d, ignore_errors=True)
+        return compacted
+
+
+def _merge_postings(merged: Index, out_dir: str) -> Index:
+    """Re-encode multi-segment postings into single cells per
+    (field, term, shard) — the append-postings merge
+    (src/index/segment-merger.lisp:210-246) as one applyInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from montezuma_spark.codec.postings import (
+        decode_cell,
+        decode_positions,
+        encode_cell,
+        encode_positions,
+    )
+    from montezuma_spark.index.builder import POSTINGS_SCHEMA
+
+    avgdl_by_field = {f: s["avgdl"] for f, s in merged.stats.items()}
+    cfg = merged.config
+    block = cfg.block_size
+    k1, b = cfg.k1, cfg.b
+
+    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        field, term, shard = key
+        rows = list(pdf.itertuples(index=False))
+        rows.sort(key=lambda r: r.blk_first[0] if len(r.blk_first) else 0)
+        all_d, all_t, all_dl, all_pos = [], [], [], []
+        for r in rows:
+            meta = {
+                "first": list(r.blk_first), "last": list(r.blk_last),
+                "n": list(r.blk_n), "off": list(r.blk_off),
+                "codes_len": list(r.blk_codes_len),
+                "ext_len": list(r.blk_ext_len), "maxw": list(r.blk_maxw),
+            }
+            d, t, dl = decode_cell(bytes(r.postings), meta)
+            all_d.append(d)
+            all_t.append(t)
+            all_dl.append(dl)
+            if len(r.pos_off):
+                nblocks = len(meta["n"])
+                bounds = np.concatenate([[0], np.cumsum(meta["n"])])
+                block_tfs = {
+                    j: t[bounds[j] : bounds[j + 1]] for j in range(nblocks)
+                }
+                pos = decode_positions(
+                    bytes(r.positions), list(r.pos_off), meta, block_tfs
+                )
+                all_pos.append(
+                    np.concatenate([pos[j] for j in sorted(pos)])
+                    if pos else np.empty(0, dtype=np.int64)
+                )
+        docids = np.concatenate(all_d)
+        tfs = np.concatenate(all_t)
+        dls = np.concatenate(all_dl)
+        cell, meta = encode_cell(
+            docids, tfs, dls=dls, avgdl=avgdl_by_field.get(field, 1.0),
+            block_size=block, k1=k1, b=b,
+        )
+        if all_pos:
+            flat = np.concatenate(all_pos)
+            pos_cell, pos_off = encode_positions(tfs, flat, block_size=block)
+        else:
+            pos_cell, pos_off = b"", []
+        return pd.DataFrame(
+            {
+                "field": [field], "term": [term], "shard": [shard],
+                "df": [len(docids)], "cf": [int(tfs.sum())],
+                "postings": [cell], "positions": [pos_cell],
+                "pos_off": [np.asarray(pos_off, dtype=np.int64)],
+                "blk_first": [np.asarray(meta["first"], dtype=np.int64)],
+                "blk_last": [np.asarray(meta["last"], dtype=np.int64)],
+                "blk_n": [np.asarray(meta["n"], dtype=np.int32)],
+                "blk_off": [np.asarray(meta["off"], dtype=np.int64)],
+                "blk_codes_len": [np.asarray(meta["codes_len"], dtype=np.int64)],
+                "blk_ext_len": [np.asarray(meta["ext_len"], dtype=np.int64)],
+                "blk_maxw": [np.asarray(meta["maxw"], dtype=np.float32)],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    postings = merged.postings.groupBy("field", "term", "shard").applyInPandas(
+        merge_group, schema=POSTINGS_SCHEMA
+    )
+    term_stats = postings.groupBy("field", "term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    idx = Index(
+        merged.spark, merged.config, merged.doc_map, merged.doc_lens,
+        postings, term_stats, merged.stats,
+    )
+    return idx.save(out_dir)

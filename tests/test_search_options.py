@@ -1,0 +1,125 @@
+"""Search options: FILTER clauses, sort-by-stored-field, stored fields,
+get_document, each_hit, preloaded (hot) searcher."""
+
+import pytest
+
+from montezuma_spark.fixtures import search_docs_df
+from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+from montezuma_spark.oracle import OracleIndex
+from montezuma_spark.search import (
+    MUST,
+    SHOULD,
+    BooleanClause,
+    BooleanQuery,
+    RangeQuery,
+    Searcher,
+    TermQuery,
+    WildcardQuery,
+)
+from montezuma_spark.search.ast import FILTER
+from montezuma_spark.fixtures import SEARCH_DOCS
+
+CFG = IndexConfig(
+    fields=[
+        FieldConfig("field", "field", "whitespace"),
+        FieldConfig("date", "date", None, positions=False),
+        FieldConfig("cat", "cat", None, positions=False),
+    ],
+    key_col="url",
+    shard_bits=3,
+    block_size=4,
+    store_cols=("date", "cat"),
+)
+
+
+@pytest.fixture(scope="module")
+def searcher(spark):
+    return Searcher(build_index(spark, search_docs_df(spark), CFG))
+
+
+@pytest.fixture(scope="module")
+def hot_searcher(spark):
+    return Searcher(
+        build_index(spark, search_docs_df(spark), CFG), preload=True
+    )
+
+
+def test_filter_restricts_without_scoring(searcher):
+    # word1 scored, filtered to cat1* docs — scores must equal plain word1
+    plain = dict(searcher.top_docs(TermQuery("field", "word1"), k=18))
+    q = BooleanQuery(
+        (
+            BooleanClause(TermQuery("field", "word1"), MUST),
+            BooleanClause(WildcardQuery("cat", "cat1*"), FILTER),
+        )
+    )
+    got = searcher.top_docs(q, k=18)
+    assert sorted(d for d, _ in got) == [0, 1, 2, 3, 4, 13, 14, 15, 16, 17]
+    for d, s in got:
+        assert s == pytest.approx(plain[d], rel=1e-12)
+
+
+def test_filter_only_is_constant_score(searcher):
+    q = BooleanQuery(
+        (BooleanClause(RangeQuery("date", "20051006", "20051010"), FILTER),)
+    )
+    got = searcher.top_docs(q, k=18)
+    assert sorted(d for d, _ in got) == [6, 7, 8, 9, 10]
+    assert all(s == 0.0 for _, s in got)
+
+
+def test_filter_matches_oracle(searcher):
+    o = OracleIndex()
+    for i, (date, field, cat) in enumerate(SEARCH_DOCS):
+        o.add(i, {"field": (field, "whitespace"), "date": (date, None),
+                  "cat": (cat, None)})
+    q = BooleanQuery(
+        (
+            BooleanClause(TermQuery("field", "word3"), MUST),
+            BooleanClause(TermQuery("field", "word2"), SHOULD),
+            BooleanClause(WildcardQuery("cat", "cat1*"), FILTER),
+        )
+    )
+    got = searcher.top_docs(q, k=10)
+    want = o.top_k(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def test_sort_by_stored_field(searcher):
+    rows = searcher.search_sorted(
+        TermQuery("field", "word3"), k=3, sort_by=[("date", True)]
+    ).collect()
+    # word3 docs: 2,3,6,8,11,14 — by date desc → 14 (20051014), 11, 8
+    assert [r["docid"] for r in rows] == [14, 11, 8]
+    assert rows[0]["date"] == "20051014"
+
+
+def test_get_document(searcher):
+    d = searcher.get_document(8)
+    assert d["key"] == "test://search-docs/0008"
+    assert d["date"] == "20051008"
+    assert d["cat"] == "cat2/sub1"
+
+
+def test_each_hit(searcher):
+    hits = dict(searcher.each_hit(TermQuery("field", "word2")))
+    assert sorted(hits) == [1, 4, 8]
+    assert all(s > 0 for s in hits.values())
+
+
+def test_hot_searcher_matches_cold(searcher, hot_searcher):
+    q = BooleanQuery(
+        (
+            BooleanClause(TermQuery("field", "word1"), MUST),
+            BooleanClause(TermQuery("field", "word3"), MUST),
+        )
+    )
+    assert hot_searcher.top_docs(q, k=10) == searcher.top_docs(q, k=10)
+    assert hot_searcher.matching_docids(q) == searcher.matching_docids(q)
+    # phrase through the hot path too (positions in cached cells)
+    from montezuma_spark.search import PhraseQuery
+
+    p = PhraseQuery.of("field", ["quick", "brown"])
+    assert hot_searcher.matching_docids(p) == [1]
