@@ -195,6 +195,105 @@ class ShardEval:
         np.add.at(out, inv, alls)
         return uniq, out
 
+    # -------------------------------------------------------- top-k pruning
+    def eval_top(self, node: Query):
+        """Entry point for per-shard top-k: uses the block-max pruned
+        disjunction path when the plan shape allows, else exact eval."""
+        pruned = self._try_pruned_disjunction(node)
+        if pruned is not None:
+            return pruned
+        return self.eval(node)
+
+    def _flatten_should_terms(self, node: Query):
+        """If ``node`` is a pure disjunction of term-like leaves, return the
+        flat [(field, term, boost)] list, else None."""
+        if isinstance(node, TermQuery):
+            return [(node.field, node.term, node.boost)]
+        if isinstance(node, MultiTermGroup):
+            return [(node.field, t, node.boost) for t in node.terms]
+        if isinstance(node, BooleanQuery):
+            out = []
+            for c in node.clauses:
+                if c.occur != SHOULD:
+                    return None
+                sub = self._flatten_should_terms(c.query)
+                if sub is None:
+                    return None
+                out.extend(
+                    (f, t, b * node.boost) for (f, t, b) in sub
+                )
+            return out
+        return None
+
+    def _term_ub(self, field: str, term: str, boost: float) -> float:
+        """Score upper bound over this shard: idf·boost·(k1+1)·max(maxw)
+        (block-max metadata from the cell encoder, codec/postings.py)."""
+        rows = self.cells.get((field, term))
+        if not rows:
+            return 0.0
+        mx = max((max(r.blk_maxw) if len(r.blk_maxw) else 0.0) for r in rows)
+        idf = self.plan.idf.get((field, term), 0.0)
+        return idf * boost * (self.plan.k1 + 1.0) * mx
+
+    def _try_pruned_disjunction(self, node: Query):
+        """Term-at-a-time disjunction with block-max pruning — the
+        vectorized re-expression of block-max WAND (Ding & Suel 2011; the
+        reference has only skip lists, segment-merger.lisp:248-278).
+
+        Terms evaluate in descending upper-bound order. Once the best score
+        any *unseen* doc could still reach (Σ remaining term bounds) drops
+        strictly below the current kth-best candidate score, no new doc can
+        enter the top-k: remaining terms then update existing candidates
+        only, decoding just the blocks whose [first,last] docid range
+        intersects them (the skip-to analog). Candidate scores stay exact
+        (every term processed so far was decoded in full or restricted to
+        candidates), so the result is rank- and score-identical to the
+        exhaustive path.
+        """
+        k = self.plan.k
+        if k is None:
+            return None
+        boost = 1.0
+        flat = self._flatten_should_terms(node)
+        if flat is None or len(flat) < 2:
+            return None
+        # dedupe (a term may appear twice) — keep summed boost semantics by
+        # falling back to exact eval in that (rare) case
+        if len({(f, t) for f, t, _ in flat}) != len(flat):
+            return None
+        terms = sorted(
+            flat,
+            key=lambda x: (-self._term_ub(*x), x[0], x[1]),
+        )
+        ubs = [self._term_ub(*t) for t in terms]
+        suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
+        docids = np.empty(0, dtype=np.int64)
+        scores = np.empty(0, dtype=np.float64)
+        and_mode = False
+        for i, (field, term, tboost) in enumerate(terms):
+            if not and_mode and len(docids) >= k:
+                theta = np.partition(scores, len(scores) - k)[len(scores) - k]
+                if suffix[i] < theta:
+                    and_mode = True
+            if and_mode:
+                if len(docids) == 0:
+                    break
+                d, t, dl = self._decode(field, term, docids)
+                s = self._bm25(field, term, d, t, dl, tboost)
+                d, s = self._restrict(d, s, docids)
+                if len(d):
+                    idx = np.searchsorted(docids, d)
+                    scores[idx] += s
+            else:
+                d, t, dl = self._decode(field, term)
+                s = self._bm25(field, term, d, t, dl, tboost)
+                docids, scores = self._union_sum(
+                    [(docids, scores), (d, s)]
+                )
+        if boost != 1.0:
+            scores = scores * boost
+        return docids, scores
+
     # ------------------------------------------------------------------ eval
     def eval(self, node: Query, candidates: np.ndarray | None = None):
         """→ (sorted docids, scores). candidates (sorted) restricts output."""
@@ -461,7 +560,7 @@ def make_kernel(plan: CompiledPlan):
 
     def kernel(key, postings_pdf: pd.DataFrame, lens_pdf: pd.DataFrame):
         ev = ShardEval(plan, postings_pdf, lens_pdf)
-        return _finish(plan, *ev.eval(plan.query))
+        return _finish(plan, *ev.eval_top(plan.query))
 
     return kernel
 
@@ -472,7 +571,7 @@ def make_kernel_postings_only(plan: CompiledPlan):
 
     def kernel(key, postings_pdf: pd.DataFrame):
         ev = ShardEval(plan, postings_pdf, None)
-        return _finish(plan, *ev.eval(plan.query))
+        return _finish(plan, *ev.eval_top(plan.query))
 
     return kernel
 
@@ -484,7 +583,7 @@ def eval_local(plan: CompiledPlan, postings_pdf: pd.DataFrame) -> pd.DataFrame:
     if len(postings_pdf):
         for _, grp in postings_pdf.groupby("shard", sort=True):
             ev = ShardEval(plan, grp, None)
-            d, s = ev.eval(plan.query)
+            d, s = ev.eval_top(plan.query)
             if len(d):
                 parts.append((d, s))
     if not parts:
