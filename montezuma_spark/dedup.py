@@ -1,0 +1,214 @@
+"""Deduplication & fingerprinting operators for web-scale corpora.
+
+These go beyond the reference engine (Montezuma has no dedup — it is a
+search library) and cover what a 100 TB training-data pipeline needs:
+
+* exact dedup            — hash groupBy (in queries.py: dd_exact_groups)
+* MinHash signatures     — per-doc k min-hashes over distinct tokens
+* MinHash band join      — LSH candidate pairs (banding: b bands of r rows)
+* n-gram Jaccard verify  — exact Jaccard over distinct token 3-gram shingles
+                           for band-colliding candidate pairs only
+* SimHash                — 32-bit weighted-bit fingerprint (Charikar 2002)
+* winnowing fingerprints — rolling min-hash over k-gram windows
+                           (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+
+Everything is declarative DataFrame ops (JVM-side, codegen-friendly, no
+Python UDFs), so each operator has an exact ANSI-SQL oracle and Catalyst
+handles pushdown. Scale notes per operator below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenized-docs helpers (shared shape: docid long, toks array<string>)
+# ---------------------------------------------------------------------------
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle strings from a token array (order-preserving
+    construction, then dedup). Empty array when the doc has < n tokens —
+    ``sequence`` would descend otherwise."""
+    gram = F.expr(
+        f"transform(sequence(0, size({toks._jc.toString()}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks._jc.toString()}, i + 1, {n})))"
+    )
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingles_expr(col: str, n: int = 3) -> str:
+    return (
+        f"CASE WHEN size({col}) >= {n} THEN array_distinct("
+        f"transform(sequence(0, size({col}) - {n}), "
+        f"i -> concat_ws(' ', slice({col}, i + 1, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def minhash_signature(tokens_df: DataFrame, num_hashes: int = 4,
+                      id_col: str = "docid", tok_col: str = "tok") -> DataFrame:
+    """(id, tok) distinct pairs → (id, m0..m{k-1}) min-hash signature.
+
+    Hash family: md5 of ``"{i}:" || tok`` (hex string min ≡ uint128 min).
+    Scale: one groupBy on id — a single shuffle keyed by doc; skew-free
+    (every doc is its own group).
+    """
+    aggs = [
+        F.min(
+            F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col(tok_col)), "UTF-8"))
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return tokens_df.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(sig: DataFrame, num_hashes: int = 4, band_rows: int = 2,
+                       id_col: str = "docid") -> DataFrame:
+    """LSH banding: b = num_hashes/band_rows bands of r = band_rows hashes.
+    Returns DISTINCT candidate pairs (id_a < id_b) colliding in ≥1 band.
+
+    Scale: the band join is an equi-join on (band_id, band_val) — hot
+    buckets (boilerplate-heavy shards) are bounded because band_val
+    concatenates r full 128-bit hashes; residual skew is AQE's skew-join
+    territory. Candidate count ≪ n² by design.
+    """
+    assert num_hashes % band_rows == 0
+    nbands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.concat(
+                *[F.col(f"m{b * band_rows + r}") for r in range(band_rows)]
+            )
+            for b in range(nbands)
+        ]
+    )
+    keyed = sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_id", "band_val")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs_toks: DataFrame, threshold: float = 0.8,
+                        n: int = 3, num_hashes: int = 4, band_rows: int = 2,
+                        id_col: str = "docid",
+                        toks_col: str = "toks") -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard, with MinHash-band
+    candidate generation (the scalable path: verify only colliding pairs).
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, computed over
+    DISTINCT token n-gram shingles.
+
+    Scale: shingle arrays are re-joined per candidate pair — 2 broadcast-or-
+    shuffle hash joins keyed by id; the O(n²) verify is avoided entirely.
+    """
+    sh = docs_toks.select(
+        F.col(id_col),
+        F.expr(_shingles_expr(toks_col, n)).alias("sh"),
+    )
+    toks = docs_toks.select(
+        F.col(id_col), F.explode(toks_col).alias("tok")
+    ).distinct()
+    sig = minhash_signature(toks, num_hashes, id_col=id_col)
+    cand = minhash_band_pairs(sig, num_hashes, band_rows, id_col=id_col)
+    j = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a")
+                    .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash(tokens_tf: DataFrame, bits: int = 32, id_col: str = "docid",
+            tok_col: str = "tok", tf_col: str = "tf") -> DataFrame:
+    """SimHash fingerprint: bit b of the signature is 1 iff
+    Σ_tok tf · (bit_b(h(tok)) ? +1 : −1) > 0, h = first 32 bits of md5.
+
+    Input: (id, tok, tf) — one row per distinct token per doc.
+    Output: (id, simhash long).
+
+    Integer weights → no float-order sensitivity; exactly replicable in SQL.
+    Scale: explode ×bits then two groupBys keyed by (id, bit) and id —
+    shuffles bounded by docs × bits, no token-frequency skew (tokens are
+    pre-aggregated to tf before the explode).
+    """
+    h = F.conv(F.substring(F.md5(F.encode(F.col(tok_col), "UTF-8")), 1, 8),
+               16, 10).cast("long")
+    ex = tokens_tf.select(
+        F.col(id_col),
+        F.col(tf_col).cast("long").alias("tf"),
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    # shiftleft/shiftright builtins take a literal shift in the Python API;
+    # use SQL expressions so the shift can be the exploded bit column
+    w = ex.withColumn(
+        "contrib",
+        F.when(F.expr("(shiftright(h, b) & 1) = 1", ),
+               F.col("tf")).otherwise(-F.col("tf")),
+    ).groupBy(id_col, "b").agg(F.sum("contrib").alias("w"))
+    sig = w.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("w") > 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    return sig
+
+
+def winnow_fingerprints(docs_toks: DataFrame, k: int = 3, w: int = 4,
+                        id_col: str = "docid",
+                        toks_col: str = "toks") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): hash every
+    token k-gram (md5, lexicographic order ≡ uint128 order), slide a window
+    of ``w`` consecutive k-gram hashes, keep the window minimum, dedup.
+
+    Output: (id, fp) — one row per selected fingerprint. Guarantees any
+    shared run of ≥ w+k−1 tokens yields ≥1 shared fingerprint, so matching
+    on fp finds partial overlaps exact/minhash dedup misses.
+
+    Scale: per-row array ops only (no shuffle until the caller groups by
+    fp); fingerprint density ≈ 2/(w+1) of all k-grams.
+    """
+    grams = (
+        f"CASE WHEN size({toks_col}) >= {k} THEN "
+        f"transform(sequence(0, size({toks_col}) - {k}), "
+        f"i -> md5(concat_ws(' ', slice({toks_col}, i + 1, {k})))) "
+        f"ELSE array() END"
+    )
+    wins = (
+        f"CASE WHEN size(_hs) >= {w} THEN array_distinct("
+        f"transform(sequence(0, size(_hs) - {w}), "
+        f"j -> array_min(slice(_hs, j + 1, {w})))) "
+        f"ELSE array() END"
+    )
+    return (
+        docs_toks.select(F.col(id_col), F.expr(grams).alias("_hs"))
+        .select(F.col(id_col), F.explode(F.expr(wins)).alias("fp"))
+    )

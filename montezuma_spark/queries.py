@@ -233,6 +233,61 @@ def dd_minhash_bands(spark, sf_dir):
     return mh.select("docid", band.alias("band"))
 
 
+def ta_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (rolling min-hash over 3-gram
+    windows of 4) — montezuma_spark.dedup.winnow_fingerprints."""
+    from montezuma_spark.dedup import winnow_fingerprints
+
+    t = _tokens_df(spark, sf_dir).select("docid", "toks")
+    return winnow_fingerprints(t, k=3, w=4).select("docid", "fp")
+
+
+def dd_simhash(spark, sf_dir):
+    """32-bit SimHash per doc — montezuma_spark.dedup.simhash."""
+    from montezuma_spark.dedup import simhash
+
+    t = _tokens_df(spark, sf_dir)
+    tf = (
+        t.select("docid", F.explode("toks").alias("tok"))
+        .groupBy("docid", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return simhash(tf, bits=32).select("docid", "simhash")
+
+
+def dd_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs: MinHash-band candidates -> exact 3-gram Jaccard
+    >= 0.8 — montezuma_spark.dedup.ngram_jaccard_pairs."""
+    from montezuma_spark.dedup import ngram_jaccard_pairs
+
+    t = _tokens_df(spark, sf_dir).select("docid", "toks")
+    return ngram_jaccard_pairs(t, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dd_embed_neardup(spark, sf_dir):
+    """Embedding near-dup pairs: hyperplane-LSH band candidates -> exact
+    cosine >= 0.4 — montezuma_spark.ann.embedding_neardup_pairs."""
+    from montezuma_spark.ann import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", F.round("cos", 5).alias("cos")
+    )
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN: candidates share >=1 signature band with the
+    query vector, exact cosine rerank — montezuma_spark.ann.lsh_topk."""
+    from montezuma_spark.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, query_id=0, k=10).select(
+        "vec_id", F.round("cos", 5).alias("cos")
+    )
+
+
 def ann_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -275,6 +330,11 @@ QUERIES = {
     "ta_langid": ta_langid,
     "dd_exact_groups": dd_exact_groups,
     "dd_minhash_bands": dd_minhash_bands,
+    "ta_fingerprint": ta_fingerprint,
+    "dd_simhash": dd_simhash,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_embed_neardup": dd_embed_neardup,
+    "ann_lsh_topk": ann_lsh_topk,
     "ann_cosine_topk": ann_cosine_topk,
 }
 
@@ -319,6 +379,49 @@ scores AS (
   FROM tf t JOIN dfs d USING (tok)
 )
 """
+
+
+def _lsh_sql_base() -> str:
+    """Shared LSH CTEs: literal plane matrix (same seed/values as the Spark
+    plan), per-vector signature, banded buckets."""
+    from montezuma_spark.ann import BAND_BITS, NUM_PLANES, lsh_planes, planes_sql_values
+
+    planes = lsh_planes(dim=64)
+    nbands = NUM_PLANES // BAND_BITS
+    mask = (1 << BAND_BITS) - 1
+    bands_rows = ", ".join(
+        f"({b}, (sig >> {b * BAND_BITS}) & {mask})" for b in range(nbands)
+    )
+    return f"""
+WITH planes(p, vec) AS (VALUES
+  {planes_sql_values(planes)}
+),
+expl AS (
+  SELECT e.vec_id, t.i, e.embedding[t.i]::DOUBLE AS ev
+  FROM embeddings e, range(1, 65) t(i)
+),
+dots AS (
+  SELECT x.vec_id, pl.p, sum(x.ev * pl.vec[x.i]) AS dot
+  FROM expl x, planes pl GROUP BY x.vec_id, pl.p
+),
+sigs AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id
+),
+bands AS (
+  SELECT s.vec_id, b.band_id, b.band_val
+  FROM sigs s, LATERAL (SELECT * FROM (VALUES {bands_rows}) t(band_id, band_val)) b
+),
+norms AS (SELECT vec_id, sqrt(sum(ev * ev)) AS nrm FROM expl GROUP BY vec_id)
+"""
+
+
+_SHINGLE_SQL = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct("
+    "[array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) "
+    "ELSE [] END"
+)
 
 
 ORACLE = {
@@ -398,6 +501,101 @@ SELECT docid,
   substr(min(md5('2:' || tok)), 1, 8) || substr(min(md5('3:' || tok)), 1, 8)
   AS band
 FROM (SELECT DISTINCT docid, tok FROM tokens) GROUP BY docid
+""",
+    "ta_fingerprint": _BASE + """
+, grams AS (
+  SELECT docid,
+    CASE WHEN len(toks) >= 3 THEN
+      [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)]
+    ELSE [] END AS hs
+  FROM docs
+)
+SELECT DISTINCT docid, unnest(
+  CASE WHEN len(hs) >= 4 THEN
+    [list_aggregate(hs[j:j+3], 'min') for j in range(1, len(hs) - 2)]
+  ELSE [] END) AS fp
+FROM grams
+""",
+    "dd_simhash": _BASE + """
+, dtf AS (SELECT docid, tok, count(*) AS tf FROM tokens GROUP BY docid, tok),
+hashed AS (
+  SELECT docid, tf, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM dtf
+),
+bitw AS (
+  SELECT docid, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN tf ELSE -tf END) AS w
+  FROM hashed, range(0, 32) b(b) GROUP BY docid, b.b
+)
+SELECT docid,
+       sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bitw GROUP BY docid
+""",
+    "dd_ngram_jaccard": _BASE + f"""
+, dtok AS (SELECT DISTINCT docid, tok FROM tokens),
+mh AS (
+  SELECT docid,
+         min(md5('0:' || tok)) AS m0, min(md5('1:' || tok)) AS m1,
+         min(md5('2:' || tok)) AS m2, min(md5('3:' || tok)) AS m3
+  FROM dtok GROUP BY docid
+),
+mbands AS (
+  SELECT docid, 0 AS band_id, m0 || m1 AS band_val FROM mh
+  UNION ALL
+  SELECT docid, 1, m2 || m3 FROM mh
+),
+cand AS (
+  SELECT DISTINCT a.docid AS id_a, b.docid AS id_b
+  FROM mbands a JOIN mbands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.docid < b.docid
+),
+sh AS (SELECT docid, {_SHINGLE_SQL} AS sh FROM docs)
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+         / greatest(len(list_distinct(a.sh || b.sh)), 1) AS jac
+  FROM cand c JOIN sh a ON a.docid = c.id_a JOIN sh b ON b.docid = c.id_b
+) WHERE jac >= 0.8
+""",
+    "dd_embed_neardup": _lsh_sql_base() + """
+, cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+),
+pdots AS (
+  SELECT c.id_a, c.id_b, sum(xa.ev * xb.ev) AS dot
+  FROM cand c
+  JOIN expl xa ON xa.vec_id = c.id_a
+  JOIN expl xb ON xb.vec_id = c.id_b AND xb.i = xa.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(cos, 5) AS cos FROM (
+  SELECT p.id_a, p.id_b, p.dot / (na.nrm * nb.nrm) AS cos
+  FROM pdots p
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+) WHERE cos >= 0.4
+""",
+    "ann_lsh_topk": _lsh_sql_base() + """
+, qb AS (SELECT band_id, band_val FROM bands WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id FROM bands b
+  JOIN qb ON qb.band_id = b.band_id AND qb.band_val = b.band_val
+  WHERE b.vec_id != 0
+),
+q AS (SELECT i, ev AS qv FROM expl WHERE vec_id = 0),
+cdots AS (
+  SELECT x.vec_id, sum(x.ev * q.qv) AS dot, sum(x.ev * x.ev) AS nn
+  FROM expl x JOIN cand c ON c.vec_id = x.vec_id JOIN q ON q.i = x.i
+  GROUP BY x.vec_id
+),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q)
+SELECT vec_id, round(cos, 5) AS cos FROM (
+  SELECT vec_id, dot / (sqrt(nn) * (SELECT qnorm FROM qn)) AS cos
+  FROM cdots ORDER BY cos DESC, vec_id ASC LIMIT 10
+)
 """,
     "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

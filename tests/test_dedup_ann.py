@@ -1,0 +1,178 @@
+"""Unit tests for the dedup (SimHash, MinHash-band Jaccard, winnowing) and
+ANN (hyperplane LSH) operators — correctness vs direct numpy/python
+computation on small synthetic inputs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from montezuma_spark.ann import (
+    embedding_neardup_pairs,
+    lsh_planes,
+    lsh_signatures,
+    lsh_topk,
+)
+from montezuma_spark.dedup import (
+    minhash_band_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    winnow_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def toks_df(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight").split()
+    rows = [
+        (0, base),
+        (1, base[:-1] + ["tomorrow"]),          # near-dup of 0
+        (2, list(reversed(base))),               # same tokens, other order
+        (3, "completely different words here entirely novel text "
+            "nothing shared with others at all".split()),
+        (4, base[:2]),                           # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, "docid long, toks array<string>")
+
+
+def test_winnowing_guarantee(spark, toks_df):
+    """Docs 0 and 1 share a long run of tokens → must share a fingerprint;
+    doc 3 shares none; doc 4 (<k tokens) emits none."""
+    fp = winnow_fingerprints(toks_df, k=3, w=4).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fp.groupby("docid")}
+    assert by_doc[0] & by_doc[1], "overlapping docs must share a fingerprint"
+    assert not (by_doc[0] & by_doc[3])
+    assert 4 not in by_doc
+    # density sanity: ~2/(w+1) of k-grams selected, never more than all
+    assert 0 < len(by_doc[0]) <= len(toks_df.head()["toks"]) - 2
+
+
+def test_winnowing_matches_python(spark, toks_df):
+    """Spark fingerprints == direct python winnowing (same k, w, md5)."""
+    import hashlib
+
+    fp = winnow_fingerprints(toks_df, k=3, w=4).toPandas()
+    got = {d: set(g["fp"]) for d, g in fp.groupby("docid")}
+    rows = toks_df.collect()
+    for r in rows:
+        toks = r["toks"]
+        grams = [
+            hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()
+            for i in range(len(toks) - 2)
+        ]
+        want = {
+            min(grams[j:j + 4]) for j in range(len(grams) - 3)
+        } if len(grams) >= 4 else set()
+        assert got.get(r["docid"], set()) == want, r["docid"]
+
+
+def test_simhash_deterministic_and_similar(spark, toks_df):
+    tf = (
+        toks_df.select("docid", F.explode("toks").alias("tok"))
+        .groupBy("docid", "tok").agg(F.count("*").alias("tf"))
+    )
+    out = dict(simhash(tf, bits=32).collect())
+    # docs 0 and 2 have identical bags (reversal) → identical simhash
+    assert out[0] == out[2]
+    # near-dup differs in few bits; unrelated differs in many
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(out[0], out[1]) < ham(out[0], out[3])
+    assert 0 <= out[0] < (1 << 32)
+
+
+def test_minhash_band_candidates_and_jaccard(spark, toks_df):
+    pairs = ngram_jaccard_pairs(
+        toks_df, threshold=0.2, num_hashes=4, band_rows=2
+    ).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found
+    # jaccard value matches direct computation over distinct 3-gram shingles
+    rows = {r["docid"]: r["toks"] for r in toks_df.collect()}
+
+    def sh(toks):
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = len(sh(rows[0]) & sh(rows[1])) / len(sh(rows[0]) | sh(rows[1]))
+    got = float(pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"])
+    assert abs(got - want) < 1e-9
+    # reversed doc shares no 3-grams → never reported
+    assert (0, 2) not in found
+
+
+def test_minhash_signature_shape(spark, toks_df):
+    toks = toks_df.select(
+        "docid", F.explode("toks").alias("tok")
+    ).distinct()
+    sig = minhash_signature(toks, num_hashes=4)
+    pdf = sig.toPandas()
+    assert set(pdf.columns) == {"docid", "m0", "m1", "m2", "m3"}
+    assert len(pdf) == 5
+    cand = minhash_band_pairs(sig, 4, 2).toPandas()
+    assert all(a < b for a, b in zip(cand["id_a"], cand["id_b"]))
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((5, 16))
+    rows = []
+    vid = 0
+    for c in range(5):
+        for _ in range(6):
+            v = base[c] + 0.1 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ), rows
+
+
+def test_lsh_signatures_match_numpy(spark, emb_df):
+    df, rows = emb_df
+    planes = lsh_planes(dim=16, num_planes=16)
+    sigs = dict(
+        (r["vec_id"], r["sig"]) for r in lsh_signatures(df, planes).collect()
+    )
+    for vid, vec, _ in rows:
+        v = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        want = sum(
+            (1 << p) for p in range(16) if float(planes[p] @ v) >= 0
+        )
+        assert sigs[vid] == want, vid
+
+
+def test_lsh_topk_exact_cosines_and_recall(spark, emb_df):
+    df, rows = emb_df
+    planes = lsh_planes(dim=16, num_planes=16)
+    out = lsh_topk(df, query_id=0, k=5, planes=planes).toPandas()
+    vecs = {vid: np.asarray(v, dtype=np.float32).astype(np.float64)
+            for vid, v, _ in rows}
+    q = vecs[0]
+    # returned cosines are exact
+    for vid, cos in zip(out["vec_id"], out["cos"]):
+        want = float(q @ vecs[vid] / (np.linalg.norm(q) * np.linalg.norm(vecs[vid])))
+        assert abs(cos - want) < 1e-9
+    # same-cluster vectors (1..5) nearly collinear with query → candidates
+    # share bands with overwhelming probability; expect >=3 of top-5 from
+    # the query's own cluster
+    same_cluster = sum(1 for v in out["vec_id"] if 1 <= v <= 5)
+    assert same_cluster >= 3
+
+
+def test_embedding_neardup_pairs_threshold(spark, emb_df):
+    df, rows = emb_df
+    planes = lsh_planes(dim=16, num_planes=16)
+    pairs = embedding_neardup_pairs(df, threshold=0.9, planes=planes).toPandas()
+    vecs = {vid: np.asarray(v, dtype=np.float32).astype(np.float64)
+            for vid, v, _ in rows}
+    labels = {vid: lab for vid, _, lab in rows}
+    assert len(pairs) > 0
+    for a, b, cos in zip(pairs["id_a"], pairs["id_b"], pairs["cos"]):
+        va, vb = vecs[a], vecs[b]
+        want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert abs(cos - want) < 1e-9
+        assert want >= 0.9
+        assert labels[a] == labels[b], "0.9-cosine pairs must be same cluster"
