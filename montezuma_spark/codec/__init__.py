@@ -3,6 +3,7 @@ from montezuma_spark.codec.postings import (  # noqa: F401
     BM25_K1,
     DEFAULT_BLOCK,
     META_FIELDS,
+    block_upper_bounds,
     bm25_tf_norm,
     decode_cell,
     decode_positions,

@@ -20,9 +20,13 @@ any block decodes independently — that upgrades the reference's skip list
 
     meta = {first[], last[], n[], off[], codes_len[], maxw[]}
 
-``maxw`` = max over the block of the BM25 tf-normalization
-``tf / (tf + k1*(1 - b + b*dl/avgdl))`` — multiply by ``idf * (k1+1)`` for a
-per-(term, block) score upper bound.
+``maxtf`` / ``mindl`` = per-block max term frequency and min doc length.
+The BM25 block upper bound is computed AT QUERY TIME as
+``maxtf / (maxtf + k1*(1 - b + b*mindl/avgdl))`` (monotone ↑ in tf, ↓ in dl,
+so pairing the block's max tf with its min dl is a valid bound) times
+``idf * (k1+1)``. Keeping the bound avgdl-free makes cells encodable
+BEFORE corpus stats exist (partition-local segment build) and mergeable /
+re-encodable without ever loosening WAND bounds.
 
 The positions sidecar (.prx analog, src/index/document-writer.lisp:163-213)
 is a parallel cell: per block, concatenated per-doc delta-encoded position
@@ -36,6 +40,7 @@ import numpy as np
 from montezuma_spark.codec.varint import (
     decode_varints,
     encode_varints,
+    encode_varints_arr,
     grouped_delta_decode,
 )
 
@@ -43,7 +48,8 @@ DEFAULT_BLOCK = 128
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-META_FIELDS = ("first", "last", "n", "off", "codes_len", "ext_len", "maxw")
+META_FIELDS = ("first", "last", "n", "off", "codes_len", "ext_len",
+               "maxtf", "mindl")
 
 
 def bm25_tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
@@ -52,20 +58,27 @@ def bm25_tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return tfs / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / max(avgdl, 1e-9)))
 
 
+def block_upper_bounds(maxtf: np.ndarray, mindl: np.ndarray, avgdl: float,
+                       k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
+    """Per-block BM25 tf-norm upper bounds from (maxtf, mindl) metadata."""
+    return bm25_tf_norm(
+        np.asarray(maxtf, dtype=np.int64),
+        np.asarray(mindl, dtype=np.int64),
+        avgdl, k1, b,
+    )
+
+
 def encode_cell(
     docids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray | None = None,
-    avgdl: float = 1.0,
     block_size: int = DEFAULT_BLOCK,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
 ) -> tuple[bytes, dict]:
     """Encode one posting list (sorted unique docids + parallel tfs).
 
     Returns (cell_bytes, meta) where meta maps META_FIELDS → python lists.
-    ``dls`` (per-posting doc lengths) feed the block-max bound; if None the
-    bound degrades to the tf-only bound with dl=avgdl.
+    ``dls`` (per-posting doc lengths) feed the in-cell dl stream and the
+    block-max metadata; if None, dl=1 is stored.
     """
     docids = np.ascontiguousarray(docids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -74,9 +87,8 @@ def encode_cell(
     if n == 0:
         return b"", meta
     if dls is None:
-        dls = np.full(n, int(round(avgdl)) or 1, dtype=np.int64)
+        dls = np.ones(n, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)
-    norm = bm25_tf_norm(tfs, dls, avgdl, k1, b)
     chunks: list[bytes] = []
     off = 0
     for s in range(0, n, block_size):
@@ -97,7 +109,8 @@ def encode_cell(
         meta["off"].append(off)
         meta["codes_len"].append(len(code_bytes))
         meta["ext_len"].append(len(extra_bytes))
-        meta["maxw"].append(float(norm[s:e].max()))
+        meta["maxtf"].append(int(t.max()))
+        meta["mindl"].append(int(dls[s:e].min()))
         chunks.append(code_bytes)
         chunks.append(extra_bytes)
         chunks.append(dl_bytes)
@@ -215,4 +228,146 @@ def decode_positions(
         e = pos_off[j + 1] if j + 1 < nblocks else total
         deltas = decode_varints(buf[s:e]).astype(np.int64)
         out[j] = grouped_delta_decode(deltas, np.asarray(tfs, dtype=np.int64))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batched encoder: many posting lists in one vectorized pass
+# ---------------------------------------------------------------------------
+
+def encode_cells_batch(
+    group_bounds: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = DEFAULT_BLOCK,
+    flat_positions: np.ndarray | None = None,
+) -> dict:
+    """Encode G posting lists at once (inputs sorted by (group, docid),
+    ``group_bounds`` = G+1 boundary indices). Byte-identical per cell to
+    ``encode_cell`` / ``encode_positions`` but with ~O(1) numpy passes over
+    the whole batch instead of per-term python — the difference between a
+    web-scale vocabulary (Heaps' law: most terms are rare, most cells tiny)
+    costing per-TERM overhead vs per-TOKEN throughput.
+
+    Returns a columnar dict:
+      postings: list[bytes], df/cf: int64 arrays,
+      first/last/n/off/codes_len/ext_len/maxtf/mindl: list[np.ndarray],
+      positions: list[bytes], pos_off: list[np.ndarray]  (empty if no
+      ``flat_positions``).
+    """
+    gb = np.ascontiguousarray(group_bounds, dtype=np.int64)
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    G = len(gb) - 1
+    N = len(docids)
+    empty_meta = [np.empty(0, dtype=np.int64)] * 0
+    out = {
+        "postings": [], "positions": [], "pos_off": [],
+        "df": np.diff(gb), "cf": np.add.reduceat(tfs, gb[:-1]) if N else
+        np.zeros(G, dtype=np.int64),
+        "first": [], "last": [], "n": [], "off": [],
+        "codes_len": [], "ext_len": [], "maxtf": [], "mindl": [],
+    }
+    if N == 0:
+        return out
+    bs = block_size
+    glens = np.diff(gb)
+    nblk = -(-glens // bs)  # ceil
+    total_blocks = int(nblk.sum())
+    grp_of_blk = np.repeat(np.arange(G), nblk)
+    blk_local = np.arange(total_blocks) - np.repeat(
+        np.cumsum(nblk) - nblk, nblk
+    )
+    blk_start = gb[:-1][grp_of_blk] + blk_local * bs
+    blk_end = np.minimum(blk_start + bs, gb[1:][grp_of_blk])
+    blk_n = blk_end - blk_start
+
+    deltas = np.empty(N, dtype=np.int64)
+    deltas[0] = 0
+    deltas[1:] = docids[1:] - docids[:-1]
+    deltas[blk_start] = 0  # block-local deltas; first docid in metadata
+    codes = (deltas.astype(np.uint64) << np.uint64(1)) | (
+        tfs == 1
+    ).astype(np.uint64)
+    ext_mask = tfs > 1
+
+    code_stream, code_vlens = encode_varints_arr(codes)
+    ext_stream, ext_vlens_packed = encode_varints_arr(
+        tfs[ext_mask].astype(np.uint64)
+    )
+    dl_stream, dl_vlens = encode_varints_arr(dls.astype(np.uint64))
+    ext_vlens = np.zeros(N, dtype=np.int64)
+    ext_vlens[ext_mask] = ext_vlens_packed
+
+    blk_code_len = np.add.reduceat(code_vlens, blk_start)
+    blk_ext_len = np.add.reduceat(ext_vlens, blk_start)
+    blk_dl_len = np.add.reduceat(dl_vlens, blk_start)
+    blk_first = docids[blk_start]
+    blk_last = docids[blk_end - 1]
+    blk_maxtf = np.maximum.reduceat(tfs, blk_start)
+    blk_mindl = np.minimum.reduceat(dls, blk_start)
+
+    cs = np.concatenate([[0], np.cumsum(blk_code_len)])
+    # ext stream offsets per block: cumsum over packed ext lens at block grain
+    es = np.concatenate([[0], np.cumsum(blk_ext_len)])
+    ds = np.concatenate([[0], np.cumsum(blk_dl_len)])
+    # assemble interleaved per-block [codes][extras][dls] layout
+    segs = []
+    for j in range(total_blocks):
+        segs.append(code_stream[cs[j] : cs[j + 1]])
+        segs.append(ext_stream[es[j] : es[j + 1]])
+        segs.append(dl_stream[ds[j] : ds[j + 1]])
+    big = np.concatenate(segs) if segs else np.empty(0, dtype=np.uint8)
+    blk_total = blk_code_len + blk_ext_len + blk_dl_len
+    blk_byte = np.concatenate([[0], np.cumsum(blk_total)])
+    gb_blk = np.concatenate([[0], np.cumsum(nblk)])
+
+    # positions sidecar (contiguous per block in posting order — no
+    # interleaving, so per-cell bytes are a single slice)
+    with_pos = flat_positions is not None
+    if with_pos:
+        pos = np.ascontiguousarray(flat_positions, dtype=np.int64)
+        pb = np.concatenate([[0], np.cumsum(tfs)])  # per-posting bounds
+        pdeltas = pos.copy()
+        if len(pos):
+            pdeltas[1:] = pos[1:] - pos[:-1]
+            starts = pb[:-1]
+            pdeltas[starts[starts < len(pos)]] = pos[
+                starts[starts < len(pos)]
+            ]
+        pos_stream, pos_vlens = encode_varints_arr(pdeltas.astype(np.uint64))
+        # byte length of each posting's position run, summed per block
+        post_pos_len = np.add.reduceat(pos_vlens, pb[:-1]) if len(pos) else \
+            np.zeros(N, dtype=np.int64)
+        if len(pos):
+            # reduceat with duplicate starts can't occur (tf >= 1)
+            blk_pos_len = np.add.reduceat(post_pos_len, blk_start)
+        else:
+            blk_pos_len = np.zeros(total_blocks, dtype=np.int64)
+        ps = np.concatenate([[0], np.cumsum(blk_pos_len)])
+        pos_arr = pos_stream
+
+    for g in range(G):
+        b0, b1 = gb_blk[g], gb_blk[g + 1]
+        out["postings"].append(
+            big[blk_byte[b0] : blk_byte[b1]].tobytes()
+        )
+        out["first"].append(blk_first[b0:b1])
+        out["last"].append(blk_last[b0:b1])
+        out["n"].append(blk_n[b0:b1])
+        out["off"].append(blk_byte[b0:b1] - blk_byte[b0])
+        out["codes_len"].append(blk_code_len[b0:b1])
+        out["ext_len"].append(blk_ext_len[b0:b1])
+        out["maxtf"].append(blk_maxtf[b0:b1])
+        out["mindl"].append(blk_mindl[b0:b1])
+        if with_pos:
+            out["positions"].append(
+                pos_arr[ps[b0] : ps[b1]].tobytes()
+            )
+            out["pos_off"].append(ps[b0:b1] - ps[b0])
+        else:
+            out["positions"].append(b"")
+            out["pos_off"].append(np.empty(0, dtype=np.int64))
     return out

@@ -17,12 +17,13 @@ _U7 = np.uint64(7)
 _U0x7F = np.uint64(0x7F)
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """Encode a uint64 array as a concatenated varint stream."""
+def encode_varints_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a uint64 array as a varint stream; returns
+    (uint8 stream array, per-value byte counts) for batched cell layout."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     tmp = v >> _U7
     while tmp.any():
@@ -37,7 +38,12 @@ def encode_varints(values: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * j)) & _U0x7F
         cont = (nbytes[mask] - 1) > j
         out[idx] = byte.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out, nbytes
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as a concatenated varint stream."""
+    return encode_varints_arr(values)[0].tobytes()
 
 
 def decode_varints(buf: bytes | np.ndarray) -> np.ndarray:

@@ -1,29 +1,41 @@
-"""Inverted-index construction, Spark-first.
+"""Inverted-index construction, Spark-first — partition-local segment build.
 
-Pipeline (exactly ONE wide shuffle on (field, term, shard) plus the docid
-range-partition — Spark's sort-merge replaces the reference's segment-merge
-priority queue, src/index/segment-merger.lisp:163-246):
+This is the Lucene/Montezuma segment model re-expressed for Spark's shuffle
+economics. The reference inverts each doc into a RAM segment and merges
+segments logarithmically (src/index/index-writer.lisp:71-91,182-199); a naive
+Spark translation shuffles one row per (term, doc) — at web scale that is
+billions of tiny rows crossing Arrow + the shuffle twice. Instead:
 
 1. ``repartitionByRange(key)`` + ``sortWithinPartitions(key)`` — one Spark
-   partition == one reference "segment" (src/index/index-writer.lisp:71-91),
-   but holding many docs.
-2. ``mapInPandas`` tokenize: vectorized analysis chain → rows
-   (pid, key, field, dl, terms[]). Optionally checkpointed per partition
-   (resume skips completed partitions — see checkpoint.py).
-3. Deterministic docid assignment: docid = global rank of ``key`` =
-   per-partition dense_rank + exclusive prefix sum of partition key counts.
-   No global single-partition window — scales to any doc count. (Replaces
-   the reference's segment-base rebasing, src/index/multi-reader.lisp:30-37.)
-4. ``mapInPandas`` inversion: terms[] → (field, term, shard, docid, tf, dl,
-   positions[]) — the invert-document analog
-   (src/index/document-writer.lisp:51-142), all numpy.
-5. ``groupBy(field, term, shard).applyInPandas`` encode: docID-delta varint
-   cells + block-max metadata + positions sidecar (the .frq/.prx writer,
-   src/index/document-writer.lisp:153-213). Sharding by docid range bounds
-   every group at 2^shard_bits docs — hot terms (skew) split structurally
-   across shards instead of hitting one reducer.
-6. term_stats dictionary = groupBy(field, term) rollup of shard df/cf
-   (cross-segment df sum analog, src/index/multi-reader.lisp:151-153).
+   partition == one "segment" holding a CONTIGUOUS docid range (docid =
+   global rank of key, bases precomputed from per-partition key counts — a
+   cheap JVM-only agg; the segment-base rebasing analog,
+   src/index/multi-reader.lisp:30-37).
+2. ONE ``mapInPandas`` pass fuses tokenize → invert → encode
+   (src/index/document-writer.lisp:51-213 collapsed into a single vectorized
+   stage): each task tokenizes its rows, accumulates postings for the
+   current docid-range shard, and every time the running docid crosses a
+   shard boundary (2^shard_bits docs) flushes fully-encoded posting CELLS
+   (delta-varint docids + tf + dl streams, block-max metadata — see
+   codec/postings.py). Memory is bounded by one shard, not the partition.
+   Per-doc lengths ride along as marker cells (term = DOCLENS_TERM), so the
+   pass emits exactly one row type and nothing re-tokenizes later.
+3. The only wide shuffle moves COMPRESSED CELLS (≈1 byte/posting, not
+   30+ bytes/row): ``groupBy(field, shard, hash-bucket(term))`` merges the
+   few cells of shards that straddle partition edges — Spark's sort-merge
+   IS the reference's segment-merge priority queue
+   (src/index/segment-merger.lisp:163-246). Cells wholly inside one
+   partition pass through untouched (the common case). Block-max metadata
+   is avgdl-free (maxtf/mindl), so merge never loosens WAND bounds.
+4. ``term_stats`` dictionary = groupBy(field, term) rollup of cell df/cf
+   (cross-segment df sum analog, src/index/multi-reader.lisp:151-153);
+   corpus stats come from the doclens marker cells.
+
+Skew: hot terms (stop words, wildcard unions) are split structurally across
+docid-range shards — a term's per-shard group is bounded by 2^shard_bits
+docs regardless of its global df, so no single reducer ever sees a whole
+hot posting list (the salting requirement of the north star, built into the
+layout instead of bolted on).
 """
 
 from __future__ import annotations
@@ -40,20 +52,16 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from montezuma_spark.analysis import get_analyzer
-from montezuma_spark.codec.postings import encode_cell, encode_positions
+from montezuma_spark.codec.postings import (
+    decode_cell,
+    decode_positions,
+    encode_cell,
+    encode_positions,
+)
 from montezuma_spark.index.config import FieldConfig, IndexConfig
 
-TOKENIZED_SCHEMA = (
-    "pid int, key string, field string, dl long, terms array<string>"
-)
-
-INVERTED_SCHEMA = (
-    "field string, term string, shard long, docid long, tf long, dl long, "
-    "positions array<int>"
-)
-
-# terms are hash-bucketed for the encode shuffle: tasks = shards × buckets,
-# each bucket encodes many terms in one pandas batch
+# terms are hash-bucketed for the merge shuffle: tasks = shards × buckets,
+# each bucket merges many terms in one pandas batch
 ENCODE_BUCKETS = 128
 
 POSTINGS_SCHEMA = (
@@ -61,22 +69,291 @@ POSTINGS_SCHEMA = (
     "postings binary, positions binary, pos_off array<long>, "
     "blk_first array<long>, blk_last array<long>, blk_n array<int>, "
     "blk_off array<long>, blk_codes_len array<long>, blk_ext_len array<long>, "
-    "blk_maxw array<float>"
+    "blk_maxtf array<long>, blk_mindl array<long>"
 )
+POSTINGS_COLS = [c.split()[0] for c in POSTINGS_SCHEMA.split(", ")]
+
+# doc-length marker cells: one per (field, shard), postings = encode_cell(
+# docids, tfs=dl+1) (the +1 keeps empty docs encodable). These replace a
+# separate doc_lens shuffle; decoded lazily by _doclens_iter.
+DOCLENS_TERM = "\x00doclens"
+# per-(field, partition) corpus-stats marker row: df = num docs,
+# cf = total tokens. Corpus stats then cost one JVM agg over a handful of
+# rows instead of a python decode pass over the doclens cells.
+STATS_TERM = "\x00stats"
+MARKER_TERMS = (DOCLENS_TERM, STATS_TERM)
+
+DOC_LENS_SCHEMA = "field string, docid long, dl long, shard long"
+
+_GC_TUNED = False
 
 
-def _tokenize_iter(
-    batches: Iterator[pd.DataFrame], fields: list[FieldConfig], max_len: int
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: analysis chain over each arrow batch."""
-    analyzers = {
-        f.name: (get_analyzer(f.analyzer) if f.analyzer else None) for f in fields
+def _tune_worker_gc() -> None:
+    """Once per python worker process: collect, then freeze the imported
+    module graph into the permanent generation. The segment builder
+    allocates millions of small objects (token strings, arrays); without
+    the freeze, generational GC re-scans the large import heap throughout
+    the build (~25% of stage time), and touching old objects breaks
+    copy-on-write sharing with the pyspark daemon fork."""
+    global _GC_TUNED
+    if _GC_TUNED:
+        return
+    import gc
+
+    gc.collect()
+    gc.freeze()
+    _GC_TUNED = True
+
+
+def row_meta(row) -> dict:
+    """Block metadata dict from a postings row (namedtuple or Row)."""
+    return {
+        "first": list(row.blk_first),
+        "last": list(row.blk_last),
+        "n": list(row.blk_n),
+        "off": list(row.blk_off),
+        "codes_len": list(row.blk_codes_len),
+        "ext_len": list(row.blk_ext_len),
+        "maxtf": list(row.blk_maxtf),
+        "mindl": list(row.blk_mindl),
     }
+
+
+def _cell_row(field, term, shard, docids, tfs, dls, pos_lists, block_size):
+    """Encode one (field, term, shard) posting list into an output row."""
+    cell, meta = encode_cell(docids, tfs, dls=dls, block_size=block_size)
+    if pos_lists is not None:
+        flat = (
+            np.concatenate(pos_lists)
+            if len(pos_lists)
+            else np.empty(0, dtype=np.int64)
+        )
+        pos_cell, pos_off = encode_positions(tfs, flat, block_size=block_size)
+    else:
+        pos_cell, pos_off = b"", []
+    return {
+        "field": field,
+        "term": term,
+        "shard": int(shard),
+        "df": len(docids),
+        "cf": int(tfs.sum()),
+        "postings": cell,
+        "positions": pos_cell,
+        "pos_off": np.asarray(pos_off, dtype=np.int64),
+        "blk_first": np.asarray(meta["first"], dtype=np.int64),
+        "blk_last": np.asarray(meta["last"], dtype=np.int64),
+        "blk_n": np.asarray(meta["n"], dtype=np.int32),
+        "blk_off": np.asarray(meta["off"], dtype=np.int64),
+        "blk_codes_len": np.asarray(meta["codes_len"], dtype=np.int64),
+        "blk_ext_len": np.asarray(meta["ext_len"], dtype=np.int64),
+        "blk_maxtf": np.asarray(meta["maxtf"], dtype=np.int64),
+        "blk_mindl": np.asarray(meta["mindl"], dtype=np.int64),
+    }
+
+
+def _invert_chunk(docids, n_tokens, token_lists):
+    """Vectorized per-chunk inversion for one field (the invert-document
+    analog, src/index/document-writer.lisp:51-142, over a whole arrow batch
+    at once): → (terms(object), docid, tf, dl, flat_positions).
+
+    Positions stay FLAT (one array, runs of length tf per group, in group
+    order) — per-group small arrays (np.split) cost per-GROUP python/alloc
+    overhead, which at a web vocabulary (most terms rare → groups tiny)
+    dominates everything else."""
+    keep = n_tokens > 0
+    if not keep.any():
+        return None
+    kept_lists = [t for t, k in zip(token_lists, keep) if k]
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in kept_lists])
+    nt = n_tokens[keep]
+    d = docids[keep]
+    rowi = np.repeat(np.arange(len(nt)), nt)
+    bounds = np.cumsum(nt)
+    pos = np.arange(bounds[-1], dtype=np.int64) - np.repeat(bounds - nt, nt)
+    term_codes, term_inv = np.unique(flat, return_inverse=True)
+    order = np.lexsort((pos, term_inv, rowi))  # group (doc, term), pos asc
+    r = rowi[order]
+    t = term_inv[order]
+    change = np.empty(len(order), dtype=bool)
+    change[0] = True
+    change[1:] = (t[1:] != t[:-1]) | (r[1:] != r[:-1])
+    starts = np.flatnonzero(change)
+    tf = np.diff(np.append(starts, len(order)))
+    return (
+        term_codes[t[starts]],
+        d[r[starts]],
+        tf.astype(np.int64),
+        nt[r[starts]],
+        pos[order],  # flat positions, group runs of length tf
+    )
+
+
+def _gather_runs(flat: np.ndarray, run_starts: np.ndarray,
+                 run_lens: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Concatenate variable-length runs of ``flat`` in ``order`` — the
+    vectorized replacement for per-run python slicing."""
+    out_lens = run_lens[order]
+    total = int(out_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype)
+    starts_out = np.cumsum(out_lens) - out_lens
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(starts_out, out_lens)
+        + np.repeat(run_starts[order], out_lens)
+    )
+    return flat[idx]
+
+
+class _ShardBuf:
+    """Accumulates one field's postings for the CURRENT docid-range shard;
+    crossing a shard boundary flushes encoded cells. Bounds task memory by
+    one shard (2^shard_bits docs), not the whole partition."""
+
+    def __init__(self, field: str, block_size: int, with_pos: bool):
+        self.field = field
+        self.block_size = block_size
+        self.with_pos = with_pos
+        self.shard = None
+        self.chunks: list = []      # (terms, docids, tfs, dls, pos_lists)
+        self.len_chunks: list = []  # (docids, dls) incl. dl=0 docs
+
+    def add(self, docids, n_tokens, token_lists, shard_bits):
+        """Feed a batch slice (ascending docids); yields flushed cell rows."""
+        shards = docids >> shard_bits
+        s = 0
+        while s < len(docids):
+            e = int(np.searchsorted(shards, shards[s], side="right"))
+            if self.shard is not None and shards[s] != self.shard:
+                yield from self.flush()
+            self.shard = int(shards[s])
+            inv = _invert_chunk(
+                docids[s:e], n_tokens[s:e], token_lists[s:e]
+            )
+            if inv is not None:
+                self.chunks.append(inv)
+            self.len_chunks.append((docids[s:e], n_tokens[s:e]))
+            s = e
+
+    def flush(self):
+        """→ iterator of pd.DataFrames of encoded cell rows (batched:
+        every term of the shard is encoded in one vectorized pass)."""
+        from montezuma_spark.codec.postings import encode_cells_batch
+
+        if self.shard is None:
+            return
+        frames = []
+        if self.chunks:
+            terms = np.concatenate([c[0] for c in self.chunks])
+            docs = np.concatenate([c[1] for c in self.chunks])
+            tfs = np.concatenate([c[2] for c in self.chunks])
+            dls = np.concatenate([c[3] for c in self.chunks])
+            tcodes, tinv = np.unique(terms, return_inverse=True)
+            order = np.lexsort((docs, tinv))
+            ti = tinv[order]
+            starts = np.flatnonzero(np.diff(ti, prepend=-1))
+            bounds = np.append(starts, len(ti))
+            flat_pos = None
+            if self.with_pos:
+                all_pos = np.concatenate([c[4] for c in self.chunks])
+                run_starts = np.cumsum(tfs) - tfs
+                flat_pos = _gather_runs(all_pos, run_starts, tfs, order)
+            enc = encode_cells_batch(
+                bounds, docs[order], tfs[order], dls[order],
+                block_size=self.block_size, flat_positions=flat_pos,
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "field": self.field,
+                        "term": tcodes,
+                        "shard": int(self.shard),
+                        "df": enc["df"],
+                        "cf": enc["cf"],
+                        "postings": enc["postings"],
+                        "positions": enc["positions"],
+                        "pos_off": enc["pos_off"],
+                        "blk_first": enc["first"],
+                        "blk_last": enc["last"],
+                        "blk_n": enc["n"],
+                        "blk_off": enc["off"],
+                        "blk_codes_len": enc["codes_len"],
+                        "blk_ext_len": enc["ext_len"],
+                        "blk_maxtf": enc["maxtf"],
+                        "blk_mindl": enc["mindl"],
+                    },
+                    columns=POSTINGS_COLS,
+                )
+            )
+        # doclens marker cell for this shard (dl+1 so empty docs encode)
+        ld = np.concatenate([c[0] for c in self.len_chunks])
+        ldl = np.concatenate([c[1] for c in self.len_chunks]) + 1
+        frames.append(
+            pd.DataFrame(
+                [
+                    _cell_row(
+                        self.field, DOCLENS_TERM, self.shard, ld, ldl, ldl,
+                        None, self.block_size,
+                    )
+                ],
+                columns=POSTINGS_COLS,
+            )
+        )
+        self.chunks = []
+        self.len_chunks = []
+        self.shard = None
+        yield from frames
+
+
+def _segment_iter(
+    batches: Iterator[pd.DataFrame],
+    fields: list[FieldConfig],
+    max_len: int,
+    shard_bits: int,
+    block_size: int,
+    offsets: dict[int, int],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: the fused tokenize→invert→encode segment builder.
+
+    Docids are assigned by a running counter seeded from the partition's
+    precomputed base (``offsets[pid]``) — identical to dense_rank over the
+    key sort, with duplicate keys keeping their first row.
+    """
+    _tune_worker_gc()
+    analyzers = {
+        f.name: (get_analyzer(f.analyzer) if f.analyzer else None)
+        for f in fields
+    }
+    bufs = {
+        f.name: _ShardBuf(f.name, block_size, f.positions) for f in fields
+    }
+    counter = None
+    last_key = None
+    out_frames: list[pd.DataFrame] = []
+    ndocs = {f.name: 0 for f in fields}
+    ntoks = {f.name: 0 for f in fields}
     for pdf in batches:
-        out = []
+        if len(pdf) == 0:
+            continue
+        if counter is None:
+            pid = int(pdf["pid"].iloc[0])
+            counter = offsets.get(pid, 0)
+        keys = pdf["key"].to_numpy(dtype=object)
+        newmask = np.ones(len(keys), dtype=bool)
+        newmask[1:] = keys[1:] != keys[:-1]
+        if last_key is not None:
+            newmask[0] = keys[0] != last_key
+        last_key = keys[-1]
+        docids_all = counter + np.cumsum(newmask) - 1
+        if newmask.any():
+            counter = int(docids_all[-1]) + 1
+        sub = pdf[newmask]  # keep-first per duplicate key
+        if len(sub) == 0:
+            continue
+        docids = docids_all[newmask]
         for f in fields:
             an = analyzers[f.name]
-            col = pdf[f.column]
+            col = sub[f.column]
             if an is None:
                 # untokenized: whole value is a single term
                 # (ref: document-writer.lisp:69-75 untokenized branch)
@@ -87,144 +364,130 @@ def _tokenize_iter(
                 terms = an.tokens_series(col)
             if max_len:
                 terms = terms.map(lambda t: t[:max_len])
-            out.append(
-                pd.DataFrame(
-                    {
-                        "pid": pdf["pid"].astype("int32"),
-                        "key": pdf["key"],
-                        "field": f.name,
-                        "dl": terms.map(len).astype("int64"),
-                        "terms": terms,
-                    }
-                )
+            tl = terms.tolist()
+            nt = np.fromiter(
+                (len(t) for t in tl), dtype=np.int64, count=len(tl)
             )
-        yield pd.concat(out, ignore_index=True)
+            ndocs[f.name] += len(tl)
+            ntoks[f.name] += int(nt.sum())
+            out_frames.extend(bufs[f.name].add(docids, nt, tl, shard_bits))
+    for buf in bufs.values():
+        out_frames.extend(buf.flush())
+    stats_rows = [
+        {
+            **{c: None for c in POSTINGS_COLS},
+            "field": f.name,
+            "term": STATS_TERM,
+            "shard": -1,
+            "df": ndocs[f.name],
+            "cf": ntoks[f.name],
+            "postings": b"",
+            "positions": b"",
+            "pos_off": np.empty(0, dtype=np.int64),
+            "blk_first": np.empty(0, dtype=np.int64),
+            "blk_last": np.empty(0, dtype=np.int64),
+            "blk_n": np.empty(0, dtype=np.int32),
+            "blk_off": np.empty(0, dtype=np.int64),
+            "blk_codes_len": np.empty(0, dtype=np.int64),
+            "blk_ext_len": np.empty(0, dtype=np.int64),
+            "blk_maxtf": np.empty(0, dtype=np.int64),
+            "blk_mindl": np.empty(0, dtype=np.int64),
+        }
+        for f in fields
+        if ndocs[f.name]
+    ]
+    if stats_rows:
+        out_frames.append(pd.DataFrame(stats_rows, columns=POSTINGS_COLS))
+    if out_frames:
+        yield pd.concat(out_frames, ignore_index=True)
 
 
-def _invert_iter(
-    batches: Iterator[pd.DataFrame], shard_bits: int
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: (docid, field, terms[]) → posting rows, all numpy."""
+def merge_cell_rows(rows: list, block_size: int) -> dict:
+    """Concatenate N cells of one (field, term) in docid order and re-encode
+    — the append-postings merge (src/index/segment-merger.lisp:210-246).
+    Valid for doclens marker cells too. Safe under the avgdl-free block-max
+    metadata (bounds recomputed exactly from the merged tf/dl streams)."""
+    rows = sorted(rows, key=lambda r: r.blk_first[0] if len(r.blk_first) else 0)
+    all_d, all_t, all_dl, all_pos = [], [], [], []
+    with_pos = any(len(r.pos_off) for r in rows)
+    for r in rows:
+        meta = row_meta(r)
+        d, t, dl = decode_cell(bytes(r.postings), meta)
+        all_d.append(d)
+        all_t.append(t)
+        all_dl.append(dl)
+        if with_pos:
+            nblocks = len(meta["n"])
+            bounds = np.concatenate([[0], np.cumsum(meta["n"])])
+            block_tfs = {
+                j: t[bounds[j] : bounds[j + 1]] for j in range(nblocks)
+            }
+            pos = decode_positions(
+                bytes(r.positions), list(r.pos_off), meta, block_tfs
+            )
+            all_pos.append(
+                np.concatenate([pos[j] for j in sorted(pos)])
+                if pos
+                else np.empty(0, dtype=np.int64)
+            )
+    docids = np.concatenate(all_d)
+    tfs = np.concatenate(all_t)
+    dls = np.concatenate(all_dl)
+    if with_pos:
+        flat = np.concatenate(all_pos)
+        # positions stay doc-aligned because cells were concatenated in
+        # ascending docid-range order
+        pos_lists = np.split(flat, np.cumsum(tfs)[:-1])
+    else:
+        pos_lists = None
+    return _cell_row(
+        rows[0].field, rows[0].term, rows[0].shard, docids, tfs, dls,
+        pos_lists, block_size,
+    )
+
+
+def _make_cell_merger(block_size: int):
+    """groupBy(field, shard, tbucket).applyInPandas fn. The overwhelmingly
+    common case — every cell already complete inside one partition — is a
+    zero-copy passthrough; only shard straddles re-encode."""
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[POSTINGS_COLS]
+        if pdf["term"].is_unique:
+            return pdf
+        singles = pdf[~pdf["term"].duplicated(keep=False)]
+        out = [singles] if len(singles) else []
+        dups = pdf[pdf["term"].duplicated(keep=False)]
+        merged_rows = [
+            merge_cell_rows(list(grp.itertuples(index=False)), block_size)
+            for _, grp in dups.groupby("term", sort=False)
+        ]
+        out.append(pd.DataFrame(merged_rows, columns=POSTINGS_COLS))
+        return pd.concat(out, ignore_index=True)
+
+    return merge
+
+
+def _doclens_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode doclens marker cells → (field, docid, dl, shard) rows."""
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        n_tokens = pdf["terms"].map(len).to_numpy(dtype=np.int64)
-        if n_tokens.sum() == 0:
-            continue
-        keep = n_tokens > 0
-        pdf = pdf[keep]
-        n_tokens = n_tokens[keep]
-        flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
-        row_idx = np.repeat(np.arange(len(pdf)), n_tokens)
-        # token position within its document = local arange per row
-        bounds = np.cumsum(n_tokens)
-        pos = np.arange(bounds[-1], dtype=np.int64) - np.repeat(
-            bounds - n_tokens, n_tokens
-        )
-        term_codes, term_inv = np.unique(flat_terms, return_inverse=True)
-        field_codes, field_inv = np.unique(
-            pdf["field"].to_numpy(dtype=object), return_inverse=True
-        )
-        docids = pdf["docid"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        # sort tokens by (field, docid, term, pos) → contiguous groups
-        order = np.lexsort(
-            (pos, term_inv, docids[row_idx], field_inv[row_idx])
-        )
-        r = row_idx[order]
-        t = term_inv[order]
-        p = pos[order]
-        fi = field_inv[r]
-        d = docids[r]
-        grp_change = np.empty(len(order), dtype=bool)
-        grp_change[0] = True
-        grp_change[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1]) | (fi[1:] != fi[:-1])
-        starts = np.flatnonzero(grp_change)
-        tf = np.diff(np.append(starts, len(order)))
-        pos_lists = np.split(p, starts[1:])
-        out = pd.DataFrame(
-            {
-                "field": field_codes[fi[starts]],
-                "term": term_codes[t[starts]],
-                "shard": d[starts] >> shard_bits,
-                "docid": d[starts],
-                "tf": tf.astype(np.int64),
-                "dl": dls[r[starts]],
-                "positions": [pl.astype(np.int32) for pl in pos_lists],
-            }
-        )
-        yield out
-
-
-def _make_encoder(avgdl_by_field: dict, cfg_block: int, k1: float, b: float,
-                  store_positions: dict):
-    """Encoder for groupBy(field, shard, tbucket) — each group carries MANY
-    terms (hash-bucketed), amortizing applyInPandas overhead across a
-    bucket instead of paying it per term."""
-
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        field_name = key[0]
-        shard = key[1]
-        avgdl = avgdl_by_field.get(field_name, 1.0)
-        with_pos = store_positions.get(field_name, True)
-        terms_arr = pdf["term"].to_numpy(dtype=object)
-        docid_arr = pdf["docid"].to_numpy(dtype=np.int64)
-        tf_arr = pdf["tf"].to_numpy(dtype=np.int64)
-        dl_arr = pdf["dl"].to_numpy(dtype=np.int64)
-        term_codes, term_inv = np.unique(terms_arr, return_inverse=True)
-        order = np.lexsort((docid_arr, term_inv))
-        ti = term_inv[order]
-        starts = np.flatnonzero(np.diff(ti, prepend=-1))
-        bounds = np.append(starts, len(ti))
-        pos_arr = pdf["positions"].to_numpy(dtype=object) if with_pos else None
-        out = {c: [] for c in (
-            "field", "term", "shard", "df", "cf", "postings", "positions",
-            "pos_off", "blk_first", "blk_last", "blk_n", "blk_off",
-            "blk_codes_len", "blk_ext_len", "blk_maxw",
-        )}
-        for gi in range(len(starts)):
-            sl = order[bounds[gi] : bounds[gi + 1]]
-            docids = docid_arr[sl]
-            tfs = tf_arr[sl]
-            dls = dl_arr[sl]
-            cell, meta = encode_cell(
-                docids, tfs, dls=dls, avgdl=avgdl, block_size=cfg_block,
-                k1=k1, b=b,
-            )
-            if with_pos:
-                plists = pos_arr[sl]
-                flat = (
-                    np.concatenate(plists).astype(np.int64)
-                    if len(plists)
-                    else np.empty(0, dtype=np.int64)
+        parts = []
+        for row in pdf.itertuples(index=False):
+            d, t, _ = decode_cell(bytes(row.postings), row_meta(row))
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "field": row.field,
+                        "docid": d,
+                        "dl": t - 1,
+                        "shard": row.shard,
+                    }
                 )
-                pos_cell, pos_off = encode_positions(
-                    tfs, flat, block_size=cfg_block
-                )
-            else:
-                pos_cell, pos_off = b"", []
-            out["field"].append(field_name)
-            out["term"].append(term_codes[gi])
-            out["shard"].append(shard)
-            out["df"].append(len(docids))
-            out["cf"].append(int(tfs.sum()))
-            out["postings"].append(cell)
-            out["positions"].append(pos_cell)
-            out["pos_off"].append(np.asarray(pos_off, dtype=np.int64))
-            out["blk_first"].append(np.asarray(meta["first"], dtype=np.int64))
-            out["blk_last"].append(np.asarray(meta["last"], dtype=np.int64))
-            out["blk_n"].append(np.asarray(meta["n"], dtype=np.int32))
-            out["blk_off"].append(np.asarray(meta["off"], dtype=np.int64))
-            out["blk_codes_len"].append(
-                np.asarray(meta["codes_len"], dtype=np.int64)
             )
-            out["blk_ext_len"].append(
-                np.asarray(meta["ext_len"], dtype=np.int64)
-            )
-            out["blk_maxw"].append(np.asarray(meta["maxw"], dtype=np.float32))
-        return pd.DataFrame(out)
-
-    return encode_group
+        if parts:
+            yield pd.concat(parts, ignore_index=True)
 
 
 class Index:
@@ -251,6 +514,85 @@ class Index:
         self.stats = stats  # field -> {"num_docs": int, "avgdl": float, "total_tokens": int}
         self.index_dir = index_dir
         self.build_report = build_report or {}
+        from montezuma_spark.index.deletions import load_tombstones
+
+        # sorted tombstoned docids (.del bitset analog — see deletions.py)
+        self.tombstones: np.ndarray = load_tombstones(index_dir)
+
+    # ------------------------------------------------------------- deletions
+    def delete_docs(self, docids) -> int:
+        """Tombstone docids (delete-document analog,
+        src/index/index-reader.lisp:129-137). Returns live doc count delta."""
+        from montezuma_spark.index.deletions import save_tombstones
+
+        before = len(self.tombstones)
+        merged = np.union1d(
+            self.tombstones, np.asarray(list(docids), dtype=np.int64)
+        )
+        self.tombstones = merged
+        if self.index_dir:
+            save_tombstones(self.index_dir, merged)
+        return len(merged) - before
+
+    def delete_docs_by_key(self, keys) -> int:
+        """Delete by stable document key (url) — the key-based replace hook
+        used by update (src/index/index.lisp:184-192, 266-328)."""
+        keys = list(keys)
+        if not keys:
+            return 0
+        rows = (
+            self.doc_map.filter(F.col("key").isin(keys))
+            .select("docid")
+            .collect()
+        )
+        return self.delete_docs([r["docid"] for r in rows])
+
+    def undelete_all(self) -> None:
+        """undelete-all analog (src/index/index-reader.lisp:139-146)."""
+        from montezuma_spark.index.deletions import save_tombstones
+
+        self.tombstones = np.empty(0, dtype=np.int64)
+        if self.index_dir:
+            save_tombstones(self.index_dir, self.tombstones)
+
+    def has_deletions(self) -> bool:
+        return len(self.tombstones) > 0
+
+    def num_docs(self, field: str | None = None) -> int:
+        """Live doc count (num-docs analog, segment-reader.lisp:170-178):
+        total minus tombstones. Stats stay stale until expunge, like the
+        reference's until-merge semantics."""
+        fields = [field] if field else list(self.stats)
+        total = max(
+            (self.stats[f]["num_docs"] for f in fields), default=0
+        )
+        return total - len(self.tombstones)
+
+    def expunge_deletes(self) -> "Index":
+        from montezuma_spark.index.deletions import expunge_deletes
+
+        return expunge_deletes(self)
+
+    # -------------------------------------------------------------- optimize
+    def optimize(self) -> "Index":
+        """Merge multi-row cells (partition-edge straddles / streaming
+        segments) into one cell per (field, term, shard) — the optimize
+        analog (src/index/index-writer.lisp:94-107). One shuffle of
+        compressed cells, grouped (field, shard, term-bucket) so hot terms
+        stay split across docid shards."""
+        merger = _make_cell_merger(self.config.block_size)
+        postings = (
+            self.postings.withColumn(
+                "tbucket", F.pmod(F.xxhash64("term"), F.lit(ENCODE_BUCKETS))
+            )
+            .groupBy("field", "shard", "tbucket")
+            .applyInPandas(merger, schema=POSTINGS_SCHEMA)
+        )
+        return Index(
+            self.spark, self.config, self.doc_map, self.doc_lens, postings,
+            self.term_stats, self.stats, index_dir=None,
+            build_report=dict(self.build_report),
+        )
 
     # ------------------------------------------------------------------ save
     def save(self, index_dir: str) -> "Index":
@@ -305,8 +647,8 @@ def build_index(
 ) -> Index:
     """Build the inverted index over ``docs``.
 
-    With ``index_dir`` the tokenize stage is checkpointed per partition and
-    ``resume=True`` skips partitions already built (see checkpoint.py).
+    With ``index_dir`` the fused segment stage is checkpointed per partition
+    and ``resume=True`` skips partitions already built (see checkpoint.py).
     """
     config = config or IndexConfig()
     t0 = time.time()
@@ -314,34 +656,21 @@ def build_index(
     src_cols = [config.key_col] + sorted(
         {f.column for f in config.fields} | set(config.store_cols)
     )
+    # Cached here for the local bench (3 passes: key counts, segment build,
+    # doc_map). On a real cluster over Iceberg you would skip the persist —
+    # the range-sorted scan is deterministic and recompute is cheaper than
+    # caching 100 TB; resume is covered by the per-partition checkpoints.
     ranged = (
         docs.select(F.col(config.key_col).alias("key"),
                     *[c for c in src_cols if c != config.key_col])
         .repartitionByRange(nparts, "key")
         .sortWithinPartitions("key")
         .withColumn("pid", F.spark_partition_id())
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    fields = config.fields
-    max_len = config.max_field_length
-    if index_dir:
-        from montezuma_spark.index.checkpoint import checkpointed_tokenize
-
-        tokenized, tok_report = checkpointed_tokenize(
-            spark, ranged, fields, max_len, f"{index_dir}/tokenized", resume
-        )
-    else:
-        tokenized = ranged.mapInPandas(
-            lambda it: _tokenize_iter(it, fields, max_len),
-            schema=TOKENIZED_SCHEMA,
-        )
-        tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
-        tok_report = {}
-
-    # --- deterministic docid assignment (rank of key in global key order) ---
+    # --- docid bases: rank-of-key via per-partition key counts (JVM only) ---
     pid_counts = (
-        tokenized.select("pid", "key")
-        .groupBy("pid")
+        ranged.groupBy("pid")
         .agg(F.countDistinct("key").alias("n"))
         .orderBy("pid")
         .collect()
@@ -352,79 +681,85 @@ def build_index(
         offsets[row["pid"]] = acc
         acc += row["n"]
     total_docs = acc - docid_base
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
-    )
-    w = Window.partitionBy("pid").orderBy("key")
-    with_docid = (
-        tokenized.withColumn("rank", F.dense_rank().over(w))
-        .join(F.broadcast(offset_df), "pid")
-        .withColumn("docid", F.col("offset") + F.col("rank") - 1)
-        .drop("rank", "offset")
-    )
-    with_docid = with_docid.persist(StorageLevel.MEMORY_AND_DISK)
 
-    doc_map = with_docid.select("docid", "key").distinct()
-    if config.store_cols:
-        # stored fields (the .fdt/.fdx analog, src/index/fields-io.lisp):
-        # keep selected source columns alongside the docid for result
-        # hydration and sort-by-stored-field
-        stored = ranged.select("key", *config.store_cols)
-        doc_map = doc_map.join(stored, "key", "left")
-    doc_lens = with_docid.select(
-        "field",
-        "docid",
-        "dl",
-        F.shiftright("docid", config.shard_bits).alias("shard"),
-    )
+    fields = config.fields
+    max_len = config.max_field_length
 
-    stats_rows = (
-        with_docid.groupBy("field")
-        .agg(
-            F.count("*").alias("num_docs"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total_tokens"),
+    def fused(it):
+        return _segment_iter(
+            it, fields, max_len, config.shard_bits, config.block_size, offsets
         )
+
+    if index_dir:
+        from montezuma_spark.index.checkpoint import checkpointed_segments
+
+        cells, seg_report = checkpointed_segments(
+            spark, ranged, fused, f"{index_dir}/segment_cells", resume
+        )
+    else:
+        cells = ranged.mapInPandas(fused, schema=POSTINGS_SCHEMA)
+        seg_report = {}
+
+    # No merge shuffle in the hot path: a shard straddling a partition edge
+    # simply yields 2+ cell rows for the same (field, term, shard) — the
+    # query kernel already concatenates them in docid order at decode time
+    # (the multi-term-doc-enum analog, src/index/multi-reader.lisp:225-318).
+    # ``Index.optimize()`` / streaming ``compact()`` perform the explicit
+    # sort-merge into single cells when wanted (optimize analog,
+    # src/index/index-writer.lisp:94-107).
+    postings_all = cells.persist(StorageLevel.MEMORY_AND_DISK)
+
+    doc_lens = postings_all.filter(
+        F.col("term") == DOCLENS_TERM
+    ).mapInPandas(_doclens_iter, schema=DOC_LENS_SCHEMA)
+    postings = postings_all.filter(~F.col("term").isin(*MARKER_TERMS))
+
+    # stats job — materializes (and caches) the whole postings build once;
+    # a JVM-only agg over the per-partition stats marker rows
+    stats_rows = (
+        postings_all.filter(F.col("term") == STATS_TERM)
+        .groupBy("field")
+        .agg(F.sum("df").alias("num_docs"), F.sum("cf").alias("total_tokens"))
         .collect()
     )
     stats = {
         r["field"]: {
             "num_docs": int(r["num_docs"]),
-            "avgdl": float(r["avgdl"] or 0.0),
+            "avgdl": float(r["total_tokens"] / r["num_docs"])
+            if r["num_docs"]
+            else 0.0,
             "total_tokens": int(r["total_tokens"] or 0),
         }
         for r in stats_rows
     }
 
-    # --- inversion + encode --------------------------------------------------
-    inverted = with_docid.select("docid", "field", "dl", "terms").mapInPandas(
-        lambda it: _invert_iter(it, config.shard_bits), schema=INVERTED_SCHEMA
+    # --- doc_map: JVM-only dense_rank over the same key sort ----------------
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
     )
-    avgdl_by_field = {f: s["avgdl"] for f, s in stats.items()}
-    store_positions = {f.name: f.positions for f in config.fields}
-    encoder = _make_encoder(
-        avgdl_by_field, config.block_size, config.k1, config.b, store_positions
-    )
-    # hash-bucket terms so each shuffle group encodes MANY posting lists
-    # (amortizes per-group pandas overhead); (field, term, shard) rows stay
-    # unique because a term maps to exactly one bucket
-    postings = (
-        inverted.withColumn(
-            "tbucket", F.pmod(F.xxhash64("term"), F.lit(ENCODE_BUCKETS))
-        )
-        .groupBy("field", "shard", "tbucket")
-        .applyInPandas(encoder, schema=POSTINGS_SCHEMA)
+    w = Window.partitionBy("pid").orderBy("key")
+    doc_map = (
+        ranged.select("pid", "key", *config.store_cols)
+        .withColumn("rank", F.dense_rank().over(w))
+        .join(F.broadcast(offset_df), "pid")
+        .withColumn("docid", F.col("offset") + F.col("rank") - 1)
+        .select("docid", "key", *config.store_cols)
+        .dropDuplicates(["docid"])
     )
 
     term_stats = postings.groupBy("field", "term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
 
+    build_seconds = time.time() - t0
     report = {
         "total_docs": total_docs,
         "partitions": nparts,
-        "build_seconds": None,  # filled after materialization
-        **tok_report,
+        "build_seconds": build_seconds,
+        "docs_per_sec": round(total_docs / build_seconds, 2)
+        if build_seconds > 0
+        else None,
+        **seg_report,
     }
     idx = Index(
         spark, config, doc_map, doc_lens, postings, term_stats, stats,

@@ -48,9 +48,7 @@ def get_index(spark: SparkSession, sf_dir: str):
             shard_bits=8,
             block_size=128,
         )
-        idx = build_index(spark, docs, cfg)
-        idx.postings = idx.postings.persist()
-        idx.doc_lens = idx.doc_lens.persist()
+        idx = build_index(spark, docs, cfg)  # persists cells internally
         _INDEX_CACHE[sf_dir] = (idx, Searcher(idx))
     return _INDEX_CACHE[sf_dir]
 

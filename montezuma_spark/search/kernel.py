@@ -68,6 +68,12 @@ class CompiledPlan:
     b: float
     k: int | None  # top-k per shard; None = return all matches
     need_positions: bool
+    # sorted tombstoned docids (the .del bitset analog,
+    # src/util/bit-vector.lisp + segment-reader.lisp:106-113). Shipped
+    # inside the serialized plan = a broadcast to every shard kernel;
+    # excluded at decode time, BEFORE top-k truncation, exactly like the
+    # reference's term-doc-enum deleted-doc skip (term-doc-enum.lisp:85-98).
+    deleted: np.ndarray | None = None
 
 
 _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
@@ -117,7 +123,8 @@ class ShardEval:
             "off": list(row.blk_off),
             "codes_len": list(row.blk_codes_len),
             "ext_len": list(row.blk_ext_len),
-            "maxw": list(row.blk_maxw),
+            "maxtf": list(row.blk_maxtf),
+            "mindl": list(row.blk_mindl),
         }
 
     def _blocks_for(self, meta, candidates: np.ndarray | None):
@@ -146,14 +153,25 @@ class ShardEval:
             return docids, tfs, dls, block_of, (row, meta, blocks)
         return docids, tfs, dls
 
+    def _drop_deleted(self, docids, *parallel):
+        """Mask tombstoned docids out of a decoded (sorted) posting run."""
+        dele = self.plan.deleted
+        if dele is None or len(dele) == 0 or len(docids) == 0:
+            return (docids, *parallel)
+        idx = np.clip(np.searchsorted(dele, docids), 0, len(dele) - 1)
+        keep = dele[idx] != docids
+        if keep.all():
+            return (docids, *parallel)
+        return (docids[keep], *(a[keep] for a in parallel))
+
     def _decode(self, field, term, candidates=None):
         rows = self.cells.get((field, term))
         if not rows:
             return _EMPTY[0], _EMPTY[0], _EMPTY[0]
         if len(rows) == 1:
-            return self._decode_row(rows[0], candidates)
+            return self._drop_deleted(*self._decode_row(rows[0], candidates))
         parts = [self._decode_row(r, candidates) for r in rows]
-        return (
+        return self._drop_deleted(
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]),
@@ -226,14 +244,26 @@ class ShardEval:
         return None
 
     def _term_ub(self, field: str, term: str, boost: float) -> float:
-        """Score upper bound over this shard: idf·boost·(k1+1)·max(maxw)
-        (block-max metadata from the cell encoder, codec/postings.py)."""
+        """Score upper bound over this shard: idf·boost·(k1+1)·max over
+        blocks of the bound from (maxtf, mindl) metadata and the exact
+        query-time avgdl (codec/postings.py block_upper_bounds)."""
         rows = self.cells.get((field, term))
         if not rows:
             return 0.0
-        mx = max((max(r.blk_maxw) if len(r.blk_maxw) else 0.0) for r in rows)
-        idf = self.plan.idf.get((field, term), 0.0)
-        return idf * boost * (self.plan.k1 + 1.0) * mx
+        from montezuma_spark.codec.postings import block_upper_bounds
+
+        p = self.plan
+        avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
+        mx = 0.0
+        for r in rows:
+            if len(r.blk_maxtf):
+                ubs = block_upper_bounds(
+                    np.asarray(r.blk_maxtf), np.asarray(r.blk_mindl),
+                    avgdl, p.k1, p.b,
+                )
+                mx = max(mx, float(ubs.max()))
+        idf = p.idf.get((field, term), 0.0)
+        return idf * boost * (p.k1 + 1.0) * mx
 
     def _try_pruned_disjunction(self, node: Query):
         """Term-at-a-time disjunction with block-max pruning — the
@@ -316,6 +346,7 @@ class ShardEval:
             if not alld:
                 return _EMPTY
             docs = np.unique(np.concatenate(alld))
+            (docs,) = self._drop_deleted(docs)
             if candidates is not None:
                 docs, _ = self._restrict(
                     docs, np.zeros(len(docs)), candidates

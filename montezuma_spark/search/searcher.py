@@ -195,6 +195,7 @@ class Searcher:
 
     def _compile(self, query: Query, k: int | None):
         resolved, idf, df_est, need_pos = self._resolve(query)
+        tomb = getattr(self.index, "tombstones", None)
         plan = CompiledPlan(
             query=resolved,
             idf=idf,
@@ -204,6 +205,7 @@ class Searcher:
             b=self.index.config.b,
             k=k,
             need_positions=need_pos,
+            deleted=tomb if tomb is not None and len(tomb) else None,
         )
         return plan, resolved, need_pos
 
@@ -218,7 +220,7 @@ class Searcher:
         cols = [
             "field", "term", "shard", "df", "cf", "postings",
             "blk_first", "blk_last", "blk_n", "blk_off", "blk_codes_len",
-            "blk_ext_len", "blk_maxw",
+            "blk_ext_len", "blk_maxtf", "blk_mindl",
         ]
         if need_pos:
             cols += ["positions", "pos_off"]
@@ -366,6 +368,13 @@ class Searcher:
         return BooleanQuery(
             (BooleanClause(query, "MUST"), BooleanClause(filter_query, FILTER))
         )
+
+    def delete_docs_with_term(self, field: str, term: str) -> int:
+        """Tombstone every doc matching (field, term) —
+        delete-docs-with-term analog (src/index/index-reader.lisp:148-153).
+        Returns the number of newly deleted docs."""
+        docids = self.matching_docids(TermQuery(field, term))
+        return self.index.delete_docs(docids)
 
     def get_document(self, docid: int) -> dict | None:
         """Fetch the stored document by docid (get-document analog,

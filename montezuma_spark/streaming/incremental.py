@@ -51,7 +51,7 @@ class IncrementalIndexer:
             with open(self._manifest_path) as fh:
                 return json.load(fh)
         return {"segments": [], "next_docid": 0, "next_seg": 0,
-                "applied_batches": []}
+                "applied_batches": [], "tombstones": []}
 
     def _commit(self, man: dict) -> None:
         tmp = self._manifest_path + ".tmp"
@@ -95,6 +95,46 @@ class IncrementalIndexer:
         self._commit(man)
         return entry
 
+    def delete_by_key(self, keys) -> int:
+        """Tombstone docs by key (url) across all segments — the
+        delete-docs-with-term/key path (src/index/index.lisp:184-192).
+        Tombstones live in the manifest and apply at query + compact time."""
+        keys = [k for k in keys if k is not None]
+        if not keys:
+            return 0
+        man = self.manifest()
+        if not man["segments"]:
+            return 0
+        idx = self.multi_index()
+        from pyspark.sql import functions as F
+
+        rows = (
+            idx.doc_map.filter(F.col("key").isin(keys))
+            .select("docid")
+            .collect()
+        )
+        new = {int(r["docid"]) for r in rows}
+        man = self.manifest()
+        before = set(man.get("tombstones", []))
+        man["tombstones"] = sorted(before | new)
+        self._commit(man)
+        return len(new - before)
+
+    def update_batch(self, docs: DataFrame, batch_id: int | None = None) -> dict:
+        """Update = delete-by-key + add as a new segment — the reference's
+        query-update / key-replace semantics (src/index/index.lisp:266-328:
+        no in-place update; delete then re-add). The new segment's docids
+        are later in docid order, so the fresh version wins top-k ties the
+        same way the reference's re-added doc gets a new docid."""
+        man = self.manifest()
+        if batch_id is not None and batch_id in man["applied_batches"]:
+            return {"skipped": True, "batch_id": batch_id}
+        keys = [r["key"] for r in
+                docs.select(docs[self.config.key_col].alias("key"))
+                .distinct().collect()]
+        self.delete_by_key(keys)
+        return self.add_batch(docs, batch_id=batch_id)
+
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` (Structured Streaming)."""
 
@@ -111,6 +151,14 @@ class IncrementalIndexer:
         if not segs:
             raise ValueError("no segments yet")
         if len(segs) == 1:
+            tombs = man.get("tombstones", [])
+            if tombs:
+                import numpy as np
+
+                segs[0].tombstones = np.union1d(
+                    segs[0].tombstones,
+                    np.asarray(sorted(tombs), dtype=np.int64),
+                )
             return segs[0]
         from functools import reduce
         from pyspark.sql import functions as F
@@ -139,11 +187,17 @@ class IncrementalIndexer:
             st["avgdl"] = (
                 st["total_tokens"] / st["num_docs"] if st["num_docs"] else 0.0
             )
-        return Index(
+        idx = Index(
             self.spark, segs[0].config, doc_map, doc_lens, postings,
             term_stats, stats, index_dir=None,
             build_report={"segments": len(segs)},
         )
+        tombs = man.get("tombstones", [])
+        if tombs:
+            import numpy as np
+
+            idx.tombstones = np.asarray(sorted(tombs), dtype=np.int64)
+        return idx
 
     # -------------------------------------------------------------- compact
     def compact(self) -> Index:
@@ -151,8 +205,12 @@ class IncrementalIndexer:
         ``optimize``). Postings cells are decoded and re-encoded per
         (field, term, shard) with the merged corpus avgdl — block-max bounds
         stay tight. Commits a fresh single-segment manifest."""
-        merged = self.multi_index() if len(self.manifest()["segments"]) > 1 \
-            else Index.load(self.spark, self.manifest()["segments"][0]["dir"])
+        merged = self.multi_index()
+        if merged.has_deletions():
+            # merge-time compaction of tombstones (the doc-map skip in
+            # append-postings, segment-merger.lisp:210-246): expunge first
+            # (lazy — untouched cells pass through), then re-merge cells
+            merged = merged.expunge_deletes()
         man = self.manifest()
         seg_id = man["next_seg"]
         seg_dir = os.path.join(self.index_dir, "segments", f"seg-{seg_id:06d}")
@@ -164,13 +222,15 @@ class IncrementalIndexer:
                     "id": seg_id,
                     "dir": seg_dir,
                     "docid_base": 0,
-                    "num_docs": sum(e["num_docs"] for e in man["segments"]),
+                    "num_docs": sum(e["num_docs"] for e in man["segments"])
+                    - len(man.get("tombstones", [])),
                     "stats": compacted.stats,
                 }
             ],
             "next_docid": man["next_docid"],
             "next_seg": seg_id + 1,
             "applied_batches": man["applied_batches"],
+            "tombstones": [],  # compaction expunged them
         }
         self._commit(new_man)
         for d in old_dirs:  # delete obsolete segment files (deletable list)
@@ -182,78 +242,21 @@ def _merge_postings(merged: Index, out_dir: str) -> Index:
     """Re-encode multi-segment postings into single cells per
     (field, term, shard) — the append-postings merge
     (src/index/segment-merger.lisp:210-246) as one applyInPandas."""
-    import numpy as np
     import pandas as pd
 
-    from montezuma_spark.codec.postings import (
-        decode_cell,
-        decode_positions,
-        encode_cell,
-        encode_positions,
+    from montezuma_spark.index.builder import (
+        POSTINGS_COLS,
+        POSTINGS_SCHEMA,
+        merge_cell_rows,
     )
-    from montezuma_spark.index.builder import POSTINGS_SCHEMA
 
-    avgdl_by_field = {f: s["avgdl"] for f, s in merged.stats.items()}
-    cfg = merged.config
-    block = cfg.block_size
-    k1, b = cfg.k1, cfg.b
+    block = merged.config.block_size
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        field, term, shard = key
-        rows = list(pdf.itertuples(index=False))
-        rows.sort(key=lambda r: r.blk_first[0] if len(r.blk_first) else 0)
-        all_d, all_t, all_dl, all_pos = [], [], [], []
-        for r in rows:
-            meta = {
-                "first": list(r.blk_first), "last": list(r.blk_last),
-                "n": list(r.blk_n), "off": list(r.blk_off),
-                "codes_len": list(r.blk_codes_len),
-                "ext_len": list(r.blk_ext_len), "maxw": list(r.blk_maxw),
-            }
-            d, t, dl = decode_cell(bytes(r.postings), meta)
-            all_d.append(d)
-            all_t.append(t)
-            all_dl.append(dl)
-            if len(r.pos_off):
-                nblocks = len(meta["n"])
-                bounds = np.concatenate([[0], np.cumsum(meta["n"])])
-                block_tfs = {
-                    j: t[bounds[j] : bounds[j + 1]] for j in range(nblocks)
-                }
-                pos = decode_positions(
-                    bytes(r.positions), list(r.pos_off), meta, block_tfs
-                )
-                all_pos.append(
-                    np.concatenate([pos[j] for j in sorted(pos)])
-                    if pos else np.empty(0, dtype=np.int64)
-                )
-        docids = np.concatenate(all_d)
-        tfs = np.concatenate(all_t)
-        dls = np.concatenate(all_dl)
-        cell, meta = encode_cell(
-            docids, tfs, dls=dls, avgdl=avgdl_by_field.get(field, 1.0),
-            block_size=block, k1=k1, b=b,
-        )
-        if all_pos:
-            flat = np.concatenate(all_pos)
-            pos_cell, pos_off = encode_positions(tfs, flat, block_size=block)
-        else:
-            pos_cell, pos_off = b"", []
-        return pd.DataFrame(
-            {
-                "field": [field], "term": [term], "shard": [shard],
-                "df": [len(docids)], "cf": [int(tfs.sum())],
-                "postings": [cell], "positions": [pos_cell],
-                "pos_off": [np.asarray(pos_off, dtype=np.int64)],
-                "blk_first": [np.asarray(meta["first"], dtype=np.int64)],
-                "blk_last": [np.asarray(meta["last"], dtype=np.int64)],
-                "blk_n": [np.asarray(meta["n"], dtype=np.int32)],
-                "blk_off": [np.asarray(meta["off"], dtype=np.int64)],
-                "blk_codes_len": [np.asarray(meta["codes_len"], dtype=np.int64)],
-                "blk_ext_len": [np.asarray(meta["ext_len"], dtype=np.int64)],
-                "blk_maxw": [np.asarray(meta["maxw"], dtype=np.float32)],
-            }
-        )
+        if len(pdf) == 1:
+            return pdf[POSTINGS_COLS]
+        row = merge_cell_rows(list(pdf.itertuples(index=False)), block)
+        return pd.DataFrame([row], columns=POSTINGS_COLS)
 
     from pyspark.sql import functions as F
 

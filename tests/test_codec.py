@@ -91,13 +91,17 @@ def test_blockmax_bound_is_upper_bound():
     tfs = rng.randint(1, 30, size=500).astype(np.int64)
     dls = rng.randint(10, 300, size=500).astype(np.int64)
     avgdl = 120.0
-    cell, meta = encode_cell(docids, tfs, dls=dls, avgdl=avgdl, block_size=32)
+    cell, meta = encode_cell(docids, tfs, dls=dls, block_size=32)
     from montezuma_spark.codec import bm25_tf_norm
+    from montezuma_spark.codec.postings import block_upper_bounds
 
     norms = bm25_tf_norm(tfs, dls, avgdl)
+    ubs = block_upper_bounds(meta["maxtf"], meta["mindl"], avgdl)
     for j in range(len(meta["n"])):
         s, e = 32 * j, min(32 * (j + 1), 500)
-        assert meta["maxw"][j] >= norms[s:e].max() - 1e-12
+        assert ubs[j] >= norms[s:e].max() - 1e-12
+        assert meta["maxtf"][j] == tfs[s:e].max()
+        assert meta["mindl"][j] == dls[s:e].min()
 
 
 def test_positions_roundtrip():

@@ -1,0 +1,147 @@
+"""Deletions: tombstones, query-time exclusion, delete-docs-with-term,
+update-by-key, expunge compaction (reference: index-reader.lisp:129-153
+delete/undelete, segment-merge-info.lisp:27-40 merge compaction,
+index.lisp:266-328 update = delete + re-add)."""
+
+import numpy as np
+import pytest
+
+from montezuma_spark.fixtures import synth_web_pages_df, synth_web_pages_pdf
+from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+from montezuma_spark.oracle import OracleIndex
+from montezuma_spark.search import (
+    MUST,
+    SHOULD,
+    MatchAllQuery,
+    PhraseQuery,
+    Searcher,
+    TermQuery,
+    bool_query,
+)
+from montezuma_spark.streaming import IncrementalIndexer
+
+CFG = IndexConfig(
+    fields=[FieldConfig("text", "text", "simple")], shard_bits=5, block_size=16
+)
+N = 100
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    docs = synth_web_pages_df(spark, N)
+    return build_index(spark, docs, CFG, index_dir=str(tmp_path / "ix"))
+
+
+def test_delete_excludes_from_all_query_shapes(spark, idx):
+    s = Searcher(idx)
+    base = s.matching_docids(TermQuery("text", "merge"))
+    assert len(base) >= 3
+    victims = base[:2]
+    idx.delete_docs(victims)
+    after = s.matching_docids(TermQuery("text", "merge"))
+    assert after == [d for d in base if d not in victims]
+    # boolean
+    q = bool_query(
+        (TermQuery("text", "merge"), SHOULD), (TermQuery("text", "spark"), SHOULD)
+    )
+    assert not set(victims) & set(s.matching_docids(q))
+    # match-all
+    assert len(s.matching_docids(MatchAllQuery())) == N - 2
+    # phrase never returns a deleted doc
+    ph = s.matching_docids(PhraseQuery.of("text", ["batch", "batch"]))
+    assert not set(victims) & set(ph)
+    # top-k never surfaces them either
+    top = s.top_docs(TermQuery("text", "merge"), k=N)
+    assert not set(victims) & {d for d, _ in top}
+
+
+def test_delete_persists_and_undelete(spark, idx):
+    from montezuma_spark.index.builder import Index
+
+    s = Searcher(idx)
+    base = s.matching_docids(TermQuery("text", "vector"))
+    idx.delete_docs(base[:1])
+    # reload from disk → tombstones survive
+    re = Index.load(spark, idx.index_dir)
+    assert list(re.tombstones) == base[:1]
+    assert Searcher(re).matching_docids(TermQuery("text", "vector")) == base[1:]
+    re.undelete_all()
+    assert Searcher(re).matching_docids(TermQuery("text", "vector")) == base
+
+
+def test_delete_docs_with_term_and_num_docs(spark, idx):
+    s = Searcher(idx)
+    n = len(s.matching_docids(TermQuery("text", "window")))
+    assert n > 0
+    deleted = s.delete_docs_with_term("text", "window")
+    assert deleted == n
+    assert s.matching_docids(TermQuery("text", "window")) == []
+    assert idx.num_docs() == N - n
+    assert idx.has_deletions()
+
+
+def test_expunge_matches_fresh_build(spark, idx, tmp_path):
+    """Post-expunge scores == a fresh oracle over the surviving docs with
+    the SAME docids and the post-delete avgdl/N."""
+    s = Searcher(idx)
+    victims = s.matching_docids(TermQuery("text", "merge"))[:3]
+    idx.delete_docs(victims)
+    ex = idx.expunge_deletes()
+    assert not ex.has_deletions()
+    # stats refreshed
+    assert ex.stats["text"]["num_docs"] == N - 3
+    se = Searcher(ex)
+    # oracle over survivors, same docids (stable across expunge)
+    pdf = synth_web_pages_pdf(N).sort_values("url").reset_index(drop=True)
+    o = OracleIndex()
+    for docid, row in enumerate(pdf.itertuples(index=False)):
+        if docid in victims:
+            continue
+        o.add(docid, {"text": (row.text, "simple")})
+    for term in ("merge", "spark", "vector"):
+        got = se.top_docs(TermQuery("text", term), k=10)
+        want = o.top_k(TermQuery("text", term), k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_allclose(
+            [x for _, x in got], [x for _, x in want], rtol=1e-9
+        )
+    # phrase positions survive the rewrite
+    ph_before = set(se.matching_docids(PhraseQuery.of("text", ["batch", "batch"])))
+    s2 = Searcher(idx)
+    ph_tomb = set(s2.matching_docids(PhraseQuery.of("text", ["batch", "batch"])))
+    assert ph_before == ph_tomb
+
+
+def test_streaming_update_by_key(spark, tmp_path):
+    """update_batch replaces docs by url: old docids tombstoned, new
+    segment serves the fresh content."""
+    ix = IncrementalIndexer(spark, str(tmp_path / "incr"), CFG)
+    pdf = synth_web_pages_pdf(60)
+    ix.add_batch(spark.createDataFrame(pdf), batch_id=0)
+    s = Searcher(ix.multi_index())
+    target_url = pdf["url"].iloc[0]
+    old_hits = s.matching_docids(TermQuery("text", "zebrafish"))
+    assert old_hits == []
+    upd = pdf.iloc[[0]].copy()
+    upd["text"] = "zebrafish zebrafish unique replacement text"
+    ix.update_batch(spark.createDataFrame(upd), batch_id=1)
+    multi = ix.multi_index()
+    s2 = Searcher(multi)
+    hits = s2.matching_docids(TermQuery("text", "zebrafish"))
+    assert len(hits) == 1 and hits[0] >= 60  # the re-added doc, new docid
+    # the old version of the doc no longer matches its former terms
+    old_tokens = [t for t in pdf["text"].iloc[0].split() if t.isalpha()]
+    if old_tokens:
+        tq = TermQuery("text", old_tokens[0].lower())
+        docid_old = s2.index.doc_map.filter(
+            f"key = '{target_url}'"
+        ).collect()
+        docids = {r["docid"] for r in docid_old}
+        live = set(s2.matching_docids(tq))
+        # the tombstoned (pre-update) docid must not appear
+        assert not (docids & live & set(range(60)))
+    # compaction expunges tombstones and preserves the update
+    compacted = ix.compact()
+    assert not ix.manifest()["tombstones"]
+    s3 = Searcher(compacted)
+    assert len(s3.matching_docids(TermQuery("text", "zebrafish"))) == 1

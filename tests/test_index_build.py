@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from montezuma_spark.codec import decode_cell, decode_positions
 from montezuma_spark.fixtures import search_docs_df, synth_web_pages_df
 from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+from montezuma_spark.index.builder import row_meta
 
 
 SEARCH_CFG = IndexConfig(
@@ -51,15 +52,7 @@ def test_postings_word2(search_index):
     ).collect()
     docids = []
     for r in rows:
-        meta = {
-            "first": list(r["blk_first"]),
-            "last": list(r["blk_last"]),
-            "n": list(r["blk_n"]),
-            "off": list(r["blk_off"]),
-            "codes_len": list(r["blk_codes_len"]),
-            "ext_len": list(r["blk_ext_len"]),
-            "maxw": list(r["blk_maxw"]),
-        }
+        meta = row_meta(r)
         d, t, dl = decode_cell(bytes(r["postings"]), meta)
         assert (t == 1).all()
         assert (dl > 0).all()
@@ -75,15 +68,7 @@ def test_positions_roundtrip_via_index(search_index):
     ).collect()
     found = {}
     for r in rows:
-        meta = {
-            "first": list(r["blk_first"]),
-            "last": list(r["blk_last"]),
-            "n": list(r["blk_n"]),
-            "off": list(r["blk_off"]),
-            "codes_len": list(r["blk_codes_len"]),
-            "ext_len": list(r["blk_ext_len"]),
-            "maxw": list(r["blk_maxw"]),
-        }
+        meta = row_meta(r)
         d, t, _dl = decode_cell(bytes(r["postings"]), meta)
         block_tfs = {}
         # split tfs by block
@@ -132,7 +117,7 @@ def test_save_load_roundtrip(spark, tmp_path):
     idx2 = Index.load(spark, str(tmp_path / "ix"))
     assert idx2.stats["field"]["num_docs"] == 18
     assert idx2.term_stats.count() == idx.term_stats.count()
-    assert idx2.build_report["tokenize_docs"] == 18
+    assert idx2.build_report["segment_docs"] == 18
 
 
 def test_checkpoint_resume(spark, tmp_path):
@@ -142,13 +127,13 @@ def test_checkpoint_resume(spark, tmp_path):
     )
     d = str(tmp_path / "ck")
     idx1 = build_index(spark, docs, cfg, index_dir=d)
-    assert idx1.build_report["tokenize_skipped"] == 0
+    assert idx1.build_report["segment_skipped"] == 0
     t1 = {(r["field"], r["term"]): (r["df"], r["cf"]) for r in idx1.term_stats.collect()}
     stats1 = idx1.stats
     # resume: all partitions already committed → zero re-tokenization
     idx2 = build_index(spark, docs, cfg, index_dir=d, resume=True)
-    assert idx2.build_report["tokenize_skipped"] == idx2.build_report[
-        "tokenize_partitions"
+    assert idx2.build_report["segment_skipped"] == idx2.build_report[
+        "segment_partitions"
     ]
     assert idx2.stats == stats1
     t2 = {(r["field"], r["term"]): (r["df"], r["cf"]) for r in idx2.term_stats.collect()}

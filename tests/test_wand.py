@@ -31,9 +31,7 @@ def _build_shard(rng, n_docs, terms_df):
             np.int64
         )
         tfs = rng.integers(1, 12, size=df).astype(np.int64)
-        cell, meta = encode_cell(
-            docs, tfs, dls=dls[docs], avgdl=avgdl, block_size=16
-        )
+        cell, meta = encode_cell(docs, tfs, dls=dls[docs], block_size=16)
         rows.append(
             {
                 "field": "text",
@@ -50,7 +48,8 @@ def _build_shard(rng, n_docs, terms_df):
                 "blk_off": meta["off"],
                 "blk_codes_len": meta["codes_len"],
                 "blk_ext_len": meta["ext_len"],
-                "blk_maxw": meta["maxw"],
+                "blk_maxtf": meta["maxtf"],
+                "blk_mindl": meta["mindl"],
             }
         )
         idf[("text", term)] = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
