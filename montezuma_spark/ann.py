@@ -238,3 +238,95 @@ def planes_sql_values(planes: np.ndarray) -> str:
         vec = ", ".join(repr(float(v)) for v in row)
         rows.append(f"({p}, [{vec}])")
     return ",\n  ".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> probe -> exact rerank
+# ---------------------------------------------------------------------------
+
+NUM_CENTROIDS = 16
+NPROBE = 4
+IVF_SEED = 54321
+
+
+def ivf_centroids(dim: int = 64, n: int = NUM_CENTROIDS,
+                  seed: int = IVF_SEED) -> np.ndarray:
+    """Deterministic unit-norm centroids (n x dim).
+
+    Random (data-independent) centroids keep the whole pipeline — and its
+    SQL oracle — a pure function of the seed. At production scale you would
+    train them (Spark ML KMeans over a sample) and broadcast the trained
+    matrix; every plan below is unchanged, only the literals differ.
+    """
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, cid): each vector assigned to its max-dot-product centroid
+    (centroids are unit-norm, so this is cosine assignment).
+
+    Declarative (explode x centroids, groupBy, max_by) so DuckDB's
+    arg_max reproduces it exactly. Shuffle bounded by n·centroids; at
+    10^9+ vectors swap the explode for a pandas_udf matmul against the
+    same broadcast centroid matrix — semantics identical.
+    """
+    ncent = centroids.shape[0]
+    cl = _planes_array_lit(centroids)
+    ex = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("i", "ev")
+    ).withColumn("ev", F.col("ev").cast("double"))
+    ex = ex.withColumn(
+        "c", F.explode(F.sequence(F.lit(0), F.lit(ncent - 1)))
+    ).withColumn(
+        "cv", F.element_at(F.element_at(cl, F.col("c") + 1), F.col("i") + 1)
+    )
+    dots = ex.groupBy(id_col, "c").agg(
+        F.sum(F.col("ev") * F.col("cv")).alias("dot")
+    )
+    return dots.groupBy(id_col).agg(F.expr("max_by(c, dot)").alias("cid"))
+
+
+def ivf_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
+             nprobe: int = NPROBE, centroids: np.ndarray | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN for one query vector already in the table: probe the
+    ``nprobe`` nearest centroid cells, exact cosine rerank of their
+    members. Returns (id, cos) ordered (cos desc, id asc).
+
+    Scale shape (10^12 vectors): the assignment table is written once,
+    PARTITIONED BY cid (an Iceberg partition transform), so a query scans
+    only nprobe partitions — the postings-list analog for vectors."""
+    head = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
+    qvec = np.asarray([float(x) for x in head[vec_col]], dtype=np.float64)
+    if centroids is None:
+        centroids = ivf_centroids(dim=len(qvec))
+    qdots = centroids @ qvec
+    probe = [
+        int(c) for c in np.lexsort((np.arange(len(qdots)), -qdots))[:nprobe]
+    ]
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    cand = assign.filter(F.col("cid").isin(probe)).filter(
+        F.col(id_col) != query_id
+    )
+    qnorm = math.sqrt(float(np.dot(qvec, qvec)))
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    ex = (
+        emb.join(cand.select(id_col), id_col)
+        .select(F.col(id_col), F.posexplode(vec_col).alias("i", "ev"))
+        .withColumn("ev", F.col("ev").cast("double"))
+        .withColumn("qv", F.element_at(qlit, F.col("i") + 1))
+    )
+    sums = ex.groupBy(id_col).agg(
+        F.sum(F.col("ev") * F.col("qv")).alias("dot"),
+        F.sum(F.col("ev") * F.col("ev")).alias("nn"),
+    )
+    cos = F.col("dot") / (F.sqrt("nn") * F.lit(qnorm))
+    return (
+        sums.select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

@@ -286,6 +286,18 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: assign vectors to deterministic coarse centroids, probe
+    the query's nprobe nearest cells, exact cosine rerank —
+    montezuma_spark.ann.ivf_topk."""
+    from montezuma_spark.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, query_id=0, k=10).select(
+        "vec_id", F.round("cos", 5).alias("cos")
+    )
+
+
 def ann_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -333,6 +345,7 @@ QUERIES = {
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_embed_neardup": dd_embed_neardup,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_cosine_topk": ann_cosine_topk,
 }
 
@@ -412,6 +425,48 @@ bands AS (
   FROM sigs s, LATERAL (SELECT * FROM (VALUES {bands_rows}) t(band_id, band_val)) b
 ),
 norms AS (SELECT vec_id, sqrt(sum(ev * ev)) AS nrm FROM expl GROUP BY vec_id)
+"""
+
+
+def _ivf_sql() -> str:
+    """IVF oracle: the same literal centroid matrix as the Spark plan,
+    arg_max assignment, nprobe probe of the query's best cells, exact
+    cosine rerank."""
+    from montezuma_spark.ann import NPROBE, ivf_centroids, planes_sql_values
+
+    cents = ivf_centroids(dim=64)
+    return f"""
+WITH cents(c, vec) AS (VALUES
+  {planes_sql_values(cents)}
+),
+expl AS (
+  SELECT e.vec_id, t.i, e.embedding[t.i]::DOUBLE AS ev
+  FROM embeddings e, range(1, 65) t(i)
+),
+cdots AS (
+  SELECT x.vec_id, ct.c, sum(x.ev * ct.vec[x.i]) AS dot
+  FROM expl x, cents ct GROUP BY x.vec_id, ct.c
+),
+assign AS (SELECT vec_id, arg_max(c, dot) AS cid FROM cdots GROUP BY vec_id),
+qprobe AS (
+  SELECT c AS cid FROM cdots WHERE vec_id = 0
+  ORDER BY dot DESC, c ASC LIMIT {NPROBE}
+),
+cand AS (
+  SELECT a.vec_id FROM assign a JOIN qprobe p ON a.cid = p.cid
+  WHERE a.vec_id != 0
+),
+q AS (SELECT i, ev AS qv FROM expl WHERE vec_id = 0),
+r AS (
+  SELECT x.vec_id, sum(x.ev * q.qv) AS dot, sum(x.ev * x.ev) AS nn
+  FROM expl x JOIN cand c ON c.vec_id = x.vec_id JOIN q ON q.i = x.i
+  GROUP BY x.vec_id
+),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q)
+SELECT vec_id, round(cos, 5) AS cos FROM (
+  SELECT vec_id, dot / (sqrt(nn) * (SELECT qnorm FROM qn)) AS cos
+  FROM r ORDER BY cos DESC, vec_id ASC LIMIT 10
+)
 """
 
 
@@ -595,6 +650,7 @@ SELECT vec_id, round(cos, 5) AS cos FROM (
   FROM cdots ORDER BY cos DESC, vec_id ASC LIMIT 10
 )
 """,
+    "ann_ivf_topk": _ivf_sql(),
     "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 expl AS (

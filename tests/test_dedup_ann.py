@@ -176,3 +176,31 @@ def test_embedding_neardup_pairs_threshold(spark, emb_df):
         assert abs(cos - want) < 1e-9
         assert want >= 0.9
         assert labels[a] == labels[b], "0.9-cosine pairs must be same cluster"
+
+
+def test_ivf_assignment_and_topk(spark, emb_df):
+    from montezuma_spark.ann import ivf_assign, ivf_centroids, ivf_topk
+
+    df, rows = emb_df
+    cents = ivf_centroids(dim=16, n=8)
+    vecs = {vid: np.asarray(v, dtype=np.float32).astype(np.float64)
+            for vid, v, _ in rows}
+    # assignment = argmax dot against the same centroid matrix
+    assign = {r["vec_id"]: r["cid"] for r in ivf_assign(df, cents).collect()}
+    for vid, v in vecs.items():
+        assert assign[vid] == int(np.argmax(cents @ v)), vid
+    # topk: cosines exact, members only from probed cells
+    out = ivf_topk(df, query_id=0, k=5, nprobe=3, centroids=cents).toPandas()
+    q = vecs[0]
+    qd = cents @ q
+    probe = set(np.argsort(-qd)[:3].tolist())
+    for vid, cos in zip(out["vec_id"], out["cos"]):
+        want = float(
+            q @ vecs[vid] / (np.linalg.norm(q) * np.linalg.norm(vecs[vid]))
+        )
+        assert abs(cos - want) < 1e-9
+        assert assign[vid] in probe
+    # query's own near-duplicates (cluster 0: vids 1..5) share its cell →
+    # they dominate the top-k
+    same_cluster = sum(1 for v in out["vec_id"] if 1 <= v <= 5)
+    assert same_cluster >= 3
