@@ -468,6 +468,61 @@ def _make_cell_merger(block_size: int):
     return merge
 
 
+def _rebase_iter(
+    batches: Iterator[pd.DataFrame],
+    base: int,
+    shard_bits: int,
+    block_size: int,
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for add-indexes: shift every docid by ``base`` and
+    re-split cells at the new shard boundaries (a shifted cell can straddle
+    them; all postings of one doc must land in one shard group)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        out_rows = []
+        for row in pdf.itertuples(index=False):
+            meta = row_meta(row)
+            docids, tfs, dls = decode_cell(bytes(row.postings), meta)
+            if len(docids) == 0:
+                continue
+            d2 = docids + base
+            pos_lists = None
+            if bytes(row.positions):
+                nblocks = len(meta["n"])
+                bounds = np.concatenate(
+                    [[0], np.cumsum(np.asarray(meta["n"], dtype=np.int64))]
+                )
+                block_tfs = {
+                    j: tfs[bounds[j] : bounds[j + 1]] for j in range(nblocks)
+                }
+                pos_by_block = decode_positions(
+                    bytes(row.positions), list(row.pos_off), meta, block_tfs
+                )
+                flat = (
+                    np.concatenate([pos_by_block[j] for j in range(nblocks)])
+                    if nblocks
+                    else np.empty(0, dtype=np.int64)
+                )
+                pb = np.concatenate([[0], np.cumsum(tfs)])
+                pos_lists = [flat[pb[i] : pb[i + 1]] for i in range(len(d2))]
+            shards = d2 >> shard_bits
+            s = 0
+            while s < len(d2):
+                e = int(np.searchsorted(shards, shards[s], side="right"))
+                out_rows.append(
+                    _cell_row(
+                        row.field, row.term, int(shards[s]), d2[s:e],
+                        tfs[s:e], dls[s:e],
+                        pos_lists[s:e] if pos_lists is not None else None,
+                        block_size,
+                    )
+                )
+                s = e
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=POSTINGS_COLS)
+
+
 def _doclens_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Decode doclens marker cells → (field, docid, dl, shard) rows."""
     for pdf in batches:
@@ -572,6 +627,73 @@ class Index:
         from montezuma_spark.index.deletions import expunge_deletes
 
         return expunge_deletes(self)
+
+    # ----------------------------------------------------------- add-indexes
+    def add_indexes(self, *others: "Index") -> "Index":
+        """Bulk-merge foreign indexes into this one — the add-indexes
+        analog (src/index/index-writer.lisp:109-153). Each other index's
+        docids are rebased past this index's max docid (the segment-base
+        idiom, multi-reader.lisp:30-37); its cells are re-split at the new
+        shard boundaries in one narrow mapInPandas (no shuffle). Fields
+        must share analyzer config (field-infos merge is static here)."""
+        base_row = self.doc_map.agg(F.max("docid")).collect()[0]
+        base = int(base_row[0]) + 1 if base_row[0] is not None else 0
+        postings_parts = [self.postings]
+        doc_maps = [self.doc_map]
+        doc_lens_parts = [self.doc_lens]
+        stats = {
+            f: dict(s) for f, s in self.stats.items()
+        }
+        tombs = [self.tombstones]
+        sb, bs = self.config.shard_bits, self.config.block_size
+        for o in others:
+            b = base
+            postings_parts.append(
+                o.postings.mapInPandas(
+                    lambda it, _b=b: _rebase_iter(it, _b, sb, bs),
+                    schema=POSTINGS_SCHEMA,
+                )
+            )
+            doc_maps.append(
+                o.doc_map.withColumn("docid", F.col("docid") + F.lit(b))
+            )
+            doc_lens_parts.append(
+                o.doc_lens.withColumn("docid", F.col("docid") + F.lit(b))
+                .withColumn("shard", F.shiftright("docid", sb))
+            )
+            for f, s in o.stats.items():
+                agg = stats.setdefault(
+                    f, {"num_docs": 0, "total_tokens": 0, "avgdl": 0.0}
+                )
+                agg["num_docs"] = agg.get("num_docs", 0) + s["num_docs"]
+                agg["total_tokens"] = (
+                    agg.get("total_tokens", 0) + s["total_tokens"]
+                )
+            if len(o.tombstones):
+                tombs.append(o.tombstones + b)
+            mx = o.doc_map.agg(F.max("docid")).collect()[0]
+            base = b + (int(mx[0]) + 1 if mx[0] is not None else 0)
+        for f, s in stats.items():
+            s["avgdl"] = (
+                s["total_tokens"] / s["num_docs"] if s["num_docs"] else 0.0
+            )
+        from functools import reduce
+
+        postings = reduce(lambda a, c: a.unionByName(c), postings_parts)
+        doc_map = reduce(
+            lambda a, c: a.unionByName(c, allowMissingColumns=True), doc_maps
+        )
+        doc_lens = reduce(lambda a, c: a.unionByName(c), doc_lens_parts)
+        term_stats = postings.groupBy("field", "term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        )
+        merged = Index(
+            self.spark, self.config, doc_map, doc_lens, postings,
+            term_stats, stats, index_dir=None,
+            build_report={"added_indexes": len(others)},
+        )
+        merged.tombstones = np.sort(np.concatenate(tombs))
+        return merged
 
     # -------------------------------------------------------------- optimize
     def optimize(self) -> "Index":

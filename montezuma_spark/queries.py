@@ -26,6 +26,7 @@ from montezuma_spark.search import (
     MUST,
     MUST_NOT,
     SHOULD,
+    MatchAllQuery,
     PhraseQuery,
     RangeQuery,
     Searcher,
@@ -125,6 +126,20 @@ def ft_phrase_docs(spark, sf_dir):
     _, s = get_index(spark, sf_dir)
     q = PhraseQuery.of("text", ["batch", "batch"])
     return s._execute(q, None).select("docid")
+
+
+def ft_sloppy_phrase_docs(spark, sf_dir):
+    """Sloppy phrase (slop=3): docs where 'spark' and 'merge' align within
+    3 positions after offset shifting (sloppy-phrase-scorer.lisp:6-34)."""
+    _, s = get_index(spark, sf_dir)
+    q = PhraseQuery.of("text", ["spark", "merge"], slop=3)
+    return s._execute(q, None).select("docid")
+
+
+def ft_matchall(spark, sf_dir):
+    """Match-all-docs query (src/search/match-all-query.lisp)."""
+    _, s = get_index(spark, sf_dir)
+    return s._execute(MatchAllQuery(), None).select("docid")
 
 
 def ft_range_docs(spark, sf_dir):
@@ -286,6 +301,25 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def mm_features(spark, sf_dir):
+    """Multimodal plumbing over the documents table: texts become opaque
+    binary payloads (the image/audio stand-in — no media libs in this
+    container), run through the Arrow-batched feature extractor
+    (montezuma_spark.multimodal.extract_features). The SQL-expressible
+    outputs (byte count, content sha256) are oracle-checked; pseudo
+    dimensions / feature vectors are covered by tests/test_multimodal.py."""
+    from montezuma_spark.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("u"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(docs, payload_col="payload", url_col="u")
+    return feats.select(
+        F.col("url").cast("long").alias("doc_id"), "n_bytes", "sha256"
+    )
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF ANN: assign vectors to deterministic coarse centroids, probe
     the query's nprobe nearest cells, exact cosine rerank —
@@ -330,6 +364,8 @@ QUERIES = {
     "ft_bool_or_topk": ft_bool_or_topk,
     "ft_bool_not_docs": ft_bool_not_docs,
     "ft_phrase_docs": ft_phrase_docs,
+    "ft_sloppy_phrase_docs": ft_sloppy_phrase_docs,
+    "ft_matchall": ft_matchall,
     "ft_range_docs": ft_range_docs,
     "ft_wildcard_docs": ft_wildcard_docs,
     "ft_dictionary": ft_dictionary,
@@ -347,6 +383,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_cosine_topk": ann_cosine_topk,
+    "mm_features": mm_features,
 }
 
 # ===========================================================================
@@ -504,6 +541,17 @@ SELECT docid, round(score, 6) AS score FROM (
 SELECT docid FROM docs
 WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% batch batch %'
 """,
+    "ft_sloppy_phrase_docs": _BASE + """
+, pos AS (
+  SELECT docid, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
+  FROM docs
+)
+SELECT DISTINCT a.docid FROM pos a JOIN pos b USING (docid)
+WHERE a.tok = 'spark' AND b.tok = 'merge' AND abs((b.i - 1) - a.i) <= 3
+""",
+    "ft_matchall": _BASE + """
+SELECT docid FROM docs
+""",
     "ft_range_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens WHERE tok >= 'key' AND tok <= 'merge'
 """,
@@ -649,6 +697,10 @@ SELECT vec_id, round(cos, 5) AS cos FROM (
   SELECT vec_id, dot / (sqrt(nn) * (SELECT qnorm FROM qn)) AS cos
   FROM cdots ORDER BY cos DESC, vec_id ASC LIMIT 10
 )
+""",
+    "mm_features": """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
+FROM documents
 """,
     "ann_ivf_topk": _ivf_sql(),
     "ann_cosine_topk": """

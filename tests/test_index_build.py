@@ -149,3 +149,44 @@ def test_deterministic_docids_across_parallelism(spark):
     db = b.doc_map.orderBy("docid").toPandas()
     assert list(da["key"]) == list(db["key"])
     assert list(da["docid"]) == list(db["docid"])
+
+
+def test_add_indexes_matches_single_build(spark):
+    """add_indexes (index-writer.lisp:109-153): two separately built
+    indexes over url-disjoint halves must answer like one build over the
+    concatenation — rank- and score-identical (docids align because the
+    second half's urls sort after the first's)."""
+    from montezuma_spark.fixtures import synth_web_pages_pdf
+    from montezuma_spark.search import Searcher, TermQuery, PhraseQuery
+
+    pdf = synth_web_pages_pdf(120).sort_values("url").reset_index(drop=True)
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")], shard_bits=5,
+        block_size=16,
+    )
+    a = build_index(spark, spark.createDataFrame(pdf.iloc[:70]), cfg)
+    b = build_index(spark, spark.createDataFrame(pdf.iloc[70:]), cfg)
+    merged = a.add_indexes(b)
+    whole = build_index(spark, spark.createDataFrame(pdf), cfg)
+    assert merged.stats["text"]["num_docs"] == 120
+    assert abs(
+        merged.stats["text"]["avgdl"] - whole.stats["text"]["avgdl"]
+    ) < 1e-9
+    sm, sw = Searcher(merged), Searcher(whole)
+    for q in (
+        TermQuery("text", "merge"),
+        TermQuery("text", "spark"),
+        PhraseQuery.of("text", ["batch", "batch"]),
+    ):
+        got = sm.top_docs(q, k=20)
+        want = sw.top_docs(q, k=20)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-9
+        )
+    # dictionary identical
+    tm = {(r["field"], r["term"]): (r["df"], r["cf"])
+          for r in merged.term_stats.collect()}
+    tw = {(r["field"], r["term"]): (r["df"], r["cf"])
+          for r in whole.term_stats.collect()}
+    assert tm == tw
