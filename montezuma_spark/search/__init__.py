@@ -1,4 +1,5 @@
 from montezuma_spark.search.ast import (  # noqa: F401
+    FILTER,
     MUST,
     MUST_NOT,
     SHOULD,

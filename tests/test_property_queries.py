@@ -1,0 +1,116 @@
+"""Property-based query testing (hypothesis): random boolean/phrase/range/
+wildcard trees over a synthetic corpus must match the single-process numpy
+oracle rank- and score-identically — the generative analog of the
+reference's M2K regression test (tests/unit/regression/tc-m2k.lisp:58-163),
+with the oracle replacing "doesn't crash" by "is exactly right".
+
+One index is built once (Spark jobs are slow); hypothesis drives QUERIES,
+which the preloaded searcher answers driver-side (no Spark job per example).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from montezuma_spark.analysis import get_analyzer
+from montezuma_spark.fixtures import synth_web_pages_df, synth_web_pages_pdf
+from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+from montezuma_spark.oracle import OracleIndex
+from montezuma_spark.search import (
+    FILTER,
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanClause,
+    BooleanQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    RangeQuery,
+    Searcher,
+    TermQuery,
+    WildcardQuery,
+)
+
+N_DOCS = 80
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")], shard_bits=4,
+        block_size=8,
+    )
+    idx = build_index(spark, synth_web_pages_df(spark, N_DOCS), cfg)
+    s = Searcher(idx, preload=True)
+    o = OracleIndex()
+    pdf = synth_web_pages_pdf(N_DOCS).sort_values("url").reset_index(drop=True)
+    for i, row in enumerate(pdf.itertuples(index=False)):
+        o.add(i, {"text": (row.text, "simple")})
+    # vocabulary to draw query terms from (mix of present + absent terms)
+    an = get_analyzer("simple")
+    vocab = sorted({t for txt in pdf["text"] for t in an.tokens(txt)})
+    return s, o, vocab
+
+
+def _terms(vocab):
+    return st.sampled_from(vocab + ["zzz_absent", "qqq_nope"])
+
+
+def _query_strategy(vocab):
+    terms = _terms(vocab)
+    leaf = st.one_of(
+        terms.map(lambda t: TermQuery("text", t)),
+        st.tuples(terms, terms, st.integers(0, 3)).map(
+            lambda x: PhraseQuery.of("text", [x[0], x[1]], slop=x[2])
+        ),
+        st.tuples(terms, terms).map(
+            lambda x: RangeQuery(
+                "text", min(x), max(x), True, True
+            )
+        ),
+        terms.map(lambda t: WildcardQuery("text", t[:2] + "*")),
+        st.just(MatchAllQuery()),
+    )
+
+    def bool_of(children):
+        occurs = [MUST, SHOULD, SHOULD, MUST_NOT, FILTER]
+        clauses = tuple(
+            BooleanClause(c, occurs[i % len(occurs)])
+            for i, c in enumerate(children)
+        )
+        return BooleanQuery(clauses)
+
+    return st.recursive(
+        leaf, lambda inner: st.lists(inner, min_size=1, max_size=4).map(bool_of),
+        max_leaves=6,
+    )
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_query_matches_oracle(engine, data):
+    s, o, vocab = engine
+    q = data.draw(_query_strategy(vocab))
+    got = s.top_docs(q, k=N_DOCS)
+    want = o.top_k(q, k=N_DOCS)
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    np.testing.assert_allclose(
+        [x for _, x in got], [x for _, x in want], rtol=1e-9, atol=1e-12
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_query_doc_sets(engine, data):
+    s, o, vocab = engine
+    q = data.draw(_query_strategy(vocab))
+    assert s.matching_docids(q) == o.matching(q), q

@@ -26,7 +26,10 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="parquet dir of web pages")
+    ap.add_argument(
+        "--input", required=True,
+        help="web-pages source: parquet path or Iceberg/catalog table name",
+    )
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--key-col", default="url")
@@ -48,8 +51,10 @@ def main() -> None:
         key_col=args.key_col,
         shard_bits=args.shard_bits,
     )
+    from montezuma_spark.sources import read_table
+
     t0 = time.time()
-    docs = spark.read.parquet(args.input)
+    docs = read_table(spark, args.input)
     idx = build_index(
         spark, docs, cfg, index_dir=args.index_dir, resume=args.resume
     )
