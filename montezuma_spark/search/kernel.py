@@ -486,19 +486,24 @@ class ShardEval:
         pos_by_block = decode_positions(
             bytes(row.positions), list(row.pos_off), meta, block_tfs
         )
-        # flat position bounds per posting within each decoded block
+        # one flat stream in decoded-block order; posting j's run is
+        # pb[j]:pb[j+1] (t_all aligns with d_all) — no per-doc block search
+        flat = (
+            np.concatenate([pos_by_block[int(b)] for b in blocks])
+            if len(blocks)
+            else np.empty(0, dtype=np.int64)
+        )
+        pb = np.concatenate([[0], np.cumsum(t_all)])
+        idx = np.searchsorted(d_all, wanted)
+        idx_c = np.clip(idx, 0, len(d_all) - 1)
+        found = d_all[idx_c] == wanted
         out = []
-        for doc in wanted:
-            j = np.searchsorted(d_all, doc)
-            if j >= len(d_all) or d_all[j] != doc:
+        for w in range(len(wanted)):
+            if not found[w]:
                 out.append(np.empty(0, dtype=np.int64))
-                continue
-            b = int(block_of[j])
-            i_block = int(np.flatnonzero(blocks == b)[0])
-            local = j - bounds[i_block]
-            tfs_blk = block_tfs[b]
-            pstart = int(tfs_blk[:local].sum())
-            out.append(pos_by_block[b][pstart : pstart + int(tfs_blk[local])])
+            else:
+                j = idx_c[w]
+                out.append(flat[pb[j] : pb[j + 1]])
         return out
 
     def _eval_phrase(self, node: PhraseQuery, candidates):
@@ -521,18 +526,44 @@ class ShardEval:
             range(len(node.terms))
         ]
         freqs = np.zeros(len(docs), dtype=np.int64)
-        for di in range(len(docs)):
-            shifted = [
-                pos_lists[i][di] - node.offsets[i] for i in range(len(node.terms))
-            ]
-            if node.slop == 0:
-                inter = shifted[0]
-                for s in shifted[1:]:
-                    inter = np.intersect1d(inter, s, assume_unique=True)
-                    if len(inter) == 0:
-                        break
-                freqs[di] = len(inter)
-            else:
+        if node.slop == 0:
+            # vectorized across ALL candidate docs: encode (doc, shifted
+            # position) as one composite key and intersect the terms' key
+            # sets — no per-doc python. Bias keeps shifted positions
+            # non-negative; it is identical per term so intersection is
+            # unaffected.
+            M = np.int64(1) << np.int64(33)
+            bias = max(node.offsets)
+            keys = None
+            for i in range(len(node.terms)):
+                lists = pos_lists[i]
+                lens = np.fromiter(
+                    (len(a) for a in lists), dtype=np.int64, count=len(lists)
+                )
+                flat = (
+                    np.concatenate(lists)
+                    if len(lists)
+                    else np.empty(0, dtype=np.int64)
+                )
+                di = np.repeat(np.arange(len(docs), dtype=np.int64), lens)
+                k = di * M + (flat - node.offsets[i] + bias)
+                keys = (
+                    k
+                    if keys is None
+                    else np.intersect1d(keys, k, assume_unique=True)
+                )
+                if len(keys) == 0:
+                    break
+            if keys is not None and len(keys):
+                freqs = np.bincount(
+                    (keys // M).astype(np.int64), minlength=len(docs)
+                ).astype(np.int64)
+        else:
+            for di in range(len(docs)):
+                shifted = [
+                    pos_lists[i][di] - node.offsets[i]
+                    for i in range(len(node.terms))
+                ]
                 freqs[di] = _sloppy_freq(shifted, node.slop)
         keep = freqs > 0
         docs = docs[keep]

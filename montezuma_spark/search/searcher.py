@@ -293,21 +293,32 @@ class Searcher:
         return eval_local(plan, postings.toPandas())
 
     # ------------------------------------------------------------------- API
-    def search(self, query: Query, k: int | None = 10) -> DataFrame:
-        """Top-k (docid, score, key), tie-break (score desc, docid asc)."""
-        local = self._execute_local(query, k)
+    def search(self, query: Query, k: int | None = 10,
+               first_doc: int = 0) -> DataFrame:
+        """Top-k (docid, score, key), tie-break (score desc, docid asc).
+
+        ``first_doc`` is the reference's pagination offset
+        (src/search/index-searcher.lisp:56-108: first-doc/num-docs)."""
+        fetch = (k + first_doc) if k is not None else None
+        local = self._execute_local(query, fetch)
         if local is not None:
             if k is not None:
-                local = local.head(k)
+                local = local.iloc[first_doc : first_doc + k]
+            elif first_doc:
+                local = local.iloc[first_doc:]
             result = self.index.spark.createDataFrame(
                 local, schema=RESULT_SCHEMA
             )
         else:
-            result = self._execute(query, k)
+            result = self._execute(query, fetch)
             if k is not None:
                 result = result.orderBy(
                     F.desc("score"), F.asc("docid")
-                ).limit(k)
+                ).offset(first_doc).limit(k)
+            elif first_doc:
+                result = result.orderBy(
+                    F.desc("score"), F.asc("docid")
+                ).offset(first_doc)
         # every docid exists in doc_map → inner join; broadcast the k-row
         # result side so the docid→url lookup never shuffles doc_map
         if k is not None:
@@ -317,14 +328,18 @@ class Searcher:
             out = result.join(self.index.doc_map, "docid", "inner")
         return out.select("docid", "key", "score")
 
-    def top_docs(self, query: Query, k: int = 10) -> list[tuple[int, float]]:
-        local = self._execute_local(query, k)
+    def top_docs(self, query: Query, k: int = 10,
+                 first_doc: int = 0) -> list[tuple[int, float]]:
+        local = self._execute_local(query, k + first_doc)
         if local is not None:
             return list(
-                local.head(k).itertuples(index=False, name=None)
+                local.iloc[first_doc : first_doc + k].itertuples(
+                    index=False, name=None
+                )
             )
         return [
-            (r["docid"], r["score"]) for r in self.search(query, k).collect()
+            (r["docid"], r["score"])
+            for r in self.search(query, k, first_doc=first_doc).collect()
         ]
 
     def matching_docids(self, query: Query) -> list[int]:

@@ -213,6 +213,12 @@ def test_topk_pagination_shape(searcher):
     top10 = searcher.top_docs(T("word1"), k=10)
     assert len(top3) == 3 and len(top10) == 10
     assert top3 == top10[:3]
+    # first-doc offset (index-searcher.lisp:56-108 first-doc/num-docs)
+    page2 = searcher.top_docs(T("word1"), k=3, first_doc=3)
+    assert page2 == top10[3:6]
+    # distributed path honors the same offset
+    rows = searcher.search(T("word1"), k=3, first_doc=3).collect()
+    assert [r["docid"] for r in rows] == [d for d, _ in page2]
 
 
 def test_simple_corpus_goldens(spark):
