@@ -523,6 +523,80 @@ def _rebase_iter(
             yield pd.DataFrame(out_rows, columns=POSTINGS_COLS)
 
 
+TERM_VECTORS_SCHEMA = (
+    "docid long, field string, term string, tf long, positions array<int>"
+)
+
+
+def _uninvert_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: decode cells back into per-doc term rows — the
+    term-vectors sidecar (src/index/term-vectors-io.lisp:21-391) derived by
+    UNINVERTING the postings instead of a second indexing pass."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        frames = []
+        for row in pdf.itertuples(index=False):
+            meta = row_meta(row)
+            docids, tfs, dls = decode_cell(bytes(row.postings), meta)
+            if len(docids) == 0:
+                continue
+            if bytes(row.positions):
+                nblocks = len(meta["n"])
+                bounds = np.concatenate(
+                    [[0], np.cumsum(np.asarray(meta["n"], dtype=np.int64))]
+                )
+                block_tfs = {
+                    j: tfs[bounds[j] : bounds[j + 1]] for j in range(nblocks)
+                }
+                pos_by_block = decode_positions(
+                    bytes(row.positions), list(row.pos_off), meta, block_tfs
+                )
+                flat = np.concatenate(
+                    [pos_by_block[j] for j in range(nblocks)]
+                )
+                pb = np.concatenate([[0], np.cumsum(tfs)])
+                plists = [
+                    flat[pb[i] : pb[i + 1]].astype(np.int32)
+                    for i in range(len(docids))
+                ]
+            else:
+                plists = [np.empty(0, dtype=np.int32)] * len(docids)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "docid": docids,
+                        "field": row.field,
+                        "term": row.term,
+                        "tf": tfs,
+                        "positions": plists,
+                    }
+                )
+            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+
+def term_vectors(index: "Index", docids: list[int] | None = None):
+    """Per-doc term vectors (term, tf, positions) — get-term-vector analog.
+
+    With ``docids`` the postings scan is block-pruned driver-side only by
+    shard (cells are term-major); for bulk export leave docids=None and the
+    whole table uninverts in one narrow pass. Scale note: output is
+    ~index-sized; repartition by docid before joining doc-major consumers.
+    """
+    postings = index.postings
+    if docids is not None:
+        shards = sorted({d >> index.config.shard_bits for d in docids})
+        postings = postings.filter(F.col("shard").isin(shards))
+    tv = postings.mapInPandas(_uninvert_iter, schema=TERM_VECTORS_SCHEMA)
+    if docids is not None:
+        tv = tv.filter(F.col("docid").isin([int(d) for d in docids]))
+    return tv
+
+
 def _doclens_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Decode doclens marker cells → (field, docid, dl, shard) rows."""
     for pdf in batches:
@@ -694,6 +768,12 @@ class Index:
         )
         merged.tombstones = np.sort(np.concatenate(tombs))
         return merged
+
+    def term_vectors(self, docids: list[int] | None = None):
+        """Per-doc (field, term, tf, positions) rows — the term-vectors
+        sidecar (term-vectors-io.lisp) via uninversion; see
+        builder.term_vectors."""
+        return term_vectors(self, docids)
 
     # -------------------------------------------------------------- optimize
     def optimize(self) -> "Index":

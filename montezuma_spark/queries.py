@@ -114,6 +114,18 @@ def ft_bool_or_topk(spark, sf_dir):
     )
 
 
+def ft_parsed_topk(spark, sf_dir):
+    """Query-string parser end-to-end: '+merge spark vector' = MUST merge,
+    SHOULD spark/vector (query-parser.lisp:160-234 occur semantics)."""
+    from montezuma_spark.search.parser import QueryParser
+
+    _, s = get_index(spark, sf_dir)
+    q = QueryParser(default_field="text", analyzer="simple").parse(
+        "+merge spark vector"
+    )
+    return _topk(s, q)
+
+
 def ft_bool_not_docs(spark, sf_dir):
     _, s = get_index(spark, sf_dir)
     q = bool_query((TermQuery("text", "merge"), MUST),
@@ -362,6 +374,7 @@ QUERIES = {
     "ft_term_topk": ft_term_topk,
     "ft_bool_and_topk": ft_bool_and_topk,
     "ft_bool_or_topk": ft_bool_or_topk,
+    "ft_parsed_topk": ft_parsed_topk,
     "ft_bool_not_docs": ft_bool_not_docs,
     "ft_phrase_docs": ft_phrase_docs,
     "ft_sloppy_phrase_docs": ft_sloppy_phrase_docs,
@@ -528,6 +541,13 @@ SELECT docid, round(score, 6) AS score FROM (
     "ft_bool_or_topk": _BASE + _bm25_cte(["spark", "vector", "window"]) + """
 SELECT docid, round(score, 6) AS score FROM (
   SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_parsed_topk": _BASE + _bm25_cte(["merge", "spark", "vector"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores
+  WHERE docid IN (SELECT docid FROM tokens WHERE tok = 'merge')
+  GROUP BY docid
 ) ORDER BY score DESC, docid ASC LIMIT 10
 """,
     "ft_bool_not_docs": _BASE + _bm25_cte(["merge"]) + """

@@ -190,3 +190,21 @@ def test_add_indexes_matches_single_build(spark):
     tw = {(r["field"], r["term"]): (r["df"], r["cf"])
           for r in whole.term_stats.collect()}
     assert tm == tw
+
+
+def test_term_vectors_uninvert(spark, search_index):
+    """term_vectors (term-vectors-io.lisp analog): uninverted postings must
+    reproduce the original per-doc token multiset and positions."""
+    tv = search_index.term_vectors(docids=[16, 17]).toPandas()
+    got16 = {
+        r.term: (r.tf, list(r.positions))
+        for r in tv[(tv.docid == 16) & (tv.field == "field")].itertuples()
+    }
+    # doc 16: "word1 the quick fox is brown and hairy and a little red"
+    assert got16["and"] == (2, [6, 8])
+    assert got16["word1"] == (1, [0])
+    assert sum(tf for tf, _ in got16.values()) == 12
+    # whole-table uninvert round-trips token counts
+    full = search_index.term_vectors().toPandas()
+    assert int(full[full.field == "field"]["tf"].sum()) == \
+        search_index.stats["field"]["total_tokens"]
