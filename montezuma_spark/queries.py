@@ -140,6 +140,53 @@ def ft_phrase_docs(spark, sf_dir):
     return s._execute(q, None).select("docid")
 
 
+_EXPUNGE_CACHE: dict = {}
+
+
+def ft_expunge_topk(spark, sf_dir):
+    """Deletes through the correctness gate: tombstone every doc containing
+    'window' (delete-docs-with-term, index-reader.lisp:148-153), expunge —
+    stats REFRESH over the survivors (distinct from MUST_NOT, which keeps
+    full-corpus idf/avgdl) — then BM25 top-10 for 'merge'."""
+    if sf_dir not in _EXPUNGE_CACHE:
+        docs = documents_as_web_pages(spark, sf_dir)
+        cfg = IndexConfig(
+            fields=[FieldConfig("text", "text", "simple")], key_col="url",
+            shard_bits=8,
+        )
+        idx = build_index(spark, docs, cfg)
+        Searcher(idx).delete_docs_with_term("text", "window")
+        ex = idx.expunge_deletes()
+        ex.postings = ex.postings.persist()
+        _EXPUNGE_CACHE[sf_dir] = Searcher(ex)
+    return _topk(_EXPUNGE_CACHE[sf_dir], TermQuery("text", "merge"))
+
+
+def ta_stop_count(spark, sf_dir):
+    """Stop-analyzer pipeline (lowercase tokenizer → 35-word English stop
+    list, analyzers.lisp:42-52) as a vectorized pandas UDF; per-doc
+    surviving-token counts, oracle = SQL list_filter with the same list."""
+    import pandas as pd
+
+    from montezuma_spark.analysis import get_analyzer
+
+    an = get_analyzer("stop")
+
+    def work(batches):
+        for pdf in batches:
+            toks = an.tokens_series(pdf["text"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": toks.map(len).astype("int64"),
+                }
+            )
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        work, schema="doc_id long, n_tokens long"
+    )
+
+
 def ft_sloppy_phrase_docs(spark, sf_dir):
     """Sloppy phrase (slop=3): docs where 'spark' and 'merge' align within
     3 positions after offset shifting (sloppy-phrase-scorer.lisp:6-34)."""
@@ -379,6 +426,8 @@ QUERIES = {
     "ft_phrase_docs": ft_phrase_docs,
     "ft_sloppy_phrase_docs": ft_sloppy_phrase_docs,
     "ft_matchall": ft_matchall,
+    "ft_expunge_topk": ft_expunge_topk,
+    "ta_stop_count": ta_stop_count,
     "ft_range_docs": ft_range_docs,
     "ft_wildcard_docs": ft_wildcard_docs,
     "ft_dictionary": ft_dictionary,
@@ -561,6 +610,44 @@ SELECT docid, round(score, 6) AS score FROM (
 SELECT docid FROM docs
 WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% batch batch %'
 """,
+    "ft_expunge_topk": f"""
+WITH docs0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS docid,
+         list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+docs AS (SELECT * FROM docs0 WHERE NOT list_contains(toks, 'window')),
+lens AS (SELECT docid, len(toks) AS dl FROM docs),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+tokens AS (
+  SELECT d.docid, l.dl, unnest(d.toks) AS tok
+  FROM docs d JOIN lens l USING (docid)
+),
+tf AS (
+  SELECT docid, dl, tok, count(*) AS tf FROM tokens
+  WHERE tok = 'merge' GROUP BY docid, dl, tok
+),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+  SELECT t.docid,
+         ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+         * t.tf * ({K1} + 1)
+         / (t.tf + {K1} * (1 - {B} + {B} * t.dl / (SELECT avgdl FROM stats)))
+         AS s
+  FROM tf t JOIN dfs d USING (tok)
+)
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ta_stop_count": (
+        "SELECT doc_id, len(list_filter(list_transform("
+        "regexp_extract_all(text, '[a-zA-Z]+'), x -> lower(x)), "
+        "t -> t NOT IN ({}))) AS n_tokens FROM documents".format(
+            ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+        )
+    ),
     "ft_sloppy_phrase_docs": _BASE + """
 , pos AS (
   SELECT docid, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
