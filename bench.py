@@ -121,6 +121,15 @@ def query_suite(searcher) -> dict[str, float]:
         t0 = time.time()
         searcher.top_docs(q, k=10)
         out[name] = round(time.time() - t0, 4)
+    # the fully distributed path (per-shard kernel as a Spark job) for
+    # transparency — this is what a 1000-executor query looks like
+    from montezuma_spark.search import Searcher as _S
+
+    dist = _S(searcher.index, distributed=True)
+    dist.top_docs(TermQuery("text", "merge"), k=10)  # warm
+    t0 = time.time()
+    dist.top_docs(queries["q_term_top10"], k=10)
+    out["q_term_top10_distributed"] = round(time.time() - t0, 4)
     return out
 
 

@@ -58,16 +58,20 @@ def bm25_idf(df: int, n: int) -> float:
 
 class Searcher:
     def __init__(self, index: Index, max_expansion: int = 10_000,
-                 preload: bool = False):
+                 preload: bool = False, distributed: bool = False):
         """``preload=True`` caches all postings cells driver-side (grouped by
         (field, term)) so repeated queries skip Spark entirely — the serving
         tier for small or hot index slices. Only sensible when the postings
-        table fits driver memory; the distributed path stays the default."""
+        table fits driver memory; the distributed path stays the default.
+        ``distributed=True`` disables the driver-local fast path entirely
+        (every query runs the per-shard kernel as a Spark job)."""
         self.index = index
         self.max_expansion = max_expansion
         self._dict_cache: dict | None = None
+        self._sorted_terms: dict | None = None
         self._hot: dict | None = None
         self._preload = preload
+        self._force_distributed = distributed
 
     def _hot_cells(self) -> dict:
         if self._hot is None:
@@ -90,6 +94,18 @@ class Searcher:
                 (r["field"], r["term"]): int(r["df"]) for r in rows
             }
         return self._dict_cache
+
+    def _terms_sorted(self, field: str) -> list:
+        """Sorted term list per field — the in-memory .tii analog; range and
+        wildcard expansion bisect it instead of scanning the whole
+        vocabulary (wildcard-term-enum.lisp:15-50 seeks the dictionary at
+        the constant prefix)."""
+        if self._sorted_terms is None:
+            by_field: dict[str, list] = {}
+            for (f, t) in self._dictionary():
+                by_field.setdefault(f, []).append(t)
+            self._sorted_terms = {f: sorted(ts) for f, ts in by_field.items()}
+        return self._sorted_terms.get(field, [])
 
     def _resolve(self, q: Query) -> tuple[Query, dict, dict, bool]:
         """Expand range/wildcard against the dictionary; gather idf/df maps."""
@@ -115,26 +131,44 @@ class Searcher:
                     idf_for(node.field, t)
                 return node
             if isinstance(node, RangeQuery):
-                terms = sorted(
-                    t
-                    for (f, t) in dictionary
-                    if f == node.field
-                    and _in_range(t, node.lower, node.upper,
-                                  node.include_lower, node.include_upper)
-                )[: self.max_expansion]
+                import bisect
+
+                ts = self._terms_sorted(node.field)
+                lo = (
+                    bisect.bisect_left(ts, node.lower)
+                    if node.lower is not None and node.include_lower
+                    else bisect.bisect_right(ts, node.lower)
+                    if node.lower is not None
+                    else 0
+                )
+                hi = (
+                    bisect.bisect_right(ts, node.upper)
+                    if node.upper is not None and node.include_upper
+                    else bisect.bisect_left(ts, node.upper)
+                    if node.upper is not None
+                    else len(ts)
+                )
+                terms = ts[lo:hi][: self.max_expansion]
                 for t in terms:
                     idf_for(node.field, t)
                 return MultiTermGroup(node.field, tuple(terms), node.boost)
             if isinstance(node, WildcardQuery):
+                import bisect
                 import re as _re
 
                 rx = _re.compile(node.to_regex())
                 prefix = node.literal_prefix()
-                terms = sorted(
-                    t
-                    for (f, t) in dictionary
-                    if f == node.field and t.startswith(prefix) and rx.match(t)
-                )[: self.max_expansion]
+                ts = self._terms_sorted(node.field)
+                if prefix:
+                    lo = bisect.bisect_left(ts, prefix)
+                    hi = bisect.bisect_left(
+                        ts, prefix[:-1] + chr(ord(prefix[-1]) + 1)
+                    )
+                else:
+                    lo, hi = 0, len(ts)
+                terms = [t for t in ts[lo:hi] if rx.match(t)][
+                    : self.max_expansion
+                ]
                 for t in terms:
                     idf_for(node.field, t)
                 return MultiTermGroup(node.field, tuple(terms), node.boost)
@@ -263,6 +297,8 @@ class Searcher:
     def _execute_local(self, query: Query, k: int | None):
         """Driver-side fast path → pandas DataFrame(docid, score), or None
         if not eligible (MatchAll present or matched postings too large)."""
+        if self._force_distributed:
+            return None
         plan, resolved, need_pos = self._compile(query, k)
         if self._has_matchall(resolved):
             return None
@@ -407,19 +443,3 @@ class Searcher:
             return
         for row in self._execute(query, None).toLocalIterator():
             yield (row["docid"], row["score"])
-
-
-def _in_range(term: str, lower, upper, incl_lo: bool, incl_hi: bool) -> bool:
-    if lower is not None:
-        if incl_lo:
-            if term < lower:
-                return False
-        elif term <= lower:
-            return False
-    if upper is not None:
-        if incl_hi:
-            if term > upper:
-                return False
-        elif term >= upper:
-            return False
-    return True
