@@ -151,7 +151,7 @@ def _cell_row(field, term, shard, docids, tfs, dls, pos_lists, block_size):
     }
 
 
-def _invert_chunk(docids, n_tokens, token_lists):
+def _invert_chunk(docids, n_tokens, token_lists, pos_lists=None):
     """Vectorized per-chunk inversion for one field (the invert-document
     analog, src/index/document-writer.lisp:51-142, over a whole arrow batch
     at once): → (terms(object), docid, tf, dl, flat_positions).
@@ -159,7 +159,9 @@ def _invert_chunk(docids, n_tokens, token_lists):
     Positions stay FLAT (one array, runs of length tf per group, in group
     order) — per-group small arrays (np.split) cost per-GROUP python/alloc
     overhead, which at a web vocabulary (most terms rare → groups tiny)
-    dominates everything else."""
+    dominates everything else. ``pos_lists`` supplies explicit per-row
+    token positions (multi-valued fields with a position gap); default is
+    the contiguous 0..n-1 numbering."""
     keep = n_tokens > 0
     if not keep.any():
         return None
@@ -169,7 +171,14 @@ def _invert_chunk(docids, n_tokens, token_lists):
     d = docids[keep]
     rowi = np.repeat(np.arange(len(nt)), nt)
     bounds = np.cumsum(nt)
-    pos = np.arange(bounds[-1], dtype=np.int64) - np.repeat(bounds - nt, nt)
+    if pos_lists is None:
+        pos = np.arange(bounds[-1], dtype=np.int64) - np.repeat(
+            bounds - nt, nt
+        )
+    else:
+        pos = np.concatenate(
+            [p for p, k in zip(pos_lists, keep) if k]
+        ).astype(np.int64)
     term_codes, term_inv = np.unique(flat, return_inverse=True)
     order = np.lexsort((pos, term_inv, rowi))  # group (doc, term), pos asc
     r = rowi[order]
@@ -218,7 +227,7 @@ class _ShardBuf:
         self.chunks: list = []      # (terms, docids, tfs, dls, pos_lists)
         self.len_chunks: list = []  # (docids, dls) incl. dl=0 docs
 
-    def add(self, docids, n_tokens, token_lists, shard_bits):
+    def add(self, docids, n_tokens, token_lists, shard_bits, pos_lists=None):
         """Feed a batch slice (ascending docids); yields flushed cell rows."""
         shards = docids >> shard_bits
         s = 0
@@ -228,7 +237,8 @@ class _ShardBuf:
                 yield from self.flush()
             self.shard = int(shards[s])
             inv = _invert_chunk(
-                docids[s:e], n_tokens[s:e], token_lists[s:e]
+                docids[s:e], n_tokens[s:e], token_lists[s:e],
+                pos_lists[s:e] if pos_lists is not None else None,
             )
             if inv is not None:
                 self.chunks.append(inv)
@@ -354,23 +364,54 @@ def _segment_iter(
         for f in fields:
             an = analyzers[f.name]
             col = sub[f.column]
-            if an is None:
-                # untokenized: whole value is a single term
-                # (ref: document-writer.lisp:69-75 untokenized branch)
-                terms = col.map(
-                    lambda v: [v] if isinstance(v, str) and v != "" else []
-                )
+            first = next((v for v in col if v is not None), None)
+            multi = isinstance(first, (list, tuple, np.ndarray))
+            pl = None
+            if multi:
+                # multi-valued field: values tokenized independently and
+                # concatenated with position_gap between them
+                # (document-writer.lisp:64-65 multi-value loop)
+                gap = f.position_gap
+                tl, pl = [], []
+                for vs in col:
+                    toks: list = []
+                    poss: list = []
+                    cur = 0
+                    for j, v in enumerate(vs if vs is not None else []):
+                        vt = (
+                            an.tokens(v)
+                            if an is not None
+                            else ([v] if isinstance(v, str) and v != "" else [])
+                        )
+                        if j > 0:
+                            cur += gap
+                        toks.extend(vt)
+                        poss.extend(range(cur, cur + len(vt)))
+                        cur += len(vt)
+                    if max_len:
+                        toks, poss = toks[:max_len], poss[:max_len]
+                    tl.append(toks)
+                    pl.append(np.asarray(poss, dtype=np.int64))
             else:
-                terms = an.tokens_series(col)
-            if max_len:
-                terms = terms.map(lambda t: t[:max_len])
-            tl = terms.tolist()
+                if an is None:
+                    # untokenized: whole value is a single term
+                    # (ref: document-writer.lisp:69-75 untokenized branch)
+                    terms = col.map(
+                        lambda v: [v] if isinstance(v, str) and v != "" else []
+                    )
+                else:
+                    terms = an.tokens_series(col)
+                if max_len:
+                    terms = terms.map(lambda t: t[:max_len])
+                tl = terms.tolist()
             nt = np.fromiter(
                 (len(t) for t in tl), dtype=np.int64, count=len(tl)
             )
             ndocs[f.name] += len(tl)
             ntoks[f.name] += int(nt.sum())
-            out_frames.extend(bufs[f.name].add(docids, nt, tl, shard_bits))
+            out_frames.extend(
+                bufs[f.name].add(docids, nt, tl, shard_bits, pos_lists=pl)
+            )
     for buf in bufs.values():
         out_frames.extend(buf.flush())
     stats_rows = [

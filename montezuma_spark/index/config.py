@@ -18,6 +18,9 @@ class FieldConfig:
     column: str                    # source DataFrame column
     analyzer: str | None = "standard"  # None → untokenized: whole value = 1 term
     positions: bool = True         # store the positions sidecar (phrase support)
+    position_gap: int = 0          # inter-value position gap for multi-valued
+                                   # (array) columns — position-increment-gap
+                                   # (analyzers.lisp:12-16, document-writer.lisp:64-65)
 
 
 @dataclass
@@ -44,6 +47,7 @@ class IndexConfig:
                     "column": f.column,
                     "analyzer": f.analyzer,
                     "positions": f.positions,
+                    "position_gap": f.position_gap,
                 }
                 for f in self.fields
             ],
@@ -60,7 +64,10 @@ class IndexConfig:
     def from_json(d: dict) -> "IndexConfig":
         return IndexConfig(
             fields=[
-                FieldConfig(f["name"], f["column"], f["analyzer"], f["positions"])
+                FieldConfig(
+                    f["name"], f["column"], f["analyzer"], f["positions"],
+                    f.get("position_gap", 0),
+                )
                 for f in d["fields"]
             ],
             key_col=d["key_col"],

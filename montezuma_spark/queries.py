@@ -140,6 +140,42 @@ def ft_phrase_docs(spark, sf_dir):
     return s._execute(q, None).select("docid")
 
 
+_MULTI_CACHE: dict = {}
+
+
+def ft_lang_filter_topk(spark, sf_dir):
+    """Multi-field index (analyzed text + untokenized lang, the
+    per-field-analyzer surface, analyzers.lisp:68-75): BM25 top-10 for
+    text:merge restricted by a scoreless FILTER clause lang:de
+    (src/search/filter.lisp + FILTER occur) — scores are text-only."""
+    from montezuma_spark.search.ast import (
+        FILTER,
+        BooleanClause,
+        BooleanQuery,
+    )
+
+    if sf_dir not in _MULTI_CACHE:
+        docs = documents_as_web_pages(spark, sf_dir)
+        cfg = IndexConfig(
+            fields=[
+                FieldConfig("text", "text", "simple"),
+                FieldConfig("lang", "lang", None, positions=False),
+            ],
+            key_col="url",
+            shard_bits=8,
+        )
+        idx = build_index(spark, docs, cfg)
+        idx.postings = idx.postings.persist()
+        _MULTI_CACHE[sf_dir] = Searcher(idx)
+    q = BooleanQuery(
+        (
+            BooleanClause(TermQuery("text", "merge"), MUST),
+            BooleanClause(TermQuery("lang", "de"), FILTER),
+        )
+    )
+    return _topk(_MULTI_CACHE[sf_dir], q)
+
+
 _EXPUNGE_CACHE: dict = {}
 
 
@@ -427,6 +463,7 @@ QUERIES = {
     "ft_sloppy_phrase_docs": ft_sloppy_phrase_docs,
     "ft_matchall": ft_matchall,
     "ft_expunge_topk": ft_expunge_topk,
+    "ft_lang_filter_topk": ft_lang_filter_topk,
     "ta_stop_count": ta_stop_count,
     "ft_range_docs": ft_range_docs,
     "ft_wildcard_docs": ft_wildcard_docs,
@@ -639,6 +676,13 @@ scores AS (
 )
 SELECT docid, round(score, 6) AS score FROM (
   SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_lang_filter_topk": _BASE + _bm25_cte(["merge"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores
+  WHERE docid IN (SELECT docid FROM docs WHERE lang = 'de')
+  GROUP BY docid
 ) ORDER BY score DESC, docid ASC LIMIT 10
 """,
     "ta_stop_count": (

@@ -208,3 +208,51 @@ def test_term_vectors_uninvert(spark, search_index):
     full = search_index.term_vectors().toPandas()
     assert int(full[full.field == "field"]["tf"].sum()) == \
         search_index.stats["field"]["total_tokens"]
+
+
+def test_multivalue_position_gap(spark):
+    """Multi-valued (array) columns: values tokenized independently and
+    concatenated with position_increment_gap between them
+    (document-writer.lisp:64-65, analyzers.lisp:12-16)."""
+    from montezuma_spark.search import PhraseQuery, Searcher, TermQuery
+
+    rows = [("u1", ["alpha beta", "gamma delta"]), ("u2", ["epsilon"])]
+    docs = spark.createDataFrame(rows, "url string, parts array<string>")
+    mk = lambda gap: Searcher(
+        build_index(
+            spark,
+            docs,
+            IndexConfig(
+                fields=[
+                    FieldConfig("parts", "parts", "simple", position_gap=gap)
+                ],
+                shard_bits=3,
+                block_size=4,
+            ),
+        )
+    )
+    s0 = mk(0)
+    # gap 0 (the reference default): positions contiguous → cross-value
+    # phrase matches
+    assert s0.matching_docids(PhraseQuery.of("parts", ["beta", "gamma"])) == [0]
+    s100 = mk(100)
+    # a large gap blocks cross-value phrases but not within-value ones
+    assert s100.matching_docids(PhraseQuery.of("parts", ["beta", "gamma"])) == []
+    assert s100.matching_docids(PhraseQuery.of("parts", ["alpha", "beta"])) == [0]
+    assert s100.matching_docids(PhraseQuery.of("parts", ["gamma", "delta"])) == [0]
+    assert s100.matching_docids(TermQuery("parts", "delta")) == [0]
+    # dl counts tokens across all values
+    assert s100.index.stats["parts"]["total_tokens"] == 5
+    # untokenized multi-value: each whole value is one term
+    su = Searcher(
+        build_index(
+            spark,
+            docs,
+            IndexConfig(
+                fields=[FieldConfig("cat", "parts", None, positions=False)],
+                shard_bits=3,
+            ),
+        )
+    )
+    assert su.matching_docids(TermQuery("cat", "alpha beta")) == [0]
+    assert su.matching_docids(TermQuery("cat", "epsilon")) == [1]
