@@ -396,6 +396,32 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def st_event_windows(spark, sf_dir):
+    """Event-time tumbling windows over the events table — the BATCH
+    semantics of streaming/windows.windowed_doc_counts (identical plan
+    minus the watermark), so the streaming operator is oracle-checkable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            # input values have 2 decimals; rounding the sum to 2 is
+            # stable under any summation order
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def mm_features(spark, sf_dir):
     """Multimodal plumbing over the documents table: texts become opaque
     binary payloads (the image/audio stand-in — no media libs in this
@@ -483,6 +509,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_cosine_topk": ann_cosine_topk,
     "mm_features": mm_features,
+    "st_event_windows": st_event_windows,
 }
 
 # ===========================================================================
@@ -852,6 +879,12 @@ SELECT vec_id, round(cos, 5) AS cos FROM (
     "mm_features": """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
 FROM documents
+""",
+    "st_event_windows": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
 """,
     "ann_ivf_topk": _ivf_sql(),
     "ann_cosine_topk": """
