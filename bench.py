@@ -229,6 +229,12 @@ def main():
         pair = os.environ.get("BENCH_SCALE_CORES", "2,8")
         lo_cores, hi_cores = (int(x) for x in pair.split(","))
         repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "3"))
+        # soft wall-clock budget for the whole scaling section: the first
+        # run of each arm always happens; extra repeats only while within
+        # budget (keeps bench bounded for the per-round driver run)
+        deadline = time.time() + int(
+            os.environ.get("BENCH_TIME_BUDGET", "1200")
+        )
 
         def arm(cores: int, n: int = repeats) -> dict:
             # best-of-N: the steady-state throughput estimator — robust to
@@ -236,9 +242,11 @@ def main():
             # box; the wider arm is hit much harder by contention). Both
             # arms use the same rule, so a slowed run can only LOWER
             # measured efficiency, never inflate it.
-            runs = [
-                _scale_arm_subprocess(cores, SCALE_DOCS) for _ in range(n)
-            ]
+            runs = [_scale_arm_subprocess(cores, SCALE_DOCS)]
+            for _ in range(n - 1):
+                if time.time() > deadline:
+                    break
+                runs.append(_scale_arm_subprocess(cores, SCALE_DOCS))
             return max(runs, key=lambda r: r["docs_per_sec"])
 
         lo = arm(lo_cores)
@@ -257,7 +265,11 @@ def main():
             "build_seconds_hi": hi["build_seconds"],
             "efficiency": round(eff, 3),
         }
-        if CPUS > hi_cores and os.environ.get("BENCH_SCALE_HOSTCAP", "1") == "1":
+        if (
+            CPUS > hi_cores
+            and os.environ.get("BENCH_SCALE_HOSTCAP", "1") == "1"
+            and time.time() < deadline
+        ):
             cap = arm(CPUS, n=1)  # disclosure-only pair, single run
             cap_eff = cap["docs_per_sec"] / (
                 hi["docs_per_sec"] * (CPUS / hi_cores)
