@@ -228,11 +228,12 @@ def main():
         # host-capacity pair is reported alongside for transparency.
         pair = os.environ.get("BENCH_SCALE_CORES", "2,8")
         lo_cores, hi_cores = (int(x) for x in pair.split(","))
-        # asymmetric repeats: the narrow arm is stable run-to-run; the wide
-        # arm is disproportionately slowed by co-tenant contention, so it
-        # gets more chances to show its uncontended steady state
-        repeats_lo = int(os.environ.get("BENCH_SCALE_REPEATS_LO", "2"))
-        repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "5"))
+        # SYMMETRIC repeats: best-of-N with unequal N biases the arm with
+        # more draws upward (more chances at an uncontended run), inflating
+        # efficiency — both arms get the same repeat count so noise cannot
+        # systematically favor either direction.
+        repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "3"))
+        repeats_lo = int(os.environ.get("BENCH_SCALE_REPEATS_LO", str(repeats)))
         # soft wall-clock budget for the whole scaling section: the first
         # run of each arm always happens; extra repeats only while within
         # budget (keeps bench bounded for the per-round driver run)
@@ -243,9 +244,8 @@ def main():
         def arm(cores: int, n: int = repeats) -> dict:
             # best-of-N: the steady-state throughput estimator — robust to
             # transient interference (page-cache churn, co-tenants on the
-            # box; the wider arm is hit much harder by contention). Both
-            # arms use the same rule, so a slowed run can only LOWER
-            # measured efficiency, never inflate it.
+            # box). Both arms use the same repeat count N, so best-of
+            # selection does not systematically favor either arm.
             runs = [_scale_arm_subprocess(cores, SCALE_DOCS)]
             for _ in range(n - 1):
                 if time.time() > deadline:

@@ -167,6 +167,8 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10,
     candidates = vectors sharing >=1 band with the query signature, then
     exact cosine rerank. Returns (id, cos) ordered (cos desc, id asc)."""
     head = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if head is None:
+        raise ValueError(f"query {id_col}={query_id} not found in table")
     qvec = np.asarray([float(x) for x in head[vec_col]], dtype=np.float64)
     if planes is None:
         planes = lsh_planes(dim=len(qvec))
@@ -301,6 +303,8 @@ def ivf_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
     PARTITIONED BY cid (an Iceberg partition transform), so a query scans
     only nprobe partitions — the postings-list analog for vectors."""
     head = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if head is None:
+        raise ValueError(f"query {id_col}={query_id} not found in table")
     qvec = np.asarray([float(x) for x in head[vec_col]], dtype=np.float64)
     if centroids is None:
         centroids = ivf_centroids(dim=len(qvec))

@@ -123,6 +123,80 @@ def test_positions_roundtrip():
     np.testing.assert_array_equal(out[2], b2)
 
 
+@given(
+    st.lists(  # groups: list of (n_postings, docid_seed, tf_seed)
+        st.tuples(
+            st.integers(min_value=1, max_value=120),
+            st.integers(min_value=0, max_value=2**31),
+            st.integers(min_value=0, max_value=2**31),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=4, max_value=64),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_encode_cells_batch_matches_encode_cell(groups, block, with_pos):
+    """CLAUDE.md invariant: the batch encoder must stay BYTE-identical to
+    encode_cell/encode_positions per group (the build path uses the batch
+    encoder; merge/rebase/expunge re-encode via encode_cell — a silent
+    divergence would corrupt merged or expunged cells)."""
+    from montezuma_spark.codec.postings import encode_cells_batch
+
+    all_d, all_t, all_dl, all_pos = [], [], [], []
+    bounds = [0]
+    for n, dseed, tseed in groups:
+        rng = np.random.RandomState((dseed ^ tseed) % (2**31))
+        gaps = rng.randint(0, 1000, size=n).astype(np.int64)
+        docids = np.cumsum(gaps + 1) - 1
+        tfs = rng.randint(1, 9, size=n).astype(np.int64)
+        dls = rng.randint(1, 400, size=n).astype(np.int64)
+        all_d.append(docids)
+        all_t.append(tfs)
+        all_dl.append(dls)
+        if with_pos:
+            for tf in tfs:
+                all_pos.append(
+                    np.sort(rng.choice(10_000, size=tf, replace=False)).astype(
+                        np.int64
+                    )
+                )
+        bounds.append(bounds[-1] + n)
+    gb = np.asarray(bounds, dtype=np.int64)
+    docids = np.concatenate(all_d)
+    tfs = np.concatenate(all_t)
+    dls = np.concatenate(all_dl)
+    flat_pos = np.concatenate(all_pos) if with_pos else None
+    enc = encode_cells_batch(
+        gb, docids, tfs, dls, block_size=block, flat_positions=flat_pos
+    )
+    pb = np.concatenate([[0], np.cumsum(tfs)])
+    for g in range(len(gb) - 1):
+        s, e = gb[g], gb[g + 1]
+        cell, meta = encode_cell(
+            docids[s:e], tfs[s:e], dls=dls[s:e], block_size=block
+        )
+        assert enc["postings"][g] == cell, f"postings bytes differ, group {g}"
+        for f in ("first", "last", "n", "off", "codes_len", "ext_len",
+                  "maxtf", "mindl"):
+            np.testing.assert_array_equal(
+                np.asarray(enc[f][g]), np.asarray(meta[f]),
+                err_msg=f"meta[{f}] differs, group {g}",
+            )
+        assert int(enc["df"][g]) == e - s
+        assert int(enc["cf"][g]) == int(tfs[s:e].sum())
+        if with_pos:
+            pos_cell, pos_off = encode_positions(
+                tfs[s:e], flat_pos[pb[s] : pb[e]], block_size=block
+            )
+            assert enc["positions"][g] == pos_cell, f"pos bytes, group {g}"
+            np.testing.assert_array_equal(
+                np.asarray(enc["pos_off"][g]), np.asarray(pos_off),
+                err_msg=f"pos_off differs, group {g}",
+            )
+
+
 def test_empty_cell():
     cell, meta = encode_cell(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     assert cell == b""
