@@ -850,7 +850,14 @@ class Index:
         self.postings.repartitionByRange("field", "term").sortWithinPartitions(
             "field", "term", "shard"
         ).write.mode("overwrite").parquet(f"{index_dir}/postings")
-        self.term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+        # term_stats shares the range layout: per-query dictionary pushdown
+        # (exact isin / range BETWEEN / wildcard prefix) prunes files via
+        # parquet min/max — the .tii two-level seek without a driver vocab
+        self.term_stats.repartitionByRange(
+            "field", "term"
+        ).sortWithinPartitions("field", "term").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/term_stats")
         with open(f"{index_dir}/meta.json", "w") as fh:
             json.dump(
                 {

@@ -3,11 +3,19 @@
 Query lifecycle (the Spark-first re-expression of SURVEY.md §3):
 
 1. ``rewrite`` fixpoint on the AST (driver, pure Python).
-2. Dictionary resolution: range/wildcard predicates run against the
-   ``term_stats`` dictionary DataFrame — parquet min/max pruning on the
-   sorted (field, term) layout is the .tii two-level index analog
-   (src/index/term-infos-io.lisp:135-148). Concrete terms + global df come
-   back to the driver (bounded by ``max_expansion``).
+2. Dictionary resolution is PER-QUERY PUSHDOWN, never a full-vocabulary
+   collect (Heaps' law: a web corpus has O(10^9) terms — the dictionary
+   cannot live on the driver). Exact terms resolve via one batched
+   ``isin``-filtered collect over ``term_stats``; range predicates become
+   ``term >= lo AND term <= hi``; wildcards become a ``startswith`` prefix
+   predicate + anchored ``rlike``, with ``max_expansion`` applied as
+   ``ORDER BY term LIMIT n`` at scan time. On the saved index the
+   (field, term) range-sorted parquet layout makes these scans prune files
+   via min/max statistics — the .tii two-level index analog
+   (src/index/term-infos-io.lisp:135-148,219-232). Resolved (term, df)
+   entries are memoized driver-side (bounded caches) for repeated queries;
+   only ``preload=True`` (the hot-serving tier for small index slices)
+   collects the whole dictionary, guarded by ``preload_max_bytes``.
 3. The needed (field, term) set is pushed as an ``isin`` predicate into the
    postings scan (broadcast of query terms); the positions column is only
    read when a phrase needs it (column pruning).
@@ -51,30 +59,65 @@ RESULT_SCHEMA = "docid long, score double"
 # the reference's whole-query path was always "local"; ours picks by size)
 FAST_PATH_MAX_POSTINGS = 2_000_000
 
+# bounded driver-side memo of resolved (field, term) -> df entries; at
+# ~60 B/entry this caps the dictionary cache around 60 MB regardless of
+# vocabulary size (the cache is an optimization, never a requirement)
+DF_CACHE_MAX = 1_000_000
+
 
 def bm25_idf(df: int, n: int) -> float:
     return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
 
+def _wildcard_java_regex(py_regex: str) -> str:
+    """fnmatch.translate output -> fully-anchored Java regex for ``rlike``.
+
+    ``rlike`` is a *search* (substring match), so the pattern is anchored
+    with ``^``; Python's absolute-end ``\\Z`` is spelled ``\\z`` in Java.
+    """
+    if py_regex.endswith(r"\Z"):
+        py_regex = py_regex[:-2] + r"\z"
+    return "^" + py_regex
+
+
 class Searcher:
     def __init__(self, index: Index, max_expansion: int = 10_000,
-                 preload: bool = False, distributed: bool = False):
-        """``preload=True`` caches all postings cells driver-side (grouped by
-        (field, term)) so repeated queries skip Spark entirely — the serving
-        tier for small or hot index slices. Only sensible when the postings
-        table fits driver memory; the distributed path stays the default.
-        ``distributed=True`` disables the driver-local fast path entirely
-        (every query runs the per-shard kernel as a Spark job)."""
+                 preload: bool = False, distributed: bool = False,
+                 preload_max_bytes: int = 1 << 30):
+        """``preload=True`` caches the full dictionary AND all postings
+        cells driver-side so repeated queries skip Spark entirely — the
+        serving tier for small or hot index slices, guarded by
+        ``preload_max_bytes`` (the collect refuses above it rather than
+        OOM-ing the driver). The default path never collects the
+        vocabulary: dictionary resolution is per-query predicate pushdown
+        into the term_stats scan. ``distributed=True`` disables the
+        driver-local fast path entirely (every query runs the per-shard
+        kernel as a Spark job)."""
         self.index = index
         self.max_expansion = max_expansion
-        self._dict_cache: dict | None = None
-        self._sorted_terms: dict | None = None
+        self._dict_cache: dict | None = None     # full dict: preload only
+        self._sorted_terms: dict | None = None   # per-field vocab: preload only
+        self._df_cache: dict = {}                # (field, term) -> df memo
+        self._exp_cache: dict = {}               # range/wildcard -> ((t, df),)
         self._hot: dict | None = None
         self._preload = preload
+        self._preload_max_bytes = preload_max_bytes
         self._force_distributed = distributed
 
     def _hot_cells(self) -> dict:
         if self._hot is None:
+            sz_row = self.index.postings.agg(
+                (
+                    F.sum(F.length("postings")) + F.sum(F.length("positions"))
+                ).alias("b")
+            ).collect()[0]
+            sz = int(sz_row["b"] or 0)
+            if sz > self._preload_max_bytes:
+                raise ValueError(
+                    f"preload refused: postings cells ≈{sz} bytes exceed "
+                    f"preload_max_bytes={self._preload_max_bytes}; use the "
+                    "distributed path (preload=False) for an index this size"
+                )
             pdf = self.index.postings.toPandas()
             self._hot = {
                 k: g for k, g in pdf.groupby(["field", "term"], sort=False)
@@ -83,11 +126,8 @@ class Searcher:
 
     # ------------------------------------------------------------- dictionary
     def _dictionary(self) -> dict:
-        """Collect the (small at test scale) term dictionary once.
-
-        At web scale this becomes a per-query filtered collect (pushdown on
-        field+term); the cache is an optimization for repeated queries.
-        """
+        """Full-dictionary collect — PRELOAD SERVING TIER ONLY (small/hot
+        index slices). The default query path never calls this."""
         if self._dict_cache is None:
             rows = self.index.term_stats.collect()
             self._dict_cache = {
@@ -96,10 +136,7 @@ class Searcher:
         return self._dict_cache
 
     def _terms_sorted(self, field: str) -> list:
-        """Sorted term list per field — the in-memory .tii analog; range and
-        wildcard expansion bisect it instead of scanning the whole
-        vocabulary (wildcard-term-enum.lisp:15-50 seeks the dictionary at
-        the constant prefix)."""
+        """Sorted term list per field — preload tier's in-memory .tii."""
         if self._sorted_terms is None:
             by_field: dict[str, list] = {}
             for (f, t) in self._dictionary():
@@ -107,71 +144,199 @@ class Searcher:
             self._sorted_terms = {f: sorted(ts) for f, ts in by_field.items()}
         return self._sorted_terms.get(field, [])
 
+    def _lookup_dfs(self, pairs) -> dict:
+        """df for exact (field, term) pairs — ONE ``isin``-filtered collect
+        for all cache misses (term-infos-io.lisp:219-232 seek analog);
+        absent terms resolve to df=0. The predicate pushes into the
+        parquet dictionary scan on a saved index."""
+        pairs = set(pairs)
+        if self._preload:
+            d = self._dictionary()
+            return {p: d.get(p, 0) for p in pairs}
+        out = {}
+        missing = [p for p in pairs if p not in self._df_cache]
+        for p in pairs - set(missing):
+            out[p] = self._df_cache[p]
+        if missing:
+            by_field: dict[str, list] = {}
+            for f, t in missing:
+                by_field.setdefault(f, []).append(t)
+            cond = None
+            for f, ts in sorted(by_field.items()):
+                c = (F.col("field") == f) & F.col("term").isin(sorted(ts))
+                cond = c if cond is None else (cond | c)
+            rows = (
+                self.index.term_stats.filter(cond)
+                .select("field", "term", "df")
+                .collect()
+            )
+            found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+            for p in missing:
+                df = found.get(p, 0)
+                out[p] = df
+                if len(self._df_cache) < DF_CACHE_MAX:
+                    self._df_cache[p] = df
+        return out
+
+    def _expand_range(self, node: RangeQuery) -> tuple:
+        """Concrete (term, df) list for a range — BETWEEN predicate pushed
+        into the term_stats scan, ``max_expansion`` applied as LIMIT at
+        scan time (never a vocabulary collect)."""
+        key = ("range", node.field, node.lower, node.upper,
+               node.include_lower, node.include_upper, self.max_expansion)
+        if key in self._exp_cache:
+            return self._exp_cache[key]
+        if self._preload:
+            out = self._expand_range_local(node)
+        else:
+            ts = self.index.term_stats.filter(F.col("field") == node.field)
+            if node.lower is not None:
+                ts = ts.filter(
+                    F.col("term") >= node.lower
+                    if node.include_lower
+                    else F.col("term") > node.lower
+                )
+            if node.upper is not None:
+                ts = ts.filter(
+                    F.col("term") <= node.upper
+                    if node.include_upper
+                    else F.col("term") < node.upper
+                )
+            rows = (
+                ts.select("term", "df")
+                .orderBy("term")
+                .limit(self.max_expansion)
+                .collect()
+            )
+            out = tuple((r["term"], int(r["df"])) for r in rows)
+        self._exp_cache[key] = out
+        return out
+
+    def _expand_range_local(self, node: RangeQuery) -> tuple:
+        import bisect
+
+        ts = self._terms_sorted(node.field)
+        lo = (
+            bisect.bisect_left(ts, node.lower)
+            if node.lower is not None and node.include_lower
+            else bisect.bisect_right(ts, node.lower)
+            if node.lower is not None
+            else 0
+        )
+        hi = (
+            bisect.bisect_right(ts, node.upper)
+            if node.upper is not None and node.include_upper
+            else bisect.bisect_left(ts, node.upper)
+            if node.upper is not None
+            else len(ts)
+        )
+        d = self._dictionary()
+        return tuple(
+            (t, d.get((node.field, t), 0))
+            for t in ts[lo:hi][: self.max_expansion]
+        )
+
+    def _expand_wildcard(self, node: WildcardQuery) -> tuple:
+        """Concrete (term, df) list for a wildcard — constant-prefix
+        ``startswith`` + anchored ``rlike`` pushed into the term_stats scan
+        (wildcard-term-enum.lisp:15-50 seeks the dictionary at the
+        constant prefix; here the prefix prunes parquet files)."""
+        key = ("wild", node.field, node.pattern, self.max_expansion)
+        if key in self._exp_cache:
+            return self._exp_cache[key]
+        if self._preload:
+            out = self._expand_wildcard_local(node)
+        else:
+            ts = self.index.term_stats.filter(F.col("field") == node.field)
+            prefix = node.literal_prefix()
+            if prefix:
+                ts = ts.filter(F.col("term").startswith(prefix))
+            ts = ts.filter(
+                F.col("term").rlike(_wildcard_java_regex(node.to_regex()))
+            )
+            rows = (
+                ts.select("term", "df")
+                .orderBy("term")
+                .limit(self.max_expansion)
+                .collect()
+            )
+            out = tuple((r["term"], int(r["df"])) for r in rows)
+        self._exp_cache[key] = out
+        return out
+
+    def _expand_wildcard_local(self, node: WildcardQuery) -> tuple:
+        import bisect
+        import re as _re
+
+        rx = _re.compile(node.to_regex())
+        prefix = node.literal_prefix()
+        ts = self._terms_sorted(node.field)
+        if prefix:
+            lo = bisect.bisect_left(ts, prefix)
+            if ord(prefix[-1]) == 0x10FFFF:  # no successor code point
+                hi = len(ts)
+            else:
+                hi = bisect.bisect_left(
+                    ts, prefix[:-1] + chr(ord(prefix[-1]) + 1)
+                )
+        else:
+            lo, hi = 0, len(ts)
+        d = self._dictionary()
+        return tuple(
+            (t, d.get((node.field, t), 0))
+            for t in [t for t in ts[lo:hi] if rx.match(t)][: self.max_expansion]
+        )
+
     def _resolve(self, q: Query) -> tuple[Query, dict, dict, bool]:
-        """Expand range/wildcard against the dictionary; gather idf/df maps."""
-        dictionary = self._dictionary()
-        idf: dict = {}
-        df_est: dict = {}
+        """Expand range/wildcard and gather idf/df maps — every dictionary
+        touch is a filtered scan (pushdown), batched across the query."""
+        q = rewrite(q)
+        exact: set = set()
         need_pos = False
 
-        def idf_for(field, term):
-            df = dictionary.get((field, term), 0)
+        def gather(node: Query) -> None:
+            nonlocal need_pos
+            if isinstance(node, TermQuery):
+                exact.add((node.field, node.term))
+            elif isinstance(node, PhraseQuery):
+                need_pos = True
+                exact.update((node.field, t) for t in node.terms)
+            elif isinstance(node, BooleanQuery):
+                for c in node.clauses:
+                    gather(c.query)
+
+        gather(q)
+        dfs = self._lookup_dfs(exact) if exact else {}
+        idf: dict = {}
+        df_est: dict = {}
+
+        def idf_for(field, term, df):
             n = self.index.stats.get(field, {}).get("num_docs", 0)
             idf[(field, term)] = bm25_idf(df, n) if n else 0.0
             df_est[(field, term)] = df
 
         def walk(node: Query) -> Query:
-            nonlocal need_pos
-            if isinstance(node, TermQuery):
-                idf_for(node.field, node.term)
-                return node
-            if isinstance(node, PhraseQuery):
-                need_pos = True
-                for t in node.terms:
-                    idf_for(node.field, t)
+            if isinstance(node, (TermQuery, PhraseQuery)):
+                terms = (
+                    [node.term] if isinstance(node, TermQuery) else node.terms
+                )
+                for t in terms:
+                    idf_for(node.field, t, dfs.get((node.field, t), 0))
                 return node
             if isinstance(node, RangeQuery):
-                import bisect
-
-                ts = self._terms_sorted(node.field)
-                lo = (
-                    bisect.bisect_left(ts, node.lower)
-                    if node.lower is not None and node.include_lower
-                    else bisect.bisect_right(ts, node.lower)
-                    if node.lower is not None
-                    else 0
+                expanded = self._expand_range(node)
+                for t, df in expanded:
+                    idf_for(node.field, t, df)
+                return MultiTermGroup(
+                    node.field, tuple(t for t, _ in expanded), node.boost
                 )
-                hi = (
-                    bisect.bisect_right(ts, node.upper)
-                    if node.upper is not None and node.include_upper
-                    else bisect.bisect_left(ts, node.upper)
-                    if node.upper is not None
-                    else len(ts)
-                )
-                terms = ts[lo:hi][: self.max_expansion]
-                for t in terms:
-                    idf_for(node.field, t)
-                return MultiTermGroup(node.field, tuple(terms), node.boost)
             if isinstance(node, WildcardQuery):
-                import bisect
-                import re as _re
-
-                rx = _re.compile(node.to_regex())
-                prefix = node.literal_prefix()
-                ts = self._terms_sorted(node.field)
-                if prefix:
-                    lo = bisect.bisect_left(ts, prefix)
-                    hi = bisect.bisect_left(
-                        ts, prefix[:-1] + chr(ord(prefix[-1]) + 1)
-                    )
-                else:
-                    lo, hi = 0, len(ts)
-                terms = [t for t in ts[lo:hi] if rx.match(t)][
-                    : self.max_expansion
-                ]
-                for t in terms:
-                    idf_for(node.field, t)
-                return MultiTermGroup(node.field, tuple(terms), node.boost)
+                expanded = self._expand_wildcard(node)
+                for t, df in expanded:
+                    idf_for(node.field, t, df)
+                return MultiTermGroup(
+                    node.field, tuple(t for t, _ in expanded), node.boost
+                )
             if isinstance(node, BooleanQuery):
                 from montezuma_spark.search.ast import BooleanClause
 
@@ -186,7 +351,7 @@ class Searcher:
                 return node
             raise TypeError(f"cannot resolve {type(node)}")
 
-        resolved = walk(rewrite(q))
+        resolved = walk(q)
         return resolved, idf, df_est, need_pos
 
     # ---------------------------------------------------------------- execute

@@ -33,6 +33,95 @@ def test_term_predicate_pushed_to_parquet_scan(spark, saved, capsys):
     assert "positions" not in plan.split("ReadSchema")[1].splitlines()[0]
 
 
+def test_dictionary_range_predicate_pushed(spark, saved, capsys):
+    """Range expansion scans term_stats with BETWEEN-style predicates that
+    reach the parquet scan (min/max file pruning = the .tii seek analog) —
+    never a full-vocabulary collect."""
+    scan = (
+        saved.term_stats.filter(
+            (F.col("field") == "text")
+            & (F.col("term") >= "key")
+            & (F.col("term") <= "merge")
+        )
+        .select("term", "df")
+    )
+    scan.explain("formatted")
+    plan = capsys.readouterr().out
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(term,key)" in plan.replace(" ", "")
+    assert "LessThanOrEqual(term,merge)" in plan.replace(" ", "")
+
+
+def test_dictionary_wildcard_prefix_pushed(spark, saved, capsys):
+    """Wildcard expansion pushes the constant prefix as StringStartsWith
+    into the term_stats scan; the regex runs only over the pruned slice."""
+    from montezuma_spark.search.searcher import _wildcard_java_regex
+    from montezuma_spark.search import WildcardQuery
+
+    q = WildcardQuery("text", "me*e")
+    scan = (
+        saved.term_stats.filter(
+            (F.col("field") == "text")
+            & F.col("term").startswith("me")
+            & F.col("term").rlike(_wildcard_java_regex(q.to_regex()))
+        )
+        .select("term", "df")
+    )
+    scan.explain("formatted")
+    plan = capsys.readouterr().out
+    assert "PushedFilters" in plan
+    assert "StringStartsWith(term,me)" in plan.replace(" ", "")
+
+
+def test_queries_answer_without_full_dictionary_collect(spark, saved):
+    """The default Searcher must never materialize the vocabulary on the
+    driver: term, range and wildcard queries all answer through filtered
+    scans, and results match the preload (full-dict) serving tier."""
+    from montezuma_spark.search import (
+        RangeQuery,
+        Searcher,
+        TermQuery,
+        WildcardQuery,
+    )
+
+    s = Searcher(saved)
+    hot = Searcher(saved, preload=True)
+    qs = [
+        TermQuery("text", "merge"),
+        RangeQuery("text", "key", "merge", True, True),
+        WildcardQuery("text", "s*"),
+        WildcardQuery("text", "*rge"),  # no constant prefix
+    ]
+    for q in qs:
+        assert s.top_docs(q, k=10) == hot.top_docs(q, k=10), q
+        assert s.matching_docids(q) == hot.matching_docids(q), q
+    # pushdown path never built the driver-resident dictionary
+    assert s._dict_cache is None
+    assert s._sorted_terms is None
+    # absent terms resolve to df=0 without error
+    assert s.top_docs(TermQuery("text", "zzzznotaterm"), k=10) == []
+
+
+def test_wildcard_max_codepoint_prefix(spark, saved):
+    """Prefix ending in U+10FFFF (no successor code point) must not crash
+    wildcard expansion on either tier (advice fix)."""
+    from montezuma_spark.search import Searcher, WildcardQuery
+
+    q = WildcardQuery("text", "\U0010ffff*")
+    assert Searcher(saved).matching_docids(q) == []
+    assert Searcher(saved, preload=True).matching_docids(q) == []
+
+
+def test_preload_size_guard(spark, saved):
+    """_hot_cells refuses to collect postings above preload_max_bytes
+    instead of OOM-ing the driver."""
+    from montezuma_spark.search import Searcher, TermQuery
+
+    s = Searcher(saved, preload=True, preload_max_bytes=16)
+    with pytest.raises(ValueError, match="preload refused"):
+        s.top_docs(TermQuery("text", "merge"), k=10)
+
+
 def test_doc_map_broadcast_join_plan(spark, saved, capsys):
     """The docid→key hydration join must broadcast the (tiny) result side,
     never shuffle doc_map."""
