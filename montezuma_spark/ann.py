@@ -11,17 +11,27 @@ an exact ANSI-SQL oracle):
 
 Hyperplanes are generated once from a fixed seed and embedded as literal
 arrays in both the Spark plan and the SQL oracle, so signatures match
-bit-for-bit. Scale notes: the signature computation is one narrow
-projection (explode x dims, groupBy id — shuffle bounded by n·planes);
-the candidate join is an equi-join on (band_id, band_val) buckets; exact
-rerank touches only candidate rows. At 10^9+ vectors, replace the
-explode-based dot products with a pandas_udf matmul over the same literal
-plane matrix — semantics (and the oracle) stay identical.
+bit-for-bit.
+
+Two physical strategies per logical op, same semantics:
+
+* ``*_explode`` — declarative explode/groupBy plans kept as the
+  SQL-oracle cross-check (each row becomes dim or dim×planes rows; fine
+  at test scale, quadratic waste at 10^9 vectors).
+* default (fast) — Arrow-batched ``mapInPandas`` matmul against the
+  plane/centroid matrix shipped in the task closure: one numpy GEMM per
+  batch, no explode shuffle. ``tests/test_dedup_ann.py`` asserts the two
+  strategies agree.
+
+``AnnIndex`` is the persisted form (the build-once/probe-many analog of
+the inverted index): signatures and IVF assignment are computed ONCE at
+build time and written as parquet — vectors PARTITIONED BY cid (a probe
+scans only nprobe partitions; the Iceberg partition-transform layout) and
+band postings PARTITIONED BY (band_id, band_val) (a probe reads only the
+query's buckets). Queries never recompute table-wide state.
 """
 
 from __future__ import annotations
-
-import math
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -49,16 +59,54 @@ def _planes_array_lit(planes: np.ndarray):
     )
 
 
+def _stack_vectors(series, dtype=np.float64) -> np.ndarray:
+    """Arrow list column (pandas Series of arrays) -> contiguous 2-D array."""
+    return np.stack([np.asarray(v, dtype=dtype) for v in series.to_numpy()])
+
+
 def lsh_signatures(emb: DataFrame, planes: np.ndarray,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """(id, sig long): bit p of sig = (embedding . plane_p >= 0).
 
-    Declarative: posexplode the embedding once, join each element against
-    the literal plane matrix, aggregate per (id, plane). Sum order inside
-    a group is engine-dependent, but plane dot products are O(1) away from
-    zero for real data, so the sign — and hence the signature — is stable
-    across engines (verified against the DuckDB oracle).
+    Fast path: one Arrow-batched numpy GEMM per partition against the
+    plane matrix shipped in the task closure — no explode, no shuffle
+    (the plan is a single narrow mapInPandas over the vector scan). Sum
+    order differs from the SQL oracle's sequential sum, but plane dot
+    products are O(1) away from zero for real data, so the sign — and
+    hence the signature — is stable across strategies (asserted vs the
+    explode plan in tests and vs DuckDB in the driver contract).
+    """
+    pl = np.ascontiguousarray(planes, dtype=np.float64)
+    weights = (
+        np.uint64(1) << np.arange(pl.shape[0], dtype=np.uint64)
+    )
+
+    def work(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _stack_vectors(pdf[vec_col])
+            bits = (m @ pl.T) >= 0.0
+            sig = (bits.astype(np.uint64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sig": sig.astype(np.int64)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        work, schema=f"{id_col} long, sig long"
+    )
+
+
+def lsh_signatures_explode(emb: DataFrame, planes: np.ndarray,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Declarative strategy for the same signatures: posexplode the
+    embedding, join each element against the literal plane matrix,
+    aggregate per (id, plane). Kept as the SQL-oracle cross-check; each
+    row becomes dim×planes rows, so never use it on a large table.
     """
     nplanes = planes.shape[0]
     pl = _planes_array_lit(planes)
@@ -125,7 +173,48 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "vec_id",
 
 def cosine_join(emb: DataFrame, pairs: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
-    """pairs(id_a, id_b) -> (id_a, id_b, cos) exact cosine via explode-sum.
+    """pairs(id_a, id_b) -> (id_a, id_b, cos) exact cosine.
+
+    Fast path: hydrate both sides' vectors via two equi-joins (bounded by
+    the candidate-pair count, not n²), then one Arrow-batched numpy pass
+    per partition for the row-wise dot products and norms.
+    """
+    import pandas as pd  # noqa: F401  (used inside the worker closure)
+
+    ea = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    eb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    joined = pairs.join(ea, "id_a").join(eb, "id_b").select(
+        "id_a", "id_b", "va", "vb"
+    )
+
+    def work(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = _stack_vectors(pdf["va"])
+            b = _stack_vectors(pdf["vb"])
+            dots = np.einsum("ij,ij->i", a, b)
+            cos = dots / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos}
+            )
+
+    return joined.mapInPandas(work, schema="id_a long, id_b long, cos double")
+
+
+def cosine_join_explode(emb: DataFrame, pairs: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Declarative strategy for the same pair cosines (explode-sum) — the
+    SQL-oracle cross-check; each pair costs 2·dim shuffled rows.
 
     Fixed left-to-right element order inside the sum is NOT relied upon —
     see lsh_signatures docstring; rounding happens in the caller.
@@ -160,26 +249,64 @@ def cosine_join(emb: DataFrame, pairs: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _query_signature(qvec: np.ndarray, planes: np.ndarray) -> int:
+    """Driver-side signature of one vector (same >= 0 rule as the table)."""
+    qsig = 0
+    for p, row in enumerate(planes):
+        if float(np.dot(row, qvec)) >= 0:
+            qsig |= 1 << p
+    return qsig
+
+
+def _query_bands(qsig: int, num_planes: int = NUM_PLANES,
+                 band_bits: int = BAND_BITS) -> list[tuple[int, int]]:
+    nbands = num_planes // band_bits
+    mask = (1 << band_bits) - 1
+    return [(b, (qsig >> (b * band_bits)) & mask) for b in range(nbands)]
+
+
+def rerank_topk(cand_vectors: DataFrame, qvec: np.ndarray, k: int,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k of candidate vectors against one query vector:
+    Arrow-batched numpy per partition (qvec rides in the task closure),
+    then a global (cos desc, id asc) limit — only k rows cross stages."""
+    q = np.ascontiguousarray(qvec, dtype=np.float64)
+    qnorm = float(np.linalg.norm(q))
+
+    def work(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _stack_vectors(pdf[vec_col])
+            cos = (m @ q) / (np.linalg.norm(m, axis=1) * qnorm)
+            yield pd.DataFrame({id_col: pdf[id_col], "cos": cos})
+
+    scored = cand_vectors.select(id_col, vec_col).mapInPandas(
+        work, schema=f"{id_col} long, cos double"
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
 def lsh_topk(emb: DataFrame, query_id: int, k: int = 10,
              planes: np.ndarray | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """LSH-bucketed top-k for one query vector already in the table:
     candidates = vectors sharing >=1 band with the query signature, then
-    exact cosine rerank. Returns (id, cos) ordered (cos desc, id asc)."""
+    exact cosine rerank. Returns (id, cos) ordered (cos desc, id asc).
+
+    Index-free form — signatures are computed on the fly (one narrow
+    matmul pass). For repeated queries build an ``AnnIndex`` once and use
+    ``AnnIndex.lsh_topk``, which probes the persisted band buckets."""
     head = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
     if head is None:
         raise ValueError(f"query {id_col}={query_id} not found in table")
     qvec = np.asarray([float(x) for x in head[vec_col]], dtype=np.float64)
     if planes is None:
         planes = lsh_planes(dim=len(qvec))
-    # query signature computed driver-side with the same >= 0 rule
-    qsig = 0
-    for p, row in enumerate(planes):
-        if float(np.dot(row, qvec)) >= 0:
-            qsig |= 1 << p
-    nbands = planes.shape[0] // BAND_BITS
-    mask = (1 << BAND_BITS) - 1
-    qbands = [(b, (qsig >> (b * BAND_BITS)) & mask) for b in range(nbands)]
+    qbands = _query_bands(_query_signature(qvec, planes), planes.shape[0])
     sigs = lsh_signatures(emb, planes, id_col, vec_col)
     keyed = sigs.select(
         F.col(id_col),
@@ -195,25 +322,7 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10,
         .distinct()
         .filter(F.col(id_col) != query_id)
     )
-    # exact rerank of candidates against the (broadcast) query vector
-    qnorm = math.sqrt(float(np.dot(qvec, qvec)))
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    ex = (
-        emb.join(cand, id_col)
-        .select(F.col(id_col), F.posexplode(vec_col).alias("i", "ev"))
-        .withColumn("ev", F.col("ev").cast("double"))
-        .withColumn("qv", F.element_at(qlit, F.col("i") + 1))
-    )
-    sums = ex.groupBy(id_col).agg(
-        F.sum(F.col("ev") * F.col("qv")).alias("dot"),
-        F.sum(F.col("ev") * F.col("ev")).alias("nn"),
-    )
-    cos = F.col("dot") / (F.sqrt("nn") * F.lit(qnorm))
-    return (
-        sums.select(F.col(id_col), cos.alias("cos"))
-        .orderBy(F.desc("cos"), F.asc(id_col))
-        .limit(k)
-    )
+    return rerank_topk(emb.join(cand, id_col), qvec, k, id_col, vec_col)
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
@@ -271,10 +380,36 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
     """(id, cid): each vector assigned to its max-dot-product centroid
     (centroids are unit-norm, so this is cosine assignment).
 
-    Declarative (explode x centroids, groupBy, max_by) so DuckDB's
-    arg_max reproduces it exactly. Shuffle bounded by n·centroids; at
-    10^9+ vectors swap the explode for a pandas_udf matmul against the
-    same broadcast centroid matrix — semantics identical.
+    Fast path: one numpy GEMM + argmax per Arrow batch against the
+    centroid matrix in the task closure — narrow plan, no shuffle.
+    Ties break to the lowest cid (matches arg_max-over-distinct-dots;
+    exact ties are measure-zero for real embeddings).
+    """
+    cm = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def work(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _stack_vectors(pdf[vec_col])
+            cid = np.argmax(m @ cm.T, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cid": cid.astype(np.int64)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        work, schema=f"{id_col} long, cid long"
+    )
+
+
+def ivf_assign_explode(emb: DataFrame, centroids: np.ndarray,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Declarative strategy for the same assignment (explode x centroids,
+    groupBy, max_by) so DuckDB's arg_max reproduces it exactly — the
+    SQL-oracle cross-check; n·centroids shuffled rows.
     """
     ncent = centroids.shape[0]
     cl = _planes_array_lit(centroids)
@@ -292,6 +427,15 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
     return dots.groupBy(id_col).agg(F.expr("max_by(c, dot)").alias("cid"))
 
 
+def _probe_cells(qvec: np.ndarray, centroids: np.ndarray,
+                 nprobe: int) -> list[int]:
+    """The nprobe nearest centroid ids (dot desc, cid asc tie-break)."""
+    qdots = centroids @ qvec
+    return [
+        int(c) for c in np.lexsort((np.arange(len(qdots)), -qdots))[:nprobe]
+    ]
+
+
 def ivf_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
              nprobe: int = NPROBE, centroids: np.ndarray | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -299,38 +443,158 @@ def ivf_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
     ``nprobe`` nearest centroid cells, exact cosine rerank of their
     members. Returns (id, cos) ordered (cos desc, id asc).
 
-    Scale shape (10^12 vectors): the assignment table is written once,
-    PARTITIONED BY cid (an Iceberg partition transform), so a query scans
-    only nprobe partitions — the postings-list analog for vectors."""
+    Index-free form — assignment computed on the fly (one narrow matmul
+    pass). For repeated queries build an ``AnnIndex`` once: its vectors
+    table is PARTITIONED BY cid, so ``AnnIndex.ivf_topk`` scans only
+    nprobe partitions — the postings-list analog for vectors."""
     head = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
     if head is None:
         raise ValueError(f"query {id_col}={query_id} not found in table")
     qvec = np.asarray([float(x) for x in head[vec_col]], dtype=np.float64)
     if centroids is None:
         centroids = ivf_centroids(dim=len(qvec))
-    qdots = centroids @ qvec
-    probe = [
-        int(c) for c in np.lexsort((np.arange(len(qdots)), -qdots))[:nprobe]
-    ]
+    probe = _probe_cells(qvec, centroids, nprobe)
     assign = ivf_assign(emb, centroids, id_col, vec_col)
     cand = assign.filter(F.col("cid").isin(probe)).filter(
         F.col(id_col) != query_id
     )
-    qnorm = math.sqrt(float(np.dot(qvec, qvec)))
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    ex = (
-        emb.join(cand.select(id_col), id_col)
-        .select(F.col(id_col), F.posexplode(vec_col).alias("i", "ev"))
-        .withColumn("ev", F.col("ev").cast("double"))
-        .withColumn("qv", F.element_at(qlit, F.col("i") + 1))
+    return rerank_topk(
+        emb.join(cand.select(id_col), id_col), qvec, k, id_col, vec_col
     )
-    sums = ex.groupBy(id_col).agg(
-        F.sum(F.col("ev") * F.col("qv")).alias("dot"),
-        F.sum(F.col("ev") * F.col("ev")).alias("nn"),
-    )
-    cos = F.col("dot") / (F.sqrt("nn") * F.lit(qnorm))
-    return (
-        sums.select(F.col(id_col), cos.alias("cos"))
-        .orderBy(F.desc("cos"), F.asc(id_col))
-        .limit(k)
-    )
+
+
+# ---------------------------------------------------------------------------
+# AnnIndex: build-once / probe-many persisted layout
+# ---------------------------------------------------------------------------
+
+class AnnIndex:
+    """Persisted ANN artifacts — signatures and IVF assignment computed at
+    BUILD time, never per query (the vector analog of the inverted index;
+    fixes the per-query recomputation the index-free forms pay):
+
+    * ``{dir}/vectors`` — (id, embedding, sig) PARTITIONED BY cid: an IVF
+      probe reads only the nprobe matching partitions (on Iceberg this is
+      a partition transform; the plan shows the cid partition filters).
+    * ``{dir}/bands`` — (id, band_id, band_val) PARTITIONED BY
+      (band_id, band_val): an LSH probe reads only the query's buckets.
+    * ``{dir}/meta.json`` — dim / plane + centroid seeds, so query-side
+      driver math reproduces the exact build-time matrices.
+    """
+
+    def __init__(self, spark, index_dir: str, meta: dict):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = meta
+        self.id_col = meta["id_col"]
+        self.vec_col = meta["vec_col"]
+        self.planes = lsh_planes(
+            dim=meta["dim"], num_planes=meta["num_planes"],
+            seed=meta["lsh_seed"],
+        )
+        self.centroids = ivf_centroids(
+            dim=meta["dim"], n=meta["num_centroids"], seed=meta["ivf_seed"]
+        )
+        self.vectors = spark.read.parquet(f"{index_dir}/vectors")
+        self.bands = spark.read.parquet(f"{index_dir}/bands")
+
+    # ----------------------------------------------------------------- build
+    @staticmethod
+    def build(spark, emb: DataFrame, index_dir: str, dim: int,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              num_planes: int = NUM_PLANES, band_bits: int = BAND_BITS,
+              num_centroids: int = NUM_CENTROIDS,
+              lsh_seed: int = LSH_SEED, ivf_seed: int = IVF_SEED,
+              ) -> "AnnIndex":
+        import json
+        import os
+
+        planes = lsh_planes(dim=dim, num_planes=num_planes, seed=lsh_seed)
+        cents = ivf_centroids(dim=dim, n=num_centroids, seed=ivf_seed)
+        sigs = lsh_signatures(emb, planes, id_col, vec_col)
+        cids = ivf_assign(emb, cents, id_col, vec_col)
+        vec = (
+            emb.select(id_col, vec_col)
+            .join(sigs, id_col)
+            .join(cids, id_col)
+        )
+        os.makedirs(index_dir, exist_ok=True)
+        vec.write.mode("overwrite").partitionBy("cid").parquet(
+            f"{index_dir}/vectors"
+        )
+        saved_vec = spark.read.parquet(f"{index_dir}/vectors")
+        bands = saved_vec.select(
+            F.col(id_col),
+            F.posexplode(
+                _bands(F.col("sig"), num_planes, band_bits)
+            ).alias("band_id", "band_val"),
+        )
+        bands.write.mode("overwrite").partitionBy(
+            "band_id", "band_val"
+        ).parquet(f"{index_dir}/bands")
+        meta = {
+            "dim": dim, "id_col": id_col, "vec_col": vec_col,
+            "num_planes": num_planes, "band_bits": band_bits,
+            "num_centroids": num_centroids,
+            "lsh_seed": lsh_seed, "ivf_seed": ivf_seed,
+        }
+        with open(f"{index_dir}/meta.json", "w") as fh:
+            json.dump(meta, fh, indent=2)
+        return AnnIndex(spark, index_dir, meta)
+
+    @staticmethod
+    def load(spark, index_dir: str) -> "AnnIndex":
+        import json
+
+        with open(f"{index_dir}/meta.json") as fh:
+            meta = json.load(fh)
+        return AnnIndex(spark, index_dir, meta)
+
+    # ----------------------------------------------------------------- query
+    def _query_vec(self, query_id: int) -> np.ndarray:
+        head = (
+            self.vectors.filter(F.col(self.id_col) == query_id)
+            .select(self.vec_col)
+            .head()
+        )
+        if head is None:
+            raise ValueError(
+                f"query {self.id_col}={query_id} not found in index"
+            )
+        return np.asarray(
+            [float(x) for x in head[self.vec_col]], dtype=np.float64
+        )
+
+    def lsh_topk(self, query_id: int | None = None, k: int = 10,
+                 qvec: np.ndarray | None = None) -> DataFrame:
+        """Probe the persisted band buckets (partition-pruned scan of only
+        the query's (band_id, band_val) directories), rerank exactly."""
+        if qvec is None:
+            qvec = self._query_vec(query_id)
+        qbands = _query_bands(
+            _query_signature(qvec, self.planes),
+            self.meta["num_planes"], self.meta["band_bits"],
+        )
+        pred = None
+        for b, v in qbands:
+            c = (F.col("band_id") == b) & (F.col("band_val") == v)
+            pred = c if pred is None else (pred | c)
+        cand = self.bands.filter(pred).select(self.id_col).distinct()
+        if query_id is not None:
+            cand = cand.filter(F.col(self.id_col) != query_id)
+        return rerank_topk(
+            self.vectors.join(cand, self.id_col), qvec, k,
+            self.id_col, self.vec_col,
+        )
+
+    def ivf_topk(self, query_id: int | None = None, k: int = 10,
+                 nprobe: int = NPROBE,
+                 qvec: np.ndarray | None = None) -> DataFrame:
+        """Probe the nprobe nearest cells — the vectors scan is pruned to
+        those cid partitions (assert via .explain: PartitionFilters)."""
+        if qvec is None:
+            qvec = self._query_vec(query_id)
+        probe = _probe_cells(qvec, self.centroids, nprobe)
+        cand = self.vectors.filter(F.col("cid").isin(probe))
+        if query_id is not None:
+            cand = cand.filter(F.col(self.id_col) != query_id)
+        return rerank_topk(cand, qvec, k, self.id_col, self.vec_col)

@@ -385,13 +385,29 @@ def dd_embed_neardup(spark, sf_dir):
     )
 
 
-def ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN: candidates share >=1 signature band with the
-    query vector, exact cosine rerank — montezuma_spark.ann.lsh_topk."""
-    from montezuma_spark.ann import lsh_topk
+_ANN_CACHE: dict = {}
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, query_id=0, k=10).select(
+
+def _ann_index(spark, sf_dir):
+    """Build-once persisted ANN artifacts (signatures + IVF assignment as
+    partitioned parquet) — queries probe, never recompute table state."""
+    if sf_dir not in _ANN_CACHE:
+        import tempfile
+
+        from montezuma_spark.ann import AnnIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.select("embedding").head()["embedding"])
+        d = tempfile.mkdtemp(prefix="annix_")
+        _ANN_CACHE[sf_dir] = AnnIndex.build(spark, emb, d, dim=dim)
+    return _ANN_CACHE[sf_dir]
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN against the PERSISTED band buckets: candidates
+    share >=1 signature band with the query vector (partition-pruned
+    bucket scan), exact cosine rerank — montezuma_spark.ann.AnnIndex."""
+    return _ann_index(spark, sf_dir).lsh_topk(query_id=0, k=10).select(
         "vec_id", F.round("cos", 5).alias("cos")
     )
 
@@ -442,13 +458,10 @@ def mm_features(spark, sf_dir):
 
 
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: assign vectors to deterministic coarse centroids, probe
-    the query's nprobe nearest cells, exact cosine rerank —
-    montezuma_spark.ann.ivf_topk."""
-    from montezuma_spark.ann import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, query_id=0, k=10).select(
+    """IVF ANN against the PERSISTED cid-partitioned vectors table: probe
+    the query's nprobe nearest cells (the scan reads only those cid
+    partitions), exact cosine rerank — montezuma_spark.ann.AnnIndex."""
+    return _ann_index(spark, sf_dir).ivf_topk(query_id=0, k=10).select(
         "vec_id", F.round("cos", 5).alias("cos")
     )
 

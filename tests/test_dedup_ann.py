@@ -178,6 +178,102 @@ def test_embedding_neardup_pairs_threshold(spark, emb_df):
         assert labels[a] == labels[b], "0.9-cosine pairs must be same cluster"
 
 
+def test_fast_matmul_matches_explode_strategies(spark, emb_df):
+    """The Arrow-batched matmul paths (default) must agree with the
+    declarative explode plans (the SQL-oracle cross-check strategy):
+    identical signatures / assignments, cosines equal to 1e-9."""
+    from montezuma_spark.ann import (
+        cosine_join,
+        cosine_join_explode,
+        ivf_assign,
+        ivf_assign_explode,
+        ivf_centroids,
+        lsh_signatures_explode,
+    )
+
+    df, rows = emb_df
+    planes = lsh_planes(dim=16, num_planes=16)
+    fast = dict(
+        (r["vec_id"], r["sig"]) for r in lsh_signatures(df, planes).collect()
+    )
+    slow = dict(
+        (r["vec_id"], r["sig"])
+        for r in lsh_signatures_explode(df, planes).collect()
+    )
+    assert fast == slow
+    cents = ivf_centroids(dim=16, n=8)
+    fast_a = dict(
+        (r["vec_id"], r["cid"]) for r in ivf_assign(df, cents).collect()
+    )
+    slow_a = dict(
+        (r["vec_id"], r["cid"])
+        for r in ivf_assign_explode(df, cents).collect()
+    )
+    assert fast_a == slow_a
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 3), (2, 7), (10, 25)], "id_a long, id_b long"
+    )
+    fc = {(r["id_a"], r["id_b"]): r["cos"]
+          for r in cosine_join(df, pairs).collect()}
+    sc = {(r["id_a"], r["id_b"]): r["cos"]
+          for r in cosine_join_explode(df, pairs).collect()}
+    assert set(fc) == set(sc)
+    for k in fc:
+        assert abs(fc[k] - sc[k]) < 1e-9
+
+
+def test_ann_index_persisted_probe(spark, emb_df, tmp_path_factory):
+    """AnnIndex: build-once artifacts answer identically to the index-free
+    (recompute) forms, and the IVF probe plan is partition-pruned to the
+    nprobe cid partitions (never a full vectors scan)."""
+    from montezuma_spark.ann import AnnIndex, ivf_topk, lsh_topk
+
+    df, rows = emb_df
+    d = str(tmp_path_factory.mktemp("annix") / "ix")
+    ix = AnnIndex.build(
+        spark, df, d, dim=16, num_planes=16, num_centroids=8
+    )
+    # reload from disk — artifacts, not session state
+    ix = AnnIndex.load(spark, d)
+    free = lsh_topk(df, query_id=0, k=5, planes=ix.planes).collect()
+    probed = ix.lsh_topk(query_id=0, k=5).collect()
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in probed] == [
+        (r["vec_id"], round(r["cos"], 9)) for r in free
+    ]
+    free_i = ivf_topk(
+        df, query_id=0, k=5, nprobe=3, centroids=ix.centroids
+    ).collect()
+    probed_i = ix.ivf_topk(query_id=0, k=5, nprobe=3).collect()
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in probed_i] == [
+        (r["vec_id"], round(r["cos"], 9)) for r in free_i
+    ]
+
+
+def test_ann_index_ivf_partition_pruning(spark, emb_df, tmp_path_factory,
+                                         capsys):
+    from montezuma_spark.ann import AnnIndex
+    from pyspark.sql import functions as F
+
+    df, _ = emb_df
+    d = str(tmp_path_factory.mktemp("annix2") / "ix")
+    ix = AnnIndex.build(spark, df, d, dim=16, num_planes=16, num_centroids=8)
+    probe = [1, 3]
+    scan = ix.vectors.filter(F.col("cid").isin(probe))
+    scan.explain("formatted")
+    plan = capsys.readouterr().out
+    flat = plan.replace(" ", "")
+    assert "PartitionFilters" in plan
+    assert "cid" in flat.split("PartitionFilters")[1].splitlines()[0]
+    # bands probe likewise prunes on the partition columns
+    bscan = ix.bands.filter(
+        (F.col("band_id") == 0) & (F.col("band_val") == 3)
+    )
+    bscan.explain("formatted")
+    bplan = capsys.readouterr().out
+    assert "PartitionFilters" in bplan
+    assert "band_id" in bplan.split("PartitionFilters")[1].splitlines()[0]
+
+
 def test_ivf_assignment_and_topk(spark, emb_df):
     from montezuma_spark.ann import ivf_assign, ivf_centroids, ivf_topk
 
