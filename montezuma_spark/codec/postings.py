@@ -48,6 +48,13 @@ DEFAULT_BLOCK = 128
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# index-time per-doc boost marker cells (see builder.py): defined here so
+# the query kernel (pyspark-free, imported by every worker) can recognize
+# them without pulling the builder module into query workers.
+BOOST_TERM = "\x00boost"
+BOOST_FIELD = "\x00doc"
+BOOST_SCALE = 1024
+
 META_FIELDS = ("first", "last", "n", "off", "codes_len", "ext_len",
                "maxtf", "mindl")
 

@@ -83,6 +83,20 @@ DOCLENS_TERM = "\x00doclens"
 STATS_TERM = "\x00stats"
 MARKER_TERMS = (DOCLENS_TERM, STATS_TERM)
 
+# index-time per-doc boost marker cells (field.lisp:104-120 boost → norms,
+# document-writer.lisp:215-227 write-norms): one cell per shard with
+# tf = dl = quantized boost (round(boost·1024), min 1 — the byte-quantized
+# norm analog, similarity.lisp float-to-byte315, at finer precision). They
+# LIVE in the postings table (co-partitioned with the cells they scale, the
+# in-cell-dl-stream reasoning: never a query-time join) but are excluded
+# from term_stats and term_vectors. Constants live in codec.postings so the
+# pyspark-free query kernel can import them.
+from montezuma_spark.codec.postings import (  # noqa: E402,F401 (re-export)
+    BOOST_FIELD,
+    BOOST_SCALE,
+    BOOST_TERM,
+)
+
 DOC_LENS_SCHEMA = "field string, docid long, dl long, shard long"
 
 _GC_TUNED = False
@@ -322,6 +336,7 @@ def _segment_iter(
     shard_bits: int,
     block_size: int,
     offsets: dict[int, int],
+    boost_col: str | None = None,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: the fused tokenize→invert→encode segment builder.
 
@@ -342,6 +357,7 @@ def _segment_iter(
     out_frames: list[pd.DataFrame] = []
     ndocs = {f.name: 0 for f in fields}
     ntoks = {f.name: 0 for f in fields}
+    boost_acc: dict[int, list] = {}  # shard -> [(docids, boostq)]
     for pdf in batches:
         if len(pdf) == 0:
             continue
@@ -361,6 +377,19 @@ def _segment_iter(
         if len(sub) == 0:
             continue
         docids = docids_all[newmask]
+        if boost_col is not None:
+            bq = np.maximum(
+                1,
+                np.rint(
+                    sub[boost_col].to_numpy(dtype=np.float64) * BOOST_SCALE
+                ).astype(np.int64),
+            )
+            shards_b = docids >> shard_bits
+            for sh in np.unique(shards_b):
+                m = shards_b == sh
+                boost_acc.setdefault(int(sh), []).append(
+                    (docids[m], bq[m])
+                )
         for f in fields:
             an = analyzers[f.name]
             col = sub[f.column]
@@ -414,6 +443,22 @@ def _segment_iter(
             )
     for buf in bufs.values():
         out_frames.extend(buf.flush())
+    if boost_acc:
+        out_frames.append(
+            pd.DataFrame(
+                [
+                    _cell_row(
+                        BOOST_FIELD, BOOST_TERM, sh,
+                        np.concatenate([d for d, _ in parts]),
+                        np.concatenate([q for _, q in parts]),
+                        np.concatenate([q for _, q in parts]),
+                        None, block_size,
+                    )
+                    for sh, parts in sorted(boost_acc.items())
+                ],
+                columns=POSTINGS_COLS,
+            )
+        )
     stats_rows = [
         {
             **{c: None for c in POSTINGS_COLS},
@@ -628,7 +673,7 @@ def term_vectors(index: "Index", docids: list[int] | None = None):
     whole table uninverts in one narrow pass. Scale note: output is
     ~index-sized; repartition by docid before joining doc-major consumers.
     """
-    postings = index.postings
+    postings = index.postings.filter(F.col("term") != BOOST_TERM)
     if docids is not None:
         shards = sorted({d >> index.config.shard_bits for d in docids})
         postings = postings.filter(F.col("shard").isin(shards))
@@ -799,9 +844,9 @@ class Index:
             lambda a, c: a.unionByName(c, allowMissingColumns=True), doc_maps
         )
         doc_lens = reduce(lambda a, c: a.unionByName(c), doc_lens_parts)
-        term_stats = postings.groupBy("field", "term").agg(
-            F.sum("df").alias("df"), F.sum("cf").alias("cf")
-        )
+        term_stats = postings.filter(F.col("term") != BOOST_TERM).groupBy(
+            "field", "term"
+        ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         merged = Index(
             self.spark, self.config, doc_map, doc_lens, postings,
             term_stats, stats, index_dir=None,
@@ -904,7 +949,9 @@ def build_index(
     t0 = time.time()
     nparts = config.num_partitions or spark.sparkContext.defaultParallelism
     src_cols = [config.key_col] + sorted(
-        {f.column for f in config.fields} | set(config.store_cols)
+        {f.column for f in config.fields}
+        | set(config.store_cols)
+        | ({config.boost_col} if config.boost_col else set())
     )
     # Cached here for the local bench (3 passes: key counts, segment build,
     # doc_map). On a real cluster over Iceberg you would skip the persist —
@@ -937,7 +984,8 @@ def build_index(
 
     def fused(it):
         return _segment_iter(
-            it, fields, max_len, config.shard_bits, config.block_size, offsets
+            it, fields, max_len, config.shard_bits, config.block_size,
+            offsets, boost_col=config.boost_col,
         )
 
     if index_dir:
@@ -997,9 +1045,9 @@ def build_index(
         .dropDuplicates(["docid"])
     )
 
-    term_stats = postings.groupBy("field", "term").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    )
+    term_stats = postings.filter(F.col("term") != BOOST_TERM).groupBy(
+        "field", "term"
+    ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
     build_seconds = time.time() - t0
     report = {

@@ -38,6 +38,13 @@ class IndexConfig:
                                        # (ref: index-writer.lisp:10)
     store_cols: tuple = ()             # source columns kept in doc_map
                                        # (stored fields — fields-io.lisp analog)
+    boost_col: str | None = None       # numeric source column: index-time
+                                       # per-doc boost, a multiplicative
+                                       # static prior on BM25 (the norms
+                                       # boost analog, field.lisp:104-120,
+                                       # document-writer.lisp:215-227;
+                                       # quantized to 1/1024 steps like the
+                                       # reference's byte-quantized norms)
 
     def to_json(self) -> dict:
         return {
@@ -58,6 +65,7 @@ class IndexConfig:
             "b": self.b,
             "max_field_length": self.max_field_length,
             "store_cols": list(self.store_cols),
+            "boost_col": self.boost_col,
         }
 
     @staticmethod
@@ -77,4 +85,5 @@ class IndexConfig:
             b=d["b"],
             max_field_length=d.get("max_field_length", 10_000),
             store_cols=tuple(d.get("store_cols", ())),
+            boost_col=d.get("boost_col"),
         )

@@ -179,9 +179,11 @@ def expunge_deletes(index) -> "object":
         lambda it: _rewrite_iter(it, deleted, cfg.block_size),
         schema=POSTINGS_SCHEMA,
     )
-    term_stats = postings.groupBy("field", "term").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    )
+    from montezuma_spark.index.builder import BOOST_TERM
+
+    term_stats = postings.filter(F.col("term") != BOOST_TERM).groupBy(
+        "field", "term"
+    ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     new = Index(
         spark, cfg, doc_map, doc_lens, postings, term_stats, stats,
         index_dir=None, build_report=dict(index.build_report),

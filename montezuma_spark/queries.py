@@ -198,6 +198,29 @@ def ft_expunge_topk(spark, sf_dir):
     return _topk(_EXPUNGE_CACHE[sf_dir], TermQuery("text", "merge"))
 
 
+_BOOST_CACHE: dict = {}
+
+
+def ft_boost_topk(spark, sf_dir):
+    """Index-time per-doc boosts (field.lisp:104-120, write-norms
+    document-writer.lisp:215-227): BM25 top-10 for 'merge' over an index
+    built with boost = (doc_id % 4 + 1)/2 — a multiplicative static prior
+    baked into the index (all values exact 1/1024 multiples, so the
+    quantized multiplier is exact and the SQL oracle trivially matches)."""
+    if sf_dir not in _BOOST_CACHE:
+        docs = documents_as_web_pages(spark, sf_dir).withColumn(
+            "boost", (F.col("doc_id") % 4 + 1) / 2.0
+        )
+        cfg = IndexConfig(
+            fields=[FieldConfig("text", "text", "simple")], key_col="url",
+            shard_bits=8, boost_col="boost",
+        )
+        idx = build_index(spark, docs, cfg)
+        idx.postings = idx.postings.persist()
+        _BOOST_CACHE[sf_dir] = Searcher(idx)
+    return _topk(_BOOST_CACHE[sf_dir], TermQuery("text", "merge"))
+
+
 def ta_stop_count(spark, sf_dir):
     """Stop-analyzer pipeline (lowercase tokenizer → 35-word English stop
     list, analyzers.lisp:42-52) as a vectorized pandas UDF; per-doc
@@ -503,6 +526,7 @@ QUERIES = {
     "ft_matchall": ft_matchall,
     "ft_expunge_topk": ft_expunge_topk,
     "ft_lang_filter_topk": ft_lang_filter_topk,
+    "ft_boost_topk": ft_boost_topk,
     "ta_stop_count": ta_stop_count,
     "ft_range_docs": ft_range_docs,
     "ft_wildcard_docs": ft_wildcard_docs,
@@ -723,6 +747,13 @@ SELECT docid, round(score, 6) AS score FROM (
   SELECT docid, sum(s) AS score FROM scores
   WHERE docid IN (SELECT docid FROM docs WHERE lang = 'de')
   GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_boost_topk": _BASE + _bm25_cte(["merge"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT s.docid, sum(s.s) * ((d.doc_id % 4 + 1) / 2.0) AS score
+  FROM scores s JOIN docs d USING (docid)
+  GROUP BY s.docid, d.doc_id
 ) ORDER BY score DESC, docid ASC LIMIT 10
 """,
     "ta_stop_count": (

@@ -33,7 +33,12 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from montezuma_spark.codec.postings import decode_cell, decode_positions
+from montezuma_spark.codec.postings import (
+    BOOST_SCALE,
+    BOOST_TERM,
+    decode_cell,
+    decode_positions,
+)
 from montezuma_spark.search.ast import (
     FILTER,
     MUST,
@@ -91,11 +96,41 @@ class ShardEval:
         # monotonically) — merged at decode time by first-docid order, the
         # multi-term-doc-enum analog (src/index/multi-reader.lisp:225-318).
         self.cells: dict = {}
+        boost_rows = []
         for r in postings_pdf.itertuples(index=False):
+            if r.term == BOOST_TERM:
+                boost_rows.append(r)
+                continue
             self.cells.setdefault((r.field, r.term), []).append(r)
         for rows in self.cells.values():
             if len(rows) > 1:
                 rows.sort(key=lambda r: r.blk_first[0] if len(r.blk_first) else 0)
+        # per-doc index-time boosts (marker cells): sorted docid -> boost
+        # multiplier; max_boost keeps WAND upper bounds valid under boosting
+        self.boost_d = None
+        self.boost_v = None
+        self.max_boost = 1.0
+        if boost_rows:
+            parts = [
+                decode_cell(
+                    bytes(r.postings),
+                    {
+                        "first": list(r.blk_first), "last": list(r.blk_last),
+                        "n": list(r.blk_n), "off": list(r.blk_off),
+                        "codes_len": list(r.blk_codes_len),
+                        "ext_len": list(r.blk_ext_len),
+                        "maxtf": list(r.blk_maxtf),
+                        "mindl": list(r.blk_mindl),
+                    },
+                )
+                for r in boost_rows
+            ]
+            d = np.concatenate([p[0] for p in parts])
+            q = np.concatenate([p[1] for p in parts])
+            order = np.argsort(d)
+            self.boost_d = d[order]
+            self.boost_v = q[order].astype(np.float64) / BOOST_SCALE
+            self.max_boost = float(self.boost_v.max())
         self.lens = {}
         if lens_pdf is not None and len(lens_pdf):
             for f, grp in lens_pdf.groupby("field"):
@@ -177,6 +212,17 @@ class ShardEval:
             np.concatenate([p[2] for p in parts]),
         )
 
+    def _doc_boost(self, docids: np.ndarray) -> np.ndarray | float:
+        """Per-doc index-time boost multipliers (1.0 when unboosted)."""
+        if self.boost_d is None or len(docids) == 0:
+            return 1.0
+        idx = np.clip(
+            np.searchsorted(self.boost_d, docids), 0, len(self.boost_d) - 1
+        )
+        return np.where(
+            self.boost_d[idx] == docids, self.boost_v[idx], 1.0
+        )
+
     def _bm25(self, field, term, docids, tfs, dls, boost) -> np.ndarray:
         p = self.plan
         idf = p.idf.get((field, term), 0.0)
@@ -186,6 +232,7 @@ class ShardEval:
         return (
             idf
             * boost
+            * self._doc_boost(docids)
             * tf
             * (p.k1 + 1.0)
             / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
@@ -263,7 +310,9 @@ class ShardEval:
                 )
                 mx = max(mx, float(ubs.max()))
         idf = p.idf.get((field, term), 0.0)
-        return idf * boost * (p.k1 + 1.0) * mx
+        # max_boost keeps the bound valid for boosted docs (exact per-doc
+        # boosts are applied when the postings actually decode)
+        return idf * boost * (p.k1 + 1.0) * mx * self.max_boost
 
     def _try_pruned_disjunction(self, node: Query):
         """Term-at-a-time disjunction with block-max pruning — the
@@ -578,6 +627,7 @@ class ShardEval:
         score = (
             idf
             * node.boost
+            * self._doc_boost(docs)
             * tf
             * (p.k1 + 1.0)
             / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))

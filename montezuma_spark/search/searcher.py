@@ -410,12 +410,18 @@ class Searcher:
 
     def _filtered_postings(self, resolved: Query, need_pos: bool):
         """Postings scan restricted to the query's (field, term) set, with
-        the positions sidecar column-pruned away for non-phrase queries."""
+        the positions sidecar column-pruned away for non-phrase queries.
+        Boosted indexes additionally read the per-shard boost marker cells
+        (they ride the same scan — no extra job or join)."""
+        from montezuma_spark.codec.postings import BOOST_TERM
+
         needed = self._needed_terms(resolved)
         cond = None
         for f, terms in needed.items():
             c = (F.col("field") == f) & F.col("term").isin(sorted(terms))
             cond = c if cond is None else (cond | c)
+        if cond is not None and self.index.config.boost_col is not None:
+            cond = cond | (F.col("term") == BOOST_TERM)
         cols = [
             "field", "term", "shard", "df", "cf", "postings",
             "blk_first", "blk_last", "blk_n", "blk_off", "blk_codes_len",
@@ -473,6 +479,8 @@ class Searcher:
         if self._preload:
             import pandas as pd
 
+            from montezuma_spark.codec.postings import BOOST_TERM
+
             hot = self._hot_cells()
             groups = [
                 hot[(f, t)]
@@ -480,6 +488,10 @@ class Searcher:
                 for t in terms
                 if (f, t) in hot
             ]
+            if self.index.config.boost_col is not None:
+                groups.extend(
+                    g for (f, t), g in hot.items() if t == BOOST_TERM
+                )
             pdf = (
                 pd.concat(groups, ignore_index=True)
                 if groups
@@ -529,19 +541,22 @@ class Searcher:
             out = result.join(self.index.doc_map, "docid", "inner")
         return out.select("docid", "key", "score")
 
-    def top_docs(self, query: Query, k: int = 10,
+    def top_docs(self, query: Query, k: int | None = 10,
                  first_doc: int = 0) -> list[tuple[int, float]]:
-        local = self._execute_local(query, k + first_doc)
+        """(docid, score) hits, (score desc, docid asc); k=None = all."""
+        fetch = (k + first_doc) if k is not None else None
+        local = self._execute_local(query, fetch)
         if local is not None:
-            return list(
-                local.iloc[first_doc : first_doc + k].itertuples(
-                    index=False, name=None
-                )
+            sel = (
+                local.iloc[first_doc : first_doc + k]
+                if k is not None
+                else local.iloc[first_doc:]
             )
-        return [
-            (r["docid"], r["score"])
-            for r in self.search(query, k, first_doc=first_doc).collect()
-        ]
+            return list(sel.itertuples(index=False, name=None))
+        rows = self.search(query, k, first_doc=first_doc)
+        if k is None:
+            rows = rows.orderBy(F.desc("score"), F.asc("docid"))
+        return [(r["docid"], r["score"]) for r in rows.collect()]
 
     def matching_docids(self, query: Query) -> list[int]:
         """All matching docids, sorted — the golden doc-set surface."""
