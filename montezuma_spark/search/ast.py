@@ -44,18 +44,27 @@ class TermQuery(Query):
 @dataclass(frozen=True)
 class PhraseQuery(Query):
     """Ordered terms at explicit relative positions; slop per the reference
-    (src/search/phrase-query.lisp:6-44, sloppy-phrase-scorer.lisp:6-34)."""
+    (src/search/phrase-query.lisp:6-44, sloppy-phrase-scorer.lisp:6-34).
+
+    ``weight`` picks the sloppy-match tf semantics:
+      * "count"       — each in-slop window counts 1 (integer tf)
+      * "reciprocal"  — each window counts 1/(1+span), the reference's
+                        sloppy-freq (similarity.lisp:158-159)
+    Exact phrases (slop=0) are unaffected (span=0 → both modes agree).
+    """
 
     field: str
     terms: tuple[str, ...]
     offsets: tuple[int, ...]  # position offset of each term (gaps allowed)
     slop: int = 0
     boost: float = 1.0
+    weight: str = "count"
 
     @staticmethod
-    def of(field: str, terms, slop: int = 0, boost: float = 1.0) -> "PhraseQuery":
+    def of(field: str, terms, slop: int = 0, boost: float = 1.0,
+           weight: str = "count") -> "PhraseQuery":
         return PhraseQuery(
-            field, tuple(terms), tuple(range(len(terms))), slop, boost
+            field, tuple(terms), tuple(range(len(terms))), slop, boost, weight
         )
 
 

@@ -574,7 +574,7 @@ class ShardEval:
             self._positions_for(node.field, node.terms[i], docs) for i in
             range(len(node.terms))
         ]
-        freqs = np.zeros(len(docs), dtype=np.int64)
+        freqs = np.zeros(len(docs), dtype=np.float64)
         if node.slop == 0:
             # vectorized across ALL candidate docs: encode (doc, shifted
             # position) as one composite key and intersect the terms' key
@@ -606,14 +606,18 @@ class ShardEval:
             if keys is not None and len(keys):
                 freqs = np.bincount(
                     (keys // M).astype(np.int64), minlength=len(docs)
-                ).astype(np.int64)
+                ).astype(np.float64)
         else:
-            for di in range(len(docs)):
-                shifted = [
+            shifted_lists = [
+                [
                     pos_lists[i][di] - node.offsets[i]
-                    for i in range(len(node.terms))
+                    for di in range(len(docs))
                 ]
-                freqs[di] = _sloppy_freq(shifted, node.slop)
+                for i in range(len(node.terms))
+            ]
+            freqs = _sloppy_freqs_batch(
+                shifted_lists, node.slop, getattr(node, "weight", "count")
+            )
         keep = freqs > 0
         docs = docs[keep]
         freqs = freqs[keep]
@@ -635,22 +639,121 @@ class ShardEval:
         return docs, score
 
 
-def _sloppy_freq(shifted: list[np.ndarray], slop: int) -> int:
-    """Count minimal windows with span ≤ slop over the shifted position
-    lists (k-pointer sweep; sloppy-phrase-scorer.lisp:6-34 semantics —
-    we count matches, the BM25 tf, instead of summing 1/(1+len))."""
+def _sloppy_freq(shifted: list[np.ndarray], slop: int,
+                 weight: str = "count") -> float:
+    """Reference oracle: k-pointer sweep over the shifted position lists
+    (sloppy-phrase-scorer.lisp:6-34). Each step whose window span ≤ slop
+    contributes 1 ("count" mode) or 1/(1+span) ("reciprocal" — the
+    reference's sloppy-freq, similarity.lisp:158-159). The production path
+    is the vectorized ``_sloppy_freqs_batch``; tests assert equivalence."""
     if any(len(s) == 0 for s in shifted):
-        return 0
+        return 0.0
     ptr = [0] * len(shifted)
-    count = 0
+    freq = 0.0
     while True:
         cur = [s[p] for s, p in zip(shifted, ptr)]
-        if max(cur) - min(cur) <= slop:
-            count += 1
+        span = max(cur) - min(cur)
+        if span <= slop:
+            freq += 1.0 if weight == "count" else 1.0 / (1.0 + span)
         mi = int(np.argmin(cur))
         ptr[mi] += 1
         if ptr[mi] >= len(shifted[mi]):
-            return count
+            return freq
+
+
+def _sloppy_freqs_batch(shifted_lists: list[list[np.ndarray]], slop: int,
+                        weight: str = "count") -> np.ndarray:
+    """Vectorized sloppy-phrase frequencies for ALL candidate docs at once
+    — the numpy closed form of the k-pointer sweep, O(k·n log n) with no
+    per-doc (or per-position) Python.
+
+    Sweep identity: the loop retires the minimum pointer each step, so the
+    retired elements follow the merged (value, list) sorted order, and at
+    the step retiring element (v, j) every other list t's pointer sits at
+    its first element (> v), or (== v) for t > j (the argmin tie-break
+    retires lower list ids first). The sweep stops — inclusively — at the
+    first element that is the last of its list.
+
+    ``shifted_lists[t][d]`` = term t's shifted positions in doc d.
+    Returns per-doc frequency (count or Σ 1/(1+span)).
+    """
+    k = len(shifted_lists)
+    ndocs = len(shifted_lists[0]) if k else 0
+    freqs = np.zeros(ndocs, dtype=np.float64)
+    if ndocs == 0:
+        return freqs
+    # docs where every term occurs (others contribute 0)
+    lens = np.array(
+        [[len(shifted_lists[t][d]) for d in range(ndocs)] for t in range(k)],
+        dtype=np.int64,
+    )
+    active = np.flatnonzero((lens > 0).all(axis=0))
+    if len(active) == 0:
+        return freqs
+    # flatten per term, doc-major; values biased non-negative so the
+    # (doc, value) composite key fits one int64
+    flat = [
+        np.concatenate([shifted_lists[t][d] for d in active])
+        for t in range(k)
+    ]
+    vmin = min(int(f.min()) for f in flat)
+    vmax = max(int(f.max()) for f in flat)
+    M = np.int64(vmax - vmin + 2)
+    doc_of = [
+        np.repeat(np.arange(len(active)), lens[t][active]) for t in range(k)
+    ]
+    key = [doc_of[t] * M + (flat[t] - vmin) for t in range(k)]  # sorted asc
+    # merged element stream over all terms
+    all_key = np.concatenate(key)
+    all_val = np.concatenate(flat).astype(np.float64)
+    all_doc = np.concatenate(doc_of)
+    all_lid = np.concatenate(
+        [np.full(len(key[t]), t, dtype=np.int64) for t in range(k)]
+    )
+    # is_last: element is the final one of its (doc, term) run
+    last_parts = []
+    for t in range(k):
+        arr = np.zeros(len(flat[t]), dtype=bool)
+        arr[np.cumsum(lens[t][active]) - 1] = True
+        last_parts.append(arr)
+    is_last = np.concatenate(last_parts)
+    order = np.lexsort((all_lid, all_key))  # (doc, value, lid) retirement order
+    s_key = all_key[order]
+    s_val = all_val[order]
+    s_doc = all_doc[order]
+    s_lid = all_lid[order]
+    s_last = is_last[order]
+    n = len(order)
+    # per-doc segment starts in the sorted stream
+    doc_starts = np.searchsorted(s_doc, np.arange(len(active)))
+    rank = np.arange(n) - np.repeat(
+        doc_starts, np.diff(np.append(doc_starts, n))
+    )
+    # stop rank per doc: min within-doc rank of a last-of-its-list element
+    rank_or_inf = np.where(s_last, rank, np.iinfo(np.int64).max)
+    stop_rank = np.minimum.reduceat(rank_or_inf, doc_starts)
+    in_range = rank <= stop_rank[s_doc]
+    # next-element value per other list t at each retirement
+    nxt = np.full((k, n), np.inf)
+    for t in range(k):
+        idx = np.searchsorted(key[t], s_key, side="left")
+        idxc = np.clip(idx, 0, len(key[t]) - 1)
+        # ties (== v): lists with id < j already retired theirs → bump
+        bump = (key[t][idxc] == s_key) & (t < s_lid)
+        idx = idx + bump
+        valid = idx < len(key[t])
+        idxc = np.clip(idx, 0, len(key[t]) - 1)
+        valid &= doc_of[t][idxc] == s_doc
+        nxt[t] = np.where(valid, flat[t][idxc], np.inf)
+        nxt[t][s_lid == t] = s_val[s_lid == t]  # own list: pointer at v
+    span = nxt.max(axis=0) - s_val
+    contrib = np.where(
+        in_range & (span <= slop),
+        1.0 if weight == "count" else 1.0 / (1.0 + span),
+        0.0,
+    )
+    np.add.at(freqs, active[s_doc], contrib)
+    return freqs
 
 
 def _finish(plan: CompiledPlan, docids, scores) -> pd.DataFrame:
