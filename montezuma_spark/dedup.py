@@ -182,6 +182,68 @@ def simhash(tokens_tf: DataFrame, bits: int = 32, id_col: str = "docid",
     return sig
 
 
+def simhash_pairs(sigs: DataFrame, max_distance: int = 3, bits: int = 32,
+                  id_col: str = "docid",
+                  sig_col: str = "simhash") -> DataFrame:
+    """Near-duplicate pairs within hamming distance ``max_distance`` of
+    their SimHash fingerprints — the banding join that turns the
+    fingerprint column into a usable dedup operator at scale.
+
+    Pigeonhole: split the ``bits``-bit fingerprint into ``max_distance+1``
+    chunks; any pair within distance d must agree EXACTLY on at least one
+    chunk (d flipped bits cannot touch all d+1 chunks). Candidates come
+    from an equi-join on (chunk_id, chunk_val) — never an all-pairs
+    product — then a popcount of the XOR verifies the true distance.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_distance.
+
+    Scale: candidate volume is governed by chunk width bits/(d+1); hot
+    buckets (a common chunk value) are the LSH skew case — AQE skew-join
+    handles the residue, same as minhash_band_pairs.
+    """
+    nchunks = max_distance + 1
+    base, rem = divmod(bits, nchunks)
+    chunks = []
+    start = 0
+    for t in range(nchunks):
+        width = base + (1 if t < rem else 0)
+        mask = (1 << width) - 1
+        chunks.append(
+            F.struct(
+                F.lit(t).alias("chunk_id"),
+                F.shiftright(F.col(sig_col), start)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+        )
+        start += width
+    keyed = sigs.select(
+        F.col(id_col), F.col(sig_col), F.explode(F.array(*chunks)).alias("c")
+    ).select(id_col, sig_col, "c.chunk_id", "c.chunk_val")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sig_a ^ sig_b)").cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def winnow_fingerprints(docs_toks: DataFrame, k: int = 3, w: int = 4,
                         id_col: str = "docid",
                         toks_col: str = "toks") -> DataFrame:

@@ -198,6 +198,28 @@ def ft_expunge_topk(spark, sf_dir):
     return _topk(_EXPUNGE_CACHE[sf_dir], TermQuery("text", "merge"))
 
 
+_STD_CACHE: dict = {}
+
+
+def ft_std_term_topk(spark, sf_dir):
+    """The flagship Lucene-ish analysis chain through the correctness
+    gate: standard tokenizer (compound regex + acronym/apostrophe
+    normalize, standard-tokenizer.lisp:28-72) → lowercase → stop filter
+    (analyzers.lisp:55-65), then BM25 top-10 for 'merge'. The DuckDB
+    oracle reproduces the whole chain in SQL (RE2 and Python re agree on
+    the pattern; verified token-identical over the corpus)."""
+    if sf_dir not in _STD_CACHE:
+        docs = documents_as_web_pages(spark, sf_dir)
+        cfg = IndexConfig(
+            fields=[FieldConfig("text", "text", "standard")], key_col="url",
+            shard_bits=8,
+        )
+        idx = build_index(spark, docs, cfg)
+        idx.postings = idx.postings.persist()
+        _STD_CACHE[sf_dir] = Searcher(idx)
+    return _topk(_STD_CACHE[sf_dir], TermQuery("text", "merge"))
+
+
 _BOOST_CACHE: dict = {}
 
 
@@ -386,6 +408,21 @@ def dd_simhash(spark, sf_dir):
     return simhash(tf, bits=32).select("docid", "simhash")
 
 
+def dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within hamming distance 3 via pigeonhole
+    banding (4 x 8-bit chunks, equi-join, popcount verify) —
+    montezuma_spark.dedup.simhash_pairs."""
+    from montezuma_spark.dedup import simhash, simhash_pairs
+
+    t = _tokens_df(spark, sf_dir)
+    tf = (
+        t.select("docid", F.explode("toks").alias("tok"))
+        .groupBy("docid", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return simhash_pairs(simhash(tf, bits=32), max_distance=3, bits=32)
+
+
 def dd_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs: MinHash-band candidates -> exact 3-gram Jaccard
     >= 0.8 — montezuma_spark.dedup.ngram_jaccard_pairs."""
@@ -527,6 +564,7 @@ QUERIES = {
     "ft_expunge_topk": ft_expunge_topk,
     "ft_lang_filter_topk": ft_lang_filter_topk,
     "ft_boost_topk": ft_boost_topk,
+    "ft_std_term_topk": ft_std_term_topk,
     "ta_stop_count": ta_stop_count,
     "ft_range_docs": ft_range_docs,
     "ft_wildcard_docs": ft_wildcard_docs,
@@ -540,6 +578,7 @@ QUERIES = {
     "dd_minhash_bands": dd_minhash_bands,
     "ta_fingerprint": ta_fingerprint,
     "dd_simhash": dd_simhash,
+    "dd_simhash_pairs": dd_simhash_pairs,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_embed_neardup": dd_embed_neardup,
     "ann_lsh_topk": ann_lsh_topk,
@@ -570,6 +609,41 @@ tokens AS (
 """
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
+
+
+def _std_base() -> str:
+    """_BASE equivalent with the STANDARD analyzer chain in SQL: the exact
+    compound tokenizer regex (RE2 and Python `re` agree: no backrefs,
+    leftmost-first alternation, ASCII \\w), the acronym / apostrophe
+    normalizations, lowercase, stop filter."""
+    from montezuma_spark.analysis.tokenizers import STANDARD_PATTERN
+
+    pat = STANDARD_PATTERN.replace("'", "''")
+    return f"""
+WITH docs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS docid, doc_id, source,
+         lang, n_chars, text,
+         list_filter(
+           list_transform(
+             list_transform(regexp_extract_all(text, '{pat}'),
+               x -> CASE
+                 WHEN regexp_matches(x, '^[a-zA-Z]\\.(?:[a-zA-Z]\\.)+$')
+                   THEN replace(x, '.', '')
+                 WHEN regexp_matches(x, '^[a-zA-Z]+''[a-zA-Z]$')
+                   THEN regexp_replace(x, '''[sS]', '', 'g')
+                 ELSE x END),
+             x -> lower(x)),
+           t -> t NOT IN {_STOP_SQL}
+         ) AS toks
+  FROM documents
+),
+lens AS (SELECT docid, len(toks) AS dl FROM docs),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+tokens AS (
+  SELECT d.docid, l.dl, unnest(d.toks) AS tok
+  FROM docs d JOIN lens l USING (docid)
+)
+"""
 
 
 def _bm25_cte(terms: list[str]) -> str:
@@ -749,6 +823,11 @@ SELECT docid, round(score, 6) AS score FROM (
   GROUP BY docid
 ) ORDER BY score DESC, docid ASC LIMIT 10
 """,
+    "ft_std_term_topk": _std_base() + _bm25_cte(["merge"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
     "ft_boost_topk": _BASE + _bm25_cte(["merge"]) + """
 SELECT docid, round(score, 6) AS score FROM (
   SELECT s.docid, sum(s.s) * ((d.doc_id % 4 + 1) / 2.0) AS score
@@ -852,6 +931,35 @@ bitw AS (
 SELECT docid,
        sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
 FROM bitw GROUP BY docid
+""",
+    "dd_simhash_pairs": _BASE + """
+, dtf AS (SELECT docid, tok, count(*) AS tf FROM tokens GROUP BY docid, tok),
+hashed AS (
+  SELECT docid, tf, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM dtf
+),
+bitw AS (
+  SELECT docid, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN tf ELSE -tf END) AS w
+  FROM hashed, range(0, 32) b(b) GROUP BY docid, b.b
+),
+sims AS (
+  SELECT docid,
+         sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+  FROM bitw GROUP BY docid
+),
+chunks(cid, shf) AS (VALUES (0, 0), (1, 8), (2, 16), (3, 24)),
+keyed AS (
+  SELECT s.docid, s.sh, c.cid, (s.sh >> c.shf) & 255 AS cval
+  FROM sims s, chunks c
+),
+cand AS (
+  SELECT DISTINCT a.docid AS id_a, b.docid AS id_b,
+         a.sh AS sig_a, b.sh AS sig_b
+  FROM keyed a JOIN keyed b
+    ON a.cid = b.cid AND a.cval = b.cval AND a.docid < b.docid
+)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """,
     "dd_ngram_jaccard": _BASE + f"""
 , dtok AS (SELECT DISTINCT docid, tok FROM tokens),

@@ -114,6 +114,35 @@ def test_minhash_signature_shape(spark, toks_df):
     assert all(a < b for a, b in zip(cand["id_a"], cand["id_b"]))
 
 
+def test_simhash_pairs_pigeonhole_complete(spark):
+    """simhash_pairs must find EVERY pair within the hamming budget (the
+    pigeonhole banding is lossless for d ≤ max_distance) and no pair
+    beyond it — verified against a brute-force all-pairs popcount."""
+    from itertools import combinations
+
+    from montezuma_spark.dedup import simhash_pairs
+
+    rng = np.random.RandomState(5)
+    base = int(rng.randint(0, 2**31))
+    sigs = []
+    for i in range(40):
+        s = base
+        for b in rng.choice(32, size=rng.randint(0, 7), replace=False):
+            s ^= 1 << int(b)
+        sigs.append((i, s))
+    df = spark.createDataFrame(sigs, "docid long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, max_distance=3, bits=32).collect()
+    }
+    want = {
+        (a, b): bin(sa ^ sb).count("1")
+        for (a, sa), (b, sb) in combinations(sigs, 2)
+        if bin(sa ^ sb).count("1") <= 3
+    }
+    assert got == want
+
+
 @pytest.fixture(scope="module")
 def emb_df(spark):
     rng = np.random.default_rng(7)
