@@ -38,6 +38,10 @@ class IndexConfig:
                                        # (ref: index-writer.lisp:10)
     store_cols: tuple = ()             # source columns kept in doc_map
                                        # (stored fields — fields-io.lisp analog)
+    similarity: str = "bm25"           # scoring fn from the similarity
+                                       # registry (search/similarity.py:
+                                       # "bm25" | "classic" | registered
+                                       # custom — similarity.lisp:101-131)
     boost_col: str | None = None       # numeric source column: index-time
                                        # per-doc boost, a multiplicative
                                        # static prior on BM25 (the norms
@@ -65,6 +69,7 @@ class IndexConfig:
             "b": self.b,
             "max_field_length": self.max_field_length,
             "store_cols": list(self.store_cols),
+            "similarity": self.similarity,
             "boost_col": self.boost_col,
         }
 
@@ -85,5 +90,6 @@ class IndexConfig:
             b=d["b"],
             max_field_length=d.get("max_field_length", 10_000),
             store_cols=tuple(d.get("store_cols", ())),
+            similarity=d.get("similarity", "bm25"),
             boost_col=d.get("boost_col"),
         )

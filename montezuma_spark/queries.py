@@ -220,6 +220,17 @@ def ft_std_term_topk(spark, sf_dir):
     return _topk(_STD_CACHE[sf_dir], TermQuery("text", "merge"))
 
 
+def ft_classic_topk(spark, sf_dir):
+    """Pluggable similarity through the correctness gate: the same index
+    re-scored with the reference's classic default-similarity
+    (similarity.lisp:155-166: sqrt-tf · (1+ln(n/(df+1))) · 1/sqrt(dl)) via
+    the per-Searcher hook — no rebuild, same postings."""
+    idx, _ = get_index(spark, sf_dir)
+    return _topk(
+        Searcher(idx, similarity="classic"), TermQuery("text", "spark")
+    )
+
+
 _BOOST_CACHE: dict = {}
 
 
@@ -565,6 +576,7 @@ QUERIES = {
     "ft_lang_filter_topk": ft_lang_filter_topk,
     "ft_boost_topk": ft_boost_topk,
     "ft_std_term_topk": ft_std_term_topk,
+    "ft_classic_topk": ft_classic_topk,
     "ta_stop_count": ta_stop_count,
     "ft_range_docs": ft_range_docs,
     "ft_wildcard_docs": ft_wildcard_docs,
@@ -824,6 +836,23 @@ SELECT docid, round(score, 6) AS score FROM (
 ) ORDER BY score DESC, docid ASC LIMIT 10
 """,
     "ft_std_term_topk": _std_base() + _bm25_cte(["merge"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_classic_topk": _BASE + """
+, tf AS (
+  SELECT docid, dl, tok, count(*) AS tf
+  FROM tokens WHERE tok = 'spark'
+  GROUP BY docid, dl, tok
+),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+  SELECT t.docid,
+         (1 + ln((SELECT n FROM stats)::DOUBLE / (d.df + 1)))
+         * sqrt(t.tf) / sqrt(greatest(t.dl, 1)) AS s
+  FROM tf t JOIN dfs d USING (tok)
+)
 SELECT docid, round(score, 6) AS score FROM (
   SELECT docid, sum(s) AS score FROM scores GROUP BY docid
 ) ORDER BY score DESC, docid ASC LIMIT 10

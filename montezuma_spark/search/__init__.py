@@ -15,3 +15,10 @@ from montezuma_spark.search.ast import (  # noqa: F401
     rewrite,
 )
 from montezuma_spark.search.searcher import Searcher, bm25_idf  # noqa: F401
+from montezuma_spark.search.similarity import (  # noqa: F401
+    BM25Similarity,
+    ClassicSimilarity,
+    Similarity,
+    get_similarity,
+    register_similarity,
+)

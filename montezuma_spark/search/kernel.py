@@ -73,6 +73,9 @@ class CompiledPlan:
     b: float
     k: int | None  # top-k per shard; None = return all matches
     need_positions: bool
+    # pluggable scoring fn (search/similarity.py); None = BM25(k1, b).
+    # Ships inside the plan, so custom similarities reach every shard.
+    similarity: object | None = None
     # sorted tombstoned docids (the .del bitset analog,
     # src/util/bit-vector.lisp + segment-reader.lisp:106-113). Shipped
     # inside the serialized plan = a broadcast to every shard kernel;
@@ -89,7 +92,10 @@ class ShardEval:
 
     def __init__(self, plan: CompiledPlan, postings_pdf: pd.DataFrame,
                  lens_pdf: pd.DataFrame | None = None):
+        from montezuma_spark.search.similarity import BM25Similarity
+
         self.plan = plan
+        self.sim = plan.similarity or BM25Similarity(k1=plan.k1, b=plan.b)
         # (field, term) → list of cell rows. Normally one row per key; a
         # multi-segment (streaming) index contributes one row per segment,
         # with disjoint ascending docid ranges (segment bases are allocated
@@ -224,18 +230,16 @@ class ShardEval:
         )
 
     def _bm25(self, field, term, docids, tfs, dls, boost) -> np.ndarray:
+        """Per-posting score contribution: idf · boost · doc_boost ·
+        similarity.tf_norm (BM25 by default; pluggable via the plan)."""
         p = self.plan
         idf = p.idf.get((field, term), 0.0)
-        dl = dls.astype(np.float64)
         avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
-        tf = tfs.astype(np.float64)
         return (
             idf
             * boost
             * self._doc_boost(docids)
-            * tf
-            * (p.k1 + 1.0)
-            / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
+            * self.sim.tf_norm(tfs, dls, avgdl)
         )
 
     @staticmethod
@@ -291,28 +295,27 @@ class ShardEval:
         return None
 
     def _term_ub(self, field: str, term: str, boost: float) -> float:
-        """Score upper bound over this shard: idf·boost·(k1+1)·max over
-        blocks of the bound from (maxtf, mindl) metadata and the exact
-        query-time avgdl (codec/postings.py block_upper_bounds)."""
+        """Score upper bound over this shard: idf·boost·max over blocks of
+        tf_norm(maxtf, mindl) — valid because the Similarity contract
+        requires tf_norm monotone ↑ in tf and ↓ in dl (similarity.py)."""
         rows = self.cells.get((field, term))
         if not rows:
             return 0.0
-        from montezuma_spark.codec.postings import block_upper_bounds
-
         p = self.plan
         avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
         mx = 0.0
         for r in rows:
             if len(r.blk_maxtf):
-                ubs = block_upper_bounds(
-                    np.asarray(r.blk_maxtf), np.asarray(r.blk_mindl),
-                    avgdl, p.k1, p.b,
+                ubs = self.sim.tf_norm(
+                    np.asarray(r.blk_maxtf, dtype=np.int64),
+                    np.asarray(r.blk_mindl, dtype=np.int64),
+                    avgdl,
                 )
                 mx = max(mx, float(ubs.max()))
         idf = p.idf.get((field, term), 0.0)
         # max_boost keeps the bound valid for boosted docs (exact per-doc
         # boosts are applied when the postings actually decode)
-        return idf * boost * (p.k1 + 1.0) * mx * self.max_boost
+        return idf * boost * mx * self.max_boost
 
     def _try_pruned_disjunction(self, node: Query):
         """Term-at-a-time disjunction with block-max pruning — the
@@ -627,14 +630,11 @@ class ShardEval:
         idf = sum(p.idf.get((node.field, t), 0.0) for t in set(node.terms))
         dl = doc_dls[keep]
         avgdl = max(p.stats.get(node.field, {}).get("avgdl", 1.0), 1e-9)
-        tf = freqs.astype(np.float64)
         score = (
             idf
             * node.boost
             * self._doc_boost(docs)
-            * tf
-            * (p.k1 + 1.0)
-            / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
+            * self.sim.tf_norm(freqs, dl, avgdl)
         )
         return docs, score
 

@@ -83,7 +83,8 @@ def _wildcard_java_regex(py_regex: str) -> str:
 class Searcher:
     def __init__(self, index: Index, max_expansion: int = 10_000,
                  preload: bool = False, distributed: bool = False,
-                 preload_max_bytes: int = 1 << 30):
+                 preload_max_bytes: int = 1 << 30,
+                 similarity=None):
         """``preload=True`` caches the full dictionary AND all postings
         cells driver-side so repeated queries skip Spark entirely — the
         serving tier for small or hot index slices, guarded by
@@ -93,8 +94,16 @@ class Searcher:
         into the term_stats scan. ``distributed=True`` disables the
         driver-local fast path entirely (every query runs the per-shard
         kernel as a Spark job)."""
+        from montezuma_spark.search.similarity import get_similarity
+
         self.index = index
         self.max_expansion = max_expansion
+        # per-searcher scoring fn (the reference's query-level similarity
+        # hook, query.lisp:53-54); defaults to the index config's choice
+        self.similarity = get_similarity(
+            similarity if similarity is not None else index.config.similarity,
+            index.config.k1, index.config.b,
+        )
         self._dict_cache: dict | None = None     # full dict: preload only
         self._sorted_terms: dict | None = None   # per-field vocab: preload only
         self._df_cache: dict = {}                # (field, term) -> df memo
@@ -312,7 +321,7 @@ class Searcher:
 
         def idf_for(field, term, df):
             n = self.index.stats.get(field, {}).get("num_docs", 0)
-            idf[(field, term)] = bm25_idf(df, n) if n else 0.0
+            idf[(field, term)] = self.similarity.idf(df, n) if n else 0.0
             df_est[(field, term)] = df
 
         def walk(node: Query) -> Query:
@@ -404,6 +413,7 @@ class Searcher:
             b=self.index.config.b,
             k=k,
             need_positions=need_pos,
+            similarity=self.similarity,
             deleted=tomb if tomb is not None and len(tomb) else None,
         )
         return plan, resolved, need_pos
