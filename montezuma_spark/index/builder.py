@@ -329,6 +329,27 @@ class _ShardBuf:
         yield from frames
 
 
+def _docid_batch(pdf: pd.DataFrame, counter: int | None, last_key,
+                 offsets: dict[int, int]):
+    """Shared docid assignment for one ranged batch: running counter from
+    the partition's precomputed base, keep-first per duplicate key.
+    Returns (sub_pdf, docids, counter, last_key)."""
+    if counter is None:
+        pid = int(pdf["pid"].iloc[0])
+        counter = offsets.get(pid, 0)
+    keys = pdf["key"].to_numpy(dtype=object)
+    newmask = np.ones(len(keys), dtype=bool)
+    newmask[1:] = keys[1:] != keys[:-1]
+    if last_key is not None:
+        newmask[0] = keys[0] != last_key
+    last_key = keys[-1]
+    docids_all = counter + np.cumsum(newmask) - 1
+    if newmask.any():
+        counter = int(docids_all[-1]) + 1
+    sub = pdf[newmask]  # keep-first per duplicate key
+    return sub, docids_all[newmask], counter, last_key
+
+
 def _segment_iter(
     batches: Iterator[pd.DataFrame],
     fields: list[FieldConfig],
@@ -361,22 +382,11 @@ def _segment_iter(
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        if counter is None:
-            pid = int(pdf["pid"].iloc[0])
-            counter = offsets.get(pid, 0)
-        keys = pdf["key"].to_numpy(dtype=object)
-        newmask = np.ones(len(keys), dtype=bool)
-        newmask[1:] = keys[1:] != keys[:-1]
-        if last_key is not None:
-            newmask[0] = keys[0] != last_key
-        last_key = keys[-1]
-        docids_all = counter + np.cumsum(newmask) - 1
-        if newmask.any():
-            counter = int(docids_all[-1]) + 1
-        sub = pdf[newmask]  # keep-first per duplicate key
+        sub, docids, counter, last_key = _docid_batch(
+            pdf, counter, last_key, offsets
+        )
         if len(sub) == 0:
             continue
-        docids = docids_all[newmask]
         if boost_col is not None:
             bq = np.maximum(
                 1,
@@ -683,6 +693,80 @@ def term_vectors(index: "Index", docids: list[int] | None = None):
     return tv
 
 
+TV_OFFSETS_SCHEMA = (
+    "docid long, field string, term string, tf long, "
+    "positions array<int>, starts array<int>, ends array<int>"
+)
+
+
+def _tv_offsets_iter(
+    batches: Iterator[pd.DataFrame],
+    fields: list[FieldConfig],
+    max_len: int,
+    offsets: dict[int, int],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for the OFFSETS term-vectors sidecar: re-analyze
+    each doc with the scan path (token images + char offsets,
+    tokenizers.py Tokenizer.scan → Analyzer.tokens_with_offsets) and emit
+    one row per (docid, field, term) with tf-aligned positions / starts /
+    ends — the term-vectors-io.lisp + term-vector-offset-info.lisp file
+    family as a doc-major parquet sidecar. Opt-in (FieldConfig.offsets),
+    like the reference's store-term-vector flag: the fused postings build
+    never pays for it. Positions use the same numbering as the index
+    (sequential over kept tokens)."""
+    _tune_worker_gc()
+    analyzers = {
+        f.name: (get_analyzer(f.analyzer) if f.analyzer else None)
+        for f in fields
+    }
+    counter = None
+    last_key = None
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        sub, docids, counter, last_key = _docid_batch(
+            pdf, counter, last_key, offsets
+        )
+        if len(sub) == 0:
+            continue
+        rows = []
+        for f in fields:
+            an = analyzers[f.name]
+            for docid, text in zip(docids, sub[f.column]):
+                if not isinstance(text, str) or text == "":
+                    continue
+                toks = (
+                    an.tokens_with_offsets(text)
+                    if an is not None
+                    else [(text, 0, len(text))]
+                )
+                if max_len:
+                    toks = toks[:max_len]
+                per_term: dict[str, list] = {}
+                for pos, (img, s, e) in enumerate(toks):
+                    per_term.setdefault(img, []).append((pos, s, e))
+                for term, occ in per_term.items():
+                    rows.append(
+                        {
+                            "docid": int(docid),
+                            "field": f.name,
+                            "term": term,
+                            "tf": len(occ),
+                            "positions": np.asarray(
+                                [o[0] for o in occ], dtype=np.int32
+                            ),
+                            "starts": np.asarray(
+                                [o[1] for o in occ], dtype=np.int32
+                            ),
+                            "ends": np.asarray(
+                                [o[2] for o in occ], dtype=np.int32
+                            ),
+                        }
+                    )
+        if rows:
+            yield pd.DataFrame(rows)
+
+
 def _doclens_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Decode doclens marker cells → (field, docid, dl, shard) rows."""
     for pdf in batches:
@@ -719,6 +803,7 @@ class Index:
         stats: dict,
         index_dir: str | None = None,
         build_report: dict | None = None,
+        tv_offsets: DataFrame | None = None,
     ):
         self.spark = spark
         self.config = config
@@ -729,6 +814,9 @@ class Index:
         self.stats = stats  # field -> {"num_docs": int, "avgdl": float, "total_tokens": int}
         self.index_dir = index_dir
         self.build_report = build_report or {}
+        # offsets term-vectors sidecar (FieldConfig.offsets fields only);
+        # None when no field opted in
+        self.tv_offsets = tv_offsets
         from montezuma_spark.index.deletions import load_tombstones
 
         # sorted tombstoned docids (.del bitset analog — see deletions.py)
@@ -847,18 +935,46 @@ class Index:
         term_stats = postings.filter(F.col("term") != BOOST_TERM).groupBy(
             "field", "term"
         ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        tvs = [self.tv_offsets] + [o.tv_offsets for o in others]
+        tv_offsets = None
+        if all(t is not None for t in tvs):
+            # rebase each sidecar by the same base used for its postings
+            rebased = [tvs[0]]
+            mx0 = self.doc_map.agg(F.max("docid")).collect()[0][0]
+            base2 = int(mx0) + 1 if mx0 is not None else 0
+            for o, t in zip(others, tvs[1:]):
+                rebased.append(
+                    t.withColumn("docid", F.col("docid") + F.lit(base2))
+                )
+                mx = o.doc_map.agg(F.max("docid")).collect()[0]
+                base2 += int(mx[0]) + 1 if mx[0] is not None else 0
+            tv_offsets = reduce(lambda a, c: a.unionByName(c), rebased)
         merged = Index(
             self.spark, self.config, doc_map, doc_lens, postings,
             term_stats, stats, index_dir=None,
             build_report={"added_indexes": len(others)},
+            tv_offsets=tv_offsets,
         )
         merged.tombstones = np.sort(np.concatenate(tombs))
         return merged
 
-    def term_vectors(self, docids: list[int] | None = None):
+    def term_vectors(self, docids: list[int] | None = None,
+                     with_offsets: bool = False):
         """Per-doc (field, term, tf, positions) rows — the term-vectors
         sidecar (term-vectors-io.lisp) via uninversion; see
-        builder.term_vectors."""
+        builder.term_vectors. ``with_offsets=True`` returns the offsets
+        sidecar instead ((…, starts, ends) char offsets,
+        term-vector-offset-info.lisp) — requires the index to have been
+        built with ``FieldConfig.offsets=True`` fields."""
+        if with_offsets:
+            if self.tv_offsets is None:
+                raise ValueError(
+                    "no offsets sidecar: build with FieldConfig(offsets=True)"
+                )
+            tv = self.tv_offsets
+            if docids is not None:
+                tv = tv.filter(F.col("docid").isin([int(d) for d in docids]))
+            return tv
         return term_vectors(self, docids)
 
     # -------------------------------------------------------------- optimize
@@ -880,6 +996,7 @@ class Index:
             self.spark, self.config, self.doc_map, self.doc_lens, postings,
             self.term_stats, self.stats, index_dir=None,
             build_report=dict(self.build_report),
+            tv_offsets=self.tv_offsets,  # docids unchanged by optimize
         )
 
     # ------------------------------------------------------------------ save
@@ -903,6 +1020,11 @@ class Index:
         ).sortWithinPartitions("field", "term").write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/term_stats")
+        if self.tv_offsets is not None:
+            # doc-major layout: highlighting fetches by docid
+            self.tv_offsets.repartitionByRange("docid").write.mode(
+                "overwrite"
+            ).parquet(f"{index_dir}/term_vectors")
         with open(f"{index_dir}/meta.json", "w") as fh:
             json.dump(
                 {
@@ -919,6 +1041,7 @@ class Index:
     def load(spark: SparkSession, index_dir: str) -> "Index":
         with open(f"{index_dir}/meta.json") as fh:
             meta = json.load(fh)
+        tv_dir = f"{index_dir}/term_vectors"
         return Index(
             spark,
             IndexConfig.from_json(meta["config"]),
@@ -929,6 +1052,9 @@ class Index:
             meta["stats"],
             index_dir=index_dir,
             build_report=meta.get("build_report", {}),
+            tv_offsets=(
+                spark.read.parquet(tv_dir) if os.path.isdir(tv_dir) else None
+            ),
         )
 
 
@@ -1049,6 +1175,16 @@ def build_index(
         "field", "term"
     ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
+    # offsets term-vectors sidecar — separate opt-in pass over the same
+    # ranged scan (identical docid assignment), never in the fused build
+    tv_fields = [f for f in fields if f.offsets]
+    tv_offsets = None
+    if tv_fields:
+        def tvfn(it):
+            return _tv_offsets_iter(it, tv_fields, max_len, offsets)
+
+        tv_offsets = ranged.mapInPandas(tvfn, schema=TV_OFFSETS_SCHEMA)
+
     build_seconds = time.time() - t0
     report = {
         "total_docs": total_docs,
@@ -1061,7 +1197,7 @@ def build_index(
     }
     idx = Index(
         spark, config, doc_map, doc_lens, postings, term_stats, stats,
-        index_dir=index_dir, build_report=report,
+        index_dir=index_dir, build_report=report, tv_offsets=tv_offsets,
     )
     if index_dir:
         idx = idx.save(index_dir)

@@ -18,6 +18,12 @@ class FieldConfig:
     column: str                    # source DataFrame column
     analyzer: str | None = "standard"  # None → untokenized: whole value = 1 term
     positions: bool = True         # store the positions sidecar (phrase support)
+    offsets: bool = False          # store (start,end) char offsets in the
+                                   # term-vectors sidecar (highlighting;
+                                   # term-vector-offset-info.lisp analog).
+                                   # Opt-in like the reference's
+                                   # store-term-vector field flag; single-
+                                   # valued string fields only.
     position_gap: int = 0          # inter-value position gap for multi-valued
                                    # (array) columns — position-increment-gap
                                    # (analyzers.lisp:12-16, document-writer.lisp:64-65)
@@ -58,6 +64,7 @@ class IndexConfig:
                     "column": f.column,
                     "analyzer": f.analyzer,
                     "positions": f.positions,
+                    "offsets": f.offsets,
                     "position_gap": f.position_gap,
                 }
                 for f in self.fields
@@ -79,7 +86,7 @@ class IndexConfig:
             fields=[
                 FieldConfig(
                     f["name"], f["column"], f["analyzer"], f["positions"],
-                    f.get("position_gap", 0),
+                    f.get("offsets", False), f.get("position_gap", 0),
                 )
                 for f in d["fields"]
             ],

@@ -184,9 +184,15 @@ def expunge_deletes(index) -> "object":
     term_stats = postings.filter(F.col("term") != BOOST_TERM).groupBy(
         "field", "term"
     ).agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    tv_offsets = (
+        index.tv_offsets.join(F.broadcast(del_df), "docid", "left_anti")
+        if index.tv_offsets is not None
+        else None
+    )
     new = Index(
         spark, cfg, doc_map, doc_lens, postings, term_stats, stats,
         index_dir=None, build_report=dict(index.build_report),
+        tv_offsets=tv_offsets,
     )
     if index.index_dir:
         out_dir = index.index_dir + ".expunge"

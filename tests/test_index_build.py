@@ -7,6 +7,68 @@ from pyspark.sql import functions as F
 
 from montezuma_spark.codec import decode_cell, decode_positions
 from montezuma_spark.fixtures import search_docs_df, synth_web_pages_df
+
+
+def test_term_vector_offsets_roundtrip(spark, tmp_path):
+    """Offsets sidecar (FieldConfig.offsets=True): (positions, starts,
+    ends) must exactly match Analyzer.tokens_with_offsets on the source
+    text (term-vectors-io.lisp + term-vector-offset-info.lisp analog),
+    and text[start:end] re-analyzes to the stored term. Survives
+    save/load; indexes without the flag have no sidecar."""
+    import pandas as pd
+
+    from montezuma_spark.analysis import get_analyzer
+    from montezuma_spark.index import (
+        FieldConfig,
+        Index,
+        IndexConfig,
+        build_index,
+    )
+
+    texts = [
+        "The Quick Brown Fox, the I.B.M. fox — she's quick!",
+        "spark merge vector merge SPARK",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"url": [f"u://{i}" for i in range(3)], "text": texts})
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "standard", offsets=True)],
+        key_col="url", shard_bits=3,
+    )
+    d = str(tmp_path / "tvix")
+    idx = build_index(spark, docs, cfg, index_dir=d)
+    idx = Index.load(spark, d)
+    an = get_analyzer("standard")
+    tv = idx.term_vectors(with_offsets=True).toPandas()
+    for docid, text in enumerate(texts):
+        want: dict = {}
+        for pos, (img, s, e) in enumerate(an.tokens_with_offsets(text)):
+            want.setdefault(img, []).append((pos, s, e))
+        got_rows = tv[tv["docid"] == docid]
+        got = {
+            r.term: list(zip(r.positions, r.starts, r.ends))
+            for r in got_rows.itertuples(index=False)
+        }
+        assert got == want, docid
+        for r in got_rows.itertuples(index=False):
+            assert int(r.tf) == len(r.positions)
+            for s, e in zip(r.starts, r.ends):
+                reanalyzed = an.tokens(text[s:e])
+                assert reanalyzed == [r.term] or r.term in reanalyzed
+    # docid filter surface
+    only1 = idx.term_vectors(docids=[1], with_offsets=True).toPandas()
+    assert set(only1["docid"]) == {1}
+    # positions-only path unaffected; no sidecar without the flag
+    plain = build_index(
+        spark, docs,
+        IndexConfig(fields=[FieldConfig("text", "text", "standard")],
+                    key_col="url"),
+    )
+    assert plain.tv_offsets is None
+    with pytest.raises(ValueError, match="offsets sidecar"):
+        plain.term_vectors(with_offsets=True)
 from montezuma_spark.index import FieldConfig, IndexConfig, build_index
 from montezuma_spark.index.builder import row_meta
 
