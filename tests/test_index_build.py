@@ -9,6 +9,50 @@ from montezuma_spark.codec import decode_cell, decode_positions
 from montezuma_spark.fixtures import search_docs_df, synth_web_pages_df
 
 
+def test_hot_term_bounded_by_shard(spark):
+    """Structural salting evidence (builder.py docid-range shards): a term
+    present in EVERY doc must never produce a posting cell larger than one
+    shard (2^shard_bits docs) — no reducer, task, or queried group ever
+    sees the whole hot posting list, regardless of global df. This is the
+    skew claim the 100-TB design rests on, asserted instead of assumed."""
+    import pandas as pd
+
+    from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+    from montezuma_spark.search import Searcher, TermQuery
+
+    n = 50_000
+    shard_bits = 8  # 256-doc shards
+    ids = np.arange(n)
+    texts = [
+        f"hot w{i % 977} w{(i * 31) % 977} filler{i % 13}" for i in ids
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"url": [f"h://{i:08d}" for i in ids], "text": texts})
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "whitespace", positions=False)],
+        key_col="url", shard_bits=shard_bits, num_partitions=8,
+    )
+    idx = build_index(spark, docs, cfg)
+    from pyspark.sql import functions as F
+
+    hot = idx.postings.filter(F.col("term") == "hot")
+    rows = hot.select(
+        "shard", "df", F.length("postings").alias("bytes")
+    ).collect()
+    shard_cap = 1 << shard_bits
+    # df=n overall, but EVERY cell is bounded by one shard's doc range
+    assert sum(r["df"] for r in rows) == n
+    assert max(r["df"] for r in rows) <= shard_cap
+    # bytes per cell stay small and shard-bounded (≈1.5 B/posting here);
+    # the whole hot list never materializes in one buffer
+    assert max(r["bytes"] for r in rows) < 16 * shard_cap
+    # the hot list is spread across every shard, not concentrated
+    assert len({r["shard"] for r in rows}) == (n + shard_cap - 1) // shard_cap
+    # and querying the hot term stays correct (count, not a sample)
+    assert Searcher(idx, distributed=True).count(TermQuery("text", "hot")) == n
+
+
 def test_term_vector_offsets_roundtrip(spark, tmp_path):
     """Offsets sidecar (FieldConfig.offsets=True): (positions, starts,
     ends) must exactly match Analyzer.tokens_with_offsets on the source
