@@ -241,20 +241,29 @@ def main():
             os.environ.get("BENCH_TIME_BUDGET", "1200")
         )
 
-        def arm(cores: int, n: int = repeats) -> dict:
-            # best-of-N: the steady-state throughput estimator — robust to
-            # transient interference (page-cache churn, co-tenants on the
-            # box). Both arms use the same repeat count N, so best-of
-            # selection does not systematically favor either arm.
+        # INTERLEAVED pairs (lo, hi, lo, hi, …): both arms sample the same
+        # contention environment, so a transient slowdown cannot hit one
+        # arm's whole block and skew the ratio. Repeat counts are SYMMETRIC
+        # (unequal best-of-N draws would bias the arm with more chances),
+        # and best-of-N per arm is the steady-state estimator — robust to
+        # transient interference, applied identically to both arms.
+        lo_runs = [_scale_arm_subprocess(lo_cores, SCALE_DOCS)]
+        hi_runs = [_scale_arm_subprocess(hi_cores, SCALE_DOCS)]
+        for _ in range(min(repeats, repeats_lo) - 1):
+            if time.time() > deadline:
+                break
+            lo_runs.append(_scale_arm_subprocess(lo_cores, SCALE_DOCS))
+            hi_runs.append(_scale_arm_subprocess(hi_cores, SCALE_DOCS))
+        lo = max(lo_runs, key=lambda r: r["docs_per_sec"])
+        hi = max(hi_runs, key=lambda r: r["docs_per_sec"])
+
+        def arm(cores: int, n: int = 1) -> dict:
             runs = [_scale_arm_subprocess(cores, SCALE_DOCS)]
             for _ in range(n - 1):
                 if time.time() > deadline:
                     break
                 runs.append(_scale_arm_subprocess(cores, SCALE_DOCS))
             return max(runs, key=lambda r: r["docs_per_sec"])
-
-        lo = arm(lo_cores, n=repeats_lo)
-        hi = arm(hi_cores)
         ratio = hi_cores / lo_cores
         eff = hi["docs_per_sec"] / (lo["docs_per_sec"] * ratio)
         result["scaling"] = {
@@ -263,6 +272,9 @@ def main():
             "cores_hi": hi_cores,
             "docs_per_sec_lo": lo["docs_per_sec"],
             "docs_per_sec_hi": hi["docs_per_sec"],
+            # every draw, for transparency (best-of is the headline)
+            "lo_runs": [r["docs_per_sec"] for r in lo_runs],
+            "hi_runs": [r["docs_per_sec"] for r in hi_runs],
             "postings_per_sec_lo": lo["postings_per_sec"],
             "postings_per_sec_hi": hi["postings_per_sec"],
             "build_seconds_lo": lo["build_seconds"],

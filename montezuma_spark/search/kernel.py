@@ -91,11 +91,16 @@ class ShardEval:
     """Evaluates a compiled plan against one shard's postings + doc lens."""
 
     def __init__(self, plan: CompiledPlan, postings_pdf: pd.DataFrame,
-                 lens_pdf: pd.DataFrame | None = None):
+                 lens_pdf: pd.DataFrame | None = None,
+                 deleted: np.ndarray | None = None):
         from montezuma_spark.search.similarity import BM25Similarity
 
         self.plan = plan
         self.sim = plan.similarity or BM25Similarity(k1=plan.k1, b=plan.b)
+        # tombstones: either the plan-shipped broadcast array (small delete
+        # sets) or this shard's slice of the tombstone TABLE delivered via
+        # cogroup (massive delete sets — see searcher._execute)
+        self.deleted = deleted if deleted is not None else plan.deleted
         # (field, term) → list of cell rows. Normally one row per key; a
         # multi-segment (streaming) index contributes one row per segment,
         # with disjoint ascending docid ranges (segment bases are allocated
@@ -196,7 +201,7 @@ class ShardEval:
 
     def _drop_deleted(self, docids, *parallel):
         """Mask tombstoned docids out of a decoded (sorted) posting run."""
-        dele = self.plan.deleted
+        dele = self.deleted
         if dele is None or len(dele) == 0 or len(docids) == 0:
             return (docids, *parallel)
         idx = np.clip(np.searchsorted(dele, docids), 0, len(dele) - 1)
@@ -786,6 +791,21 @@ def make_kernel_postings_only(plan: CompiledPlan):
 
     def kernel(key, postings_pdf: pd.DataFrame):
         ev = ShardEval(plan, postings_pdf, None)
+        return _finish(plan, *ev.eval_top(plan.query))
+
+    return kernel
+
+
+def make_kernel_cogrouped_tombstones(plan: CompiledPlan):
+    """cogroup(postings, tombstones).applyInPandas fn for delete sets too
+    large to broadcast inside the plan: each shard kernel receives ONLY
+    its own slice of the tombstone table (docid-range co-partitioning) and
+    masks at decode time, before top-k — identical semantics to the
+    broadcast array at any delete-set size (deletions.py scale note)."""
+
+    def kernel(key, postings_pdf: pd.DataFrame, tomb_pdf: pd.DataFrame):
+        deleted = np.sort(tomb_pdf["docid"].to_numpy(dtype=np.int64))
+        ev = ShardEval(plan, postings_pdf, None, deleted=deleted)
         return _finish(plan, *ev.eval_top(plan.query))
 
     return kernel

@@ -49,6 +49,7 @@ from montezuma_spark.search.kernel import (
     MultiTermGroup,
     eval_local,
     make_kernel,
+    make_kernel_cogrouped_tombstones,
     make_kernel_postings_only,
 )
 
@@ -63,6 +64,12 @@ FAST_PATH_MAX_POSTINGS = 2_000_000
 # ~60 B/entry this caps the dictionary cache around 60 MB regardless of
 # vocabulary size (the cache is an optimization, never a requirement)
 DF_CACHE_MAX = 1_000_000
+
+# delete sets up to this size ship inside the serialized plan (a broadcast
+# to every shard kernel, ~8 B/docid); beyond it the tombstones become a
+# TABLE cogrouped with the postings by shard, so each task receives only
+# its own docid-range slice (deletions.py scale note made real)
+TOMBSTONE_BROADCAST_MAX = 1_000_000
 
 
 def bm25_idf(df: int, n: int) -> float:
@@ -109,6 +116,7 @@ class Searcher:
         self._df_cache: dict = {}                # (field, term) -> df memo
         self._exp_cache: dict = {}               # range/wildcard -> ((t, df),)
         self._hot: dict | None = None
+        self._tomb_df = None                     # tombstone table (big sets)
         self._preload = preload
         self._preload_max_bytes = preload_max_bytes
         self._force_distributed = distributed
@@ -455,9 +463,40 @@ class Searcher:
             df_est.get((f, t), 0) for f, terms in needed.items() for t in terms
         )
 
+    def _tombstones_df(self):
+        """Tombstones as a (docid, shard) DataFrame — only materialized for
+        delete sets too large to broadcast inside the plan."""
+        tomb = getattr(self.index, "tombstones", None)
+        if tomb is None or len(tomb) <= TOMBSTONE_BROADCAST_MAX:
+            return None
+        if self._tomb_df is None:
+            import pandas as pd
+
+            sb = self.index.config.shard_bits
+            pdf = pd.DataFrame({"docid": tomb.astype("int64")})
+            self._tomb_df = (
+                self.index.spark.createDataFrame(pdf)
+                .withColumn("shard", F.shiftright("docid", sb))
+            )
+        return self._tomb_df
+
     def _execute(self, query: Query, k: int | None) -> DataFrame:
         """Distributed execution → DataFrame(docid, score)."""
         plan, resolved, need_pos = self._compile(query, k)
+        tomb_df = self._tombstones_df()
+        if tomb_df is not None and not self._has_matchall(resolved):
+            # massive delete set: strip the array from the shipped plan and
+            # co-partition the tombstone table with the postings instead
+            from dataclasses import replace as _dc_replace
+
+            plan = _dc_replace(plan, deleted=None)
+            postings, _ = self._filtered_postings(resolved, need_pos)
+            kernel = make_kernel_cogrouped_tombstones(plan)
+            return (
+                postings.groupBy("shard")
+                .cogroup(tomb_df.groupBy("shard"))
+                .applyInPandas(kernel, schema=RESULT_SCHEMA)
+            )
         postings, needed = self._filtered_postings(resolved, need_pos)
         if self._has_matchall(resolved):
             fields = self._fields_in(resolved)

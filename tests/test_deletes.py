@@ -55,6 +55,38 @@ def test_delete_excludes_from_all_query_shapes(spark, idx):
     assert not set(victims) & {d for d, _ in top}
 
 
+def test_tombstone_table_path_matches_broadcast(spark, idx, monkeypatch):
+    """Massive-delete-set path: tombstones delivered as a shard-cogrouped
+    TABLE (never shipped inside the plan) must answer identically to the
+    plan-broadcast array on every query shape, including per-shard top-k
+    (masking happens before truncation on both paths)."""
+    from montezuma_spark.search import searcher as searcher_mod
+
+    idx.delete_docs(list(range(0, N, 3)))
+    queries = [
+        TermQuery("text", "spark"),
+        bool_query((TermQuery("text", "spark"), SHOULD),
+                   (TermQuery("text", "merge"), SHOULD)),
+        PhraseQuery.of("text", ["spark", "merge"], slop=2),
+    ]
+    want = [
+        Searcher(idx, distributed=True).top_docs(q, k=7) for q in queries
+    ]
+    # force the table path (threshold 0 → any tombstone set is "massive")
+    monkeypatch.setattr(searcher_mod, "TOMBSTONE_BROADCAST_MAX", 0)
+    s = Searcher(idx, distributed=True)
+    for q, w in zip(queries, want):
+        got = s.top_docs(q, k=7)
+        assert got == w, q
+        assert all(d % 3 != 0 for d, _ in got)
+    # the table path is active (threshold 0) — tombstones exist as a table
+    assert s._tombstones_df() is not None
+    # matchall falls back to the broadcast array (documented) and stays right
+    assert sorted(
+        d for d, _ in s.top_docs(MatchAllQuery(), k=None)
+    ) == [d for d in range(N) if d % 3 != 0]
+
+
 def test_delete_persists_and_undelete(spark, idx):
     from montezuma_spark.index.builder import Index
 
