@@ -183,17 +183,21 @@ def _warm_workers(spark, cores: int):
 def scaling_run(cores: int, n_docs: int) -> dict:
     from montezuma_spark.fixtures import synth_corpus_spark
 
+    # IDENTICAL partition structure across arms (fixed input splits —
+    # identical tasks, identical cells); cores only change concurrency,
+    # exactly like adding executors to a cluster over fixed input splits.
+    # Finer splits (default 96 = 12 waves on the wide arm) shrink the
+    # last-wave straggler penalty that otherwise taxes the wide arm ~3-4×
+    # harder in relative terms than the narrow one.
+    parts = int(os.environ.get("BENCH_SCALE_PARTS", "96"))
     spark = _fresh_spark(cores, f"bench-scale-{cores}")
     _warm_workers(spark, cores)
     # materialize the synthetic corpus BEFORE timing: the build is what
     # scales, not the generator (a real run reads an existing table)
-    docs = synth_corpus_spark(spark, n_docs, parts=32)
+    docs = synth_corpus_spark(spark, n_docs, parts=parts)
     docs = docs.persist()
     docs.count()
-    # IDENTICAL partition structure across arms (32 input splits —
-    # identical tasks, identical cells); cores only change concurrency,
-    # exactly like adding executors to a cluster over fixed input splits
-    _, rep = build_suite(spark, docs, shard_bits=13, num_partitions=32)
+    _, rep = build_suite(spark, docs, shard_bits=13, num_partitions=parts)
     rep["cores"] = cores
     spark.stop()
     return rep
@@ -232,7 +236,7 @@ def main():
         # more draws upward (more chances at an uncontended run), inflating
         # efficiency — both arms get the same repeat count so noise cannot
         # systematically favor either direction.
-        repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "3"))
+        repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "4"))
         repeats_lo = int(os.environ.get("BENCH_SCALE_REPEATS_LO", str(repeats)))
         # soft wall-clock budget for the whole scaling section: the first
         # run of each arm always happens; extra repeats only while within

@@ -656,6 +656,53 @@ class Searcher:
         docids = self.matching_docids(TermQuery(field, term))
         return self.index.delete_docs(docids)
 
+    def highlight(self, query: Query, docid: int, field: str | None = None,
+                  text: str | None = None, pre: str = "<b>",
+                  post: str = "</b>"):
+        """Match spans for one document from the offsets term-vectors
+        sidecar (requires ``FieldConfig(offsets=True)`` at build time) —
+        the downstream consumer the reference stores offsets for
+        (term-vector-offset-info.lisp).
+
+        Resolves the query (range/wildcard expanded like search), fetches
+        the doc's sidecar rows for the matched terms, and returns sorted
+        non-overlapping (term, start, end) spans — or, when ``text`` is
+        given, the text with every span wrapped in ``pre``/``post``.
+        """
+        resolved, _, _, _ = self._resolve(query)
+        needed = self._needed_terms(resolved)
+        if field is not None:
+            needed = {field: needed.get(field, set())}
+        tv = self.index.term_vectors(docids=[docid], with_offsets=True)
+        cond = None
+        for f, terms in needed.items():
+            if not terms:
+                continue
+            c = (F.col("field") == f) & F.col("term").isin(sorted(terms))
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return [] if text is None else text
+        spans: list[tuple[str, int, int]] = []
+        for r in tv.filter(cond).collect():
+            for s, e in zip(r["starts"], r["ends"]):
+                spans.append((r["term"], int(s), int(e)))
+        spans.sort(key=lambda x: (x[1], x[2]))
+        # drop overlaps (keep the earliest-starting span)
+        dedup: list[tuple[str, int, int]] = []
+        for sp in spans:
+            if not dedup or sp[1] >= dedup[-1][2]:
+                dedup.append(sp)
+        if text is None:
+            return dedup
+        out = []
+        prev = 0
+        for _, s, e in dedup:
+            out.append(text[prev:s])
+            out.append(pre + text[s:e] + post)
+            prev = e
+        out.append(text[prev:])
+        return "".join(out)
+
     def get_document(self, docid: int) -> dict | None:
         """Fetch the stored document by docid (get-document analog,
         src/index/index.lisp:226-233)."""

@@ -104,6 +104,19 @@ def test_term_vector_offsets_roundtrip(spark, tmp_path):
     # docid filter surface
     only1 = idx.term_vectors(docids=[1], with_offsets=True).toPandas()
     assert set(only1["docid"]) == {1}
+    # highlighting consumes the sidecar: spans wrap exactly the raw-text
+    # occurrences the query terms matched (incl. wildcard expansion)
+    from montezuma_spark.search import Searcher, TermQuery, WildcardQuery
+
+    s = Searcher(idx)
+    marked = s.highlight(
+        TermQuery("text", "quick"), 0, text=texts[0], pre="[", post="]"
+    )
+    assert "[Quick]" in marked and "[quick]" in marked
+    spans = s.highlight(WildcardQuery("text", "me*"), 1)
+    assert [(t, texts[1][a:b]) for t, a, b in spans] == [
+        ("merge", "merge"), ("merge", "merge")
+    ]
     # positions-only path unaffected; no sidecar without the flag
     plain = build_index(
         spark, docs,
