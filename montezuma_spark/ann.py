@@ -374,6 +374,42 @@ def ivf_centroids(dim: int = 64, n: int = NUM_CENTROIDS,
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def ivf_train_centroids(emb: DataFrame, n: int = NUM_CENTROIDS,
+                        seed: int = IVF_SEED, sample_fraction: float = 1.0,
+                        max_iter: int = 20,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """TRAINED coarse quantizer: Spark ML KMeans over (a sample of) the
+    vectors, spherical-normalized so max-dot assignment == nearest-center
+    assignment (the production path the random-centroid default stands in
+    for; cells then follow the data distribution → balanced probe lists,
+    better recall at the same nprobe). Deterministic for a fixed seed.
+    Returns a unit-norm (n × dim) matrix ready for ``ivf_assign`` /
+    ``AnnIndex.build(centroids=...)``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = emb
+    if sample_fraction < 1.0:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    # normalize inputs so Euclidean k-means clusters by direction (cosine)
+    unit = src.select(
+        F.transform(
+            vec_col,
+            lambda x: x.cast("double")
+            / F.greatest(
+                F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                                   lambda a, y: a + y * y)),
+                F.lit(1e-12),
+            ),
+        ).alias("uv")
+    ).select(array_to_vector("uv").alias("features"))
+    km = KMeans(k=n, seed=seed, maxIter=max_iter, initMode="k-means||")
+    model = km.fit(unit)
+    c = np.asarray([np.asarray(ctr) for ctr in model.clusterCenters()])
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    return c / np.maximum(norms, 1e-12)
+
+
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
@@ -487,13 +523,21 @@ class AnnIndex:
         self.meta = meta
         self.id_col = meta["id_col"]
         self.vec_col = meta["vec_col"]
+        import os
+
         self.planes = lsh_planes(
             dim=meta["dim"], num_planes=meta["num_planes"],
             seed=meta["lsh_seed"],
         )
-        self.centroids = ivf_centroids(
-            dim=meta["dim"], n=meta["num_centroids"], seed=meta["ivf_seed"]
-        )
+        cpath = f"{index_dir}/centroids.npy"
+        if os.path.exists(cpath):
+            # trained quantizer (ivf_train_centroids) — persisted matrix
+            self.centroids = np.load(cpath)
+        else:
+            self.centroids = ivf_centroids(
+                dim=meta["dim"], n=meta["num_centroids"],
+                seed=meta["ivf_seed"],
+            )
         self.vectors = spark.read.parquet(f"{index_dir}/vectors")
         self.bands = spark.read.parquet(f"{index_dir}/bands")
 
@@ -504,12 +548,22 @@ class AnnIndex:
               num_planes: int = NUM_PLANES, band_bits: int = BAND_BITS,
               num_centroids: int = NUM_CENTROIDS,
               lsh_seed: int = LSH_SEED, ivf_seed: int = IVF_SEED,
+              centroids: np.ndarray | None = None,
               ) -> "AnnIndex":
+        """``centroids``: optional trained quantizer matrix (unit-norm,
+        e.g. from ``ivf_train_centroids``) — persisted alongside the index
+        so probes reproduce the exact build-time assignment; default is
+        the deterministic seed-derived matrix."""
         import json
         import os
 
         planes = lsh_planes(dim=dim, num_planes=num_planes, seed=lsh_seed)
-        cents = ivf_centroids(dim=dim, n=num_centroids, seed=ivf_seed)
+        trained = centroids is not None
+        cents = (
+            np.ascontiguousarray(centroids, dtype=np.float64)
+            if trained
+            else ivf_centroids(dim=dim, n=num_centroids, seed=ivf_seed)
+        )
         sigs = lsh_signatures(emb, planes, id_col, vec_col)
         cids = ivf_assign(emb, cents, id_col, vec_col)
         vec = (
@@ -534,9 +588,11 @@ class AnnIndex:
         meta = {
             "dim": dim, "id_col": id_col, "vec_col": vec_col,
             "num_planes": num_planes, "band_bits": band_bits,
-            "num_centroids": num_centroids,
+            "num_centroids": int(cents.shape[0]),
             "lsh_seed": lsh_seed, "ivf_seed": ivf_seed,
         }
+        if trained:
+            np.save(f"{index_dir}/centroids.npy", cents)
         with open(f"{index_dir}/meta.json", "w") as fh:
             json.dump(meta, fh, indent=2)
         return AnnIndex(spark, index_dir, meta)

@@ -303,6 +303,39 @@ def test_ann_index_ivf_partition_pruning(spark, emb_df, tmp_path_factory,
     assert "band_id" in bplan.split("PartitionFilters")[1].splitlines()[0]
 
 
+def test_ivf_trained_centroids(spark, emb_df, tmp_path_factory):
+    """Spark-ML-trained coarse quantizer: on clustered data, k=#clusters
+    trained centroids separate the clusters (cells align with labels) and
+    IVF top-k with nprobe=1 achieves full same-cluster recall; the trained
+    matrix persists through AnnIndex save/load (centroids.npy)."""
+    from montezuma_spark.ann import (
+        AnnIndex,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    df, rows = emb_df
+    cents = ivf_train_centroids(df, n=5, seed=9)
+    assert cents.shape == (5, 16)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-9)
+    assign = {r["vec_id"]: r["cid"] for r in ivf_assign(df, cents).collect()}
+    labels = {vid: lab for vid, _, lab in rows}
+    # every cluster maps to exactly one cell, 1:1 (data is well separated)
+    cell_of = {}
+    for vid, cid in assign.items():
+        cell_of.setdefault(labels[vid], set()).add(cid)
+    assert all(len(cells) == 1 for cells in cell_of.values())
+    assert len({next(iter(c)) for c in cell_of.values()}) == 5
+    # persisted probe with the trained quantizer: nprobe=1 finds the whole
+    # home cluster
+    d = str(tmp_path_factory.mktemp("annixT") / "ix")
+    AnnIndex.build(spark, df, d, dim=16, num_planes=16, centroids=cents)
+    ix = AnnIndex.load(spark, d)
+    np.testing.assert_allclose(ix.centroids, cents)
+    out = ix.ivf_topk(query_id=0, k=5, nprobe=1).toPandas()
+    assert sorted(out["vec_id"]) == [1, 2, 3, 4, 5]
+
+
 def test_ivf_assignment_and_topk(spark, emb_df):
     from montezuma_spark.ann import ivf_assign, ivf_centroids, ivf_topk
 

@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--key-col", default="url")
     ap.add_argument("--analyzer", default="simple")
     ap.add_argument("--shard-bits", type=int, default=20)
+    ap.add_argument("--similarity", default="bm25",
+                    help="scoring fn: bm25 | classic | registered name")
+    ap.add_argument("--boost-col", default=None,
+                    help="numeric column baked in as per-doc boost")
+    ap.add_argument("--offsets", action="store_true",
+                    help="write the char-offsets term-vectors sidecar")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--query", default=None)
     args = ap.parse_args()
@@ -47,9 +53,14 @@ def main() -> None:
     from montezuma_spark.index import FieldConfig, IndexConfig, build_index
 
     cfg = IndexConfig(
-        fields=[FieldConfig("text", args.text_col, args.analyzer)],
+        fields=[
+            FieldConfig("text", args.text_col, args.analyzer,
+                        offsets=args.offsets)
+        ],
         key_col=args.key_col,
         shard_bits=args.shard_bits,
+        similarity=args.similarity,
+        boost_col=args.boost_col,
     )
     from montezuma_spark.sources import read_table
 
