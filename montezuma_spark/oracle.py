@@ -8,7 +8,6 @@ corpora only.
 
 from __future__ import annotations
 
-import math
 from collections import defaultdict
 
 from montezuma_spark.analysis import get_analyzer
@@ -28,17 +27,26 @@ from montezuma_spark.search.ast import (
 
 
 class OracleIndex:
-    def __init__(self, k1: float = 1.2, b: float = 0.75):
+    def __init__(self, k1: float = 1.2, b: float = 0.75,
+                 similarity: str = "bm25"):
+        from montezuma_spark.search.similarity import get_similarity
+
         self.k1 = k1
         self.b = b
+        self.sim = get_similarity(similarity, k1, b)
         # (field, term) -> {docid: [positions]}
         self.postings: dict = defaultdict(dict)
         self.dl: dict = defaultdict(dict)  # field -> {docid: dl}
         self.docids: set = set()
+        self.boosts: dict = {}  # docid -> quantized index-time boost
 
-    def add(self, docid: int, fields: dict[str, tuple[str, str | None]]):
-        """fields: name → (text, analyzer_name | None for untokenized)."""
+    def add(self, docid: int, fields: dict[str, tuple[str, str | None]],
+            boost: float = 1.0):
+        """fields: name → (text, analyzer_name | None for untokenized);
+        ``boost`` = index-time per-doc boost (quantized to 1/1024 like the
+        engine's marker cells)."""
         self.docids.add(docid)
+        self.boosts[docid] = max(1, round(boost * 1024)) / 1024
         for fname, (text, an) in fields.items():
             toks = (
                 [text] if an is None else get_analyzer(an).tokens(text or "")
@@ -58,15 +66,21 @@ class OracleIndex:
     def idf(self, field: str, term: str) -> float:
         df = len(self.postings.get((field, term), {}))
         n = self.n_docs(field)
-        return math.log(1.0 + (n - df + 0.5) / (df + 0.5)) if n else 0.0
+        return self.sim.idf(df, n) if n else 0.0
 
     def _bm25(self, field, docid, tf, idf, boost) -> float:
+        import numpy as np
+
         dl = self.dl[field].get(docid, 1)
         avgdl = max(self.avgdl(field), 1e-9)
-        return (
-            idf * boost * tf * (self.k1 + 1.0)
-            / (tf + self.k1 * (1.0 - self.b + self.b * dl / avgdl))
+        tf_norm = float(
+            self.sim.tf_norm(
+                np.asarray([tf], dtype=np.float64),
+                np.asarray([dl], dtype=np.float64),
+                avgdl,
+            )[0]
         )
+        return idf * boost * self.boosts.get(docid, 1.0) * tf_norm
 
     # ------------------------------------------------------------------- eval
     def eval(self, q: Query) -> dict[int, float]:
@@ -133,9 +147,11 @@ class OracleIndex:
                 common = set(shifted[0])
                 for s in shifted[1:]:
                     common &= set(s)
-                freq = len(common)
+                freq = float(len(common))
             else:
-                freq = _sloppy_freq_py(shifted, q.slop)
+                freq = _sloppy_freq_py(
+                    shifted, q.slop, getattr(q, "weight", "count")
+                )
             if freq > 0:
                 out[d] = self._bm25(q.field, d, freq, idf, q.boost)
         return out
@@ -202,16 +218,18 @@ class OracleIndex:
         return sorted(self.eval(q))
 
 
-def _sloppy_freq_py(shifted: list[list[int]], slop: int) -> int:
+def _sloppy_freq_py(shifted: list[list[int]], slop: int,
+                    weight: str = "count") -> float:
     if any(len(s) == 0 for s in shifted):
-        return 0
+        return 0.0
     ptr = [0] * len(shifted)
-    count = 0
+    freq = 0.0
     while True:
         cur = [s[p] for s, p in zip(shifted, ptr)]
-        if max(cur) - min(cur) <= slop:
-            count += 1
+        span = max(cur) - min(cur)
+        if span <= slop:
+            freq += 1.0 if weight == "count" else 1.0 / (1.0 + span)
         mi = cur.index(min(cur))
         ptr[mi] += 1
         if ptr[mi] >= len(shifted[mi]):
-            return count
+            return freq

@@ -57,12 +57,16 @@ def _terms(vocab):
     return st.sampled_from(vocab + ["zzz_absent", "qqq_nope"])
 
 
-def _query_strategy(vocab):
+def _query_strategy(vocab, slop_weights=("count",)):
     terms = _terms(vocab)
     leaf = st.one_of(
         terms.map(lambda t: TermQuery("text", t)),
-        st.tuples(terms, terms, st.integers(0, 3)).map(
-            lambda x: PhraseQuery.of("text", [x[0], x[1]], slop=x[2])
+        st.tuples(
+            terms, terms, st.integers(0, 3), st.sampled_from(slop_weights)
+        ).map(
+            lambda x: PhraseQuery.of(
+                "text", [x[0], x[1]], slop=x[2], weight=x[3]
+            )
         ),
         st.tuples(terms, terms).map(
             lambda x: RangeQuery(
@@ -114,3 +118,46 @@ def test_random_query_doc_sets(engine, data):
     s, o, vocab = engine
     q = data.draw(_query_strategy(vocab))
     assert s.matching_docids(q) == o.matching(q), q
+
+
+@pytest.fixture(scope="module")
+def engine_r2(spark):
+    """Round-2 scoring surface: index-time per-doc boosts + classic
+    similarity + reciprocal sloppy weighting, vs the extended oracle."""
+    from pyspark.sql import functions as F
+
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")], shard_bits=4,
+        block_size=8, similarity="classic", boost_col="boost",
+    )
+    docs = synth_web_pages_df(spark, N_DOCS).withColumn(
+        "boost",
+        (F.substring(F.col("url"), -1, 1).cast("int") % 5 + 1) / 2.0,
+    )
+    idx = build_index(spark, docs, cfg)
+    s = Searcher(idx, preload=True)
+    o = OracleIndex(similarity="classic")
+    pdf = synth_web_pages_pdf(N_DOCS).sort_values("url").reset_index(drop=True)
+    for i, row in enumerate(pdf.itertuples(index=False)):
+        o.add(i, {"text": (row.text, "simple")},
+              boost=(int(row.url[-1]) % 5 + 1) / 2.0)
+    an = get_analyzer("simple")
+    vocab = sorted({t for txt in pdf["text"] for t in an.tokens(txt)})
+    return s, o, vocab
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_query_matches_oracle_boosted_classic(engine_r2, data):
+    s, o, vocab = engine_r2
+    q = data.draw(_query_strategy(vocab, slop_weights=("count", "reciprocal")))
+    got = s.top_docs(q, k=N_DOCS)
+    want = o.top_k(q, k=N_DOCS)
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    np.testing.assert_allclose(
+        [x for _, x in got], [x for _, x in want], rtol=1e-9, atol=1e-12
+    )
