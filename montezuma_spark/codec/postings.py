@@ -75,17 +75,134 @@ def block_upper_bounds(maxtf: np.ndarray, mindl: np.ndarray, avgdl: float,
     )
 
 
+# ---------------------------------------------------------------------------
+# bit-packed block streams (the PForDelta-class codec; selectable per index
+# via IndexConfig.block_codec). Layout per stream segment:
+#   [width: 1 byte][ceil(n·width/8) packed bytes, little-endian bit order]
+# width = max bit length in the block (frame-of-reference binary packing —
+# the PFOR family without exception patching; docid deltas are block-local
+# so one oversized delta can only be the block's first gap).
+# ---------------------------------------------------------------------------
+
+def pack_width(vals: np.ndarray) -> int:
+    """Bits needed for the largest value (0 for an all-zero/empty block)."""
+    if len(vals) == 0:
+        return 0
+    mx = int(vals.max())
+    return mx.bit_length()
+
+
+def pack_values(vals: np.ndarray, width: int) -> np.ndarray:
+    """uint64 values → packed uint8 stream at ``width`` bits/value."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(v)
+    if n == 0 or width == 0:
+        return np.empty(0, dtype=np.uint8)
+    bits = np.empty((n, width), dtype=np.uint8)
+    for j in range(width):
+        bits[:, j] = (v >> np.uint64(j)) & np.uint64(1)
+    return np.packbits(bits.ravel(), bitorder="little")
+
+
+def unpack_values(buf: np.ndarray, n: int, width: int) -> np.ndarray:
+    """Packed uint8 stream → n uint64 values at ``width`` bits/value."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(
+        np.ascontiguousarray(buf, dtype=np.uint8),
+        count=n * width, bitorder="little",
+    ).reshape(n, width)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(width):
+        out |= bits[:, j].astype(np.uint64) << np.uint64(j)
+    return out
+
+
+def _packed_segment(vals: np.ndarray) -> bytes:
+    w = pack_width(vals)
+    return bytes([w]) + pack_values(vals, w).tobytes()
+
+
+def _block_widths(flat: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Per-block max bit length (0 for empty blocks) — exact integer math,
+    no float log2 (wrong near 2^53+)."""
+    B = len(bounds) - 1
+    widths = np.zeros(B, dtype=np.int64)
+    if len(flat) == 0:
+        return widths
+    nonempty = np.flatnonzero(np.diff(bounds) > 0)
+    mx = np.zeros(B, dtype=np.uint64)
+    mx[nonempty] = np.maximum.reduceat(
+        np.ascontiguousarray(flat, dtype=np.uint64), bounds[nonempty]
+    )
+    for j in range(64):
+        widths = np.where(mx >> np.uint64(j) > 0, j + 1, widths)
+    return widths
+
+
+def pack_blocks(
+    flat: np.ndarray, bounds: np.ndarray, widths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized packing of B variable-width segments: values of block i
+    are ``flat[bounds[i]:bounds[i+1]]`` at ``widths[i]`` bits each,
+    byte-padded per block, prefixed with the 1-byte width. Returns
+    (uint8 stream, per-block byte lengths incl. the width byte) —
+    byte-identical per block to ``_packed_segment``. O(max_width) numpy
+    passes over all values; no per-block Python work."""
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    widths = np.ascontiguousarray(widths, dtype=np.int64)
+    B = len(widths)
+    n_i = np.diff(bounds)
+    payload = (n_i * widths + 7) // 8
+    seg_len = payload + 1
+    out = np.zeros(int(seg_len.sum()), dtype=np.uint8)
+    seg_starts = np.cumsum(seg_len) - seg_len
+    out[seg_starts] = widths.astype(np.uint8)
+    total_pay = int(payload.sum())
+    if total_pay:
+        bits = np.zeros(total_pay * 8, dtype=np.uint8)
+        pay_bit_starts = (np.cumsum(payload) - payload) * 8
+        v = np.ascontiguousarray(flat, dtype=np.uint64)
+        wrep = np.repeat(widths, n_i)
+        base = (
+            np.repeat(pay_bit_starts, n_i)
+            + (np.arange(len(v)) - np.repeat(bounds[:-1], n_i)) * wrep
+        )
+        for j in range(int(widths.max()) if B else 0):
+            m = wrep > j
+            bits[base[m] + j] = (
+                (v[m] >> np.uint64(j)) & np.uint64(1)
+            ).astype(np.uint8)
+        packed = np.packbits(bits, bitorder="little")
+        pay_byte_starts = np.cumsum(payload) - payload
+        idx = np.repeat(seg_starts + 1, payload) + (
+            np.arange(total_pay) - np.repeat(pay_byte_starts, payload)
+        )
+        out[idx] = packed
+    return out, seg_len
+
+
+def _unpack_segment(buf: np.ndarray, n: int) -> np.ndarray:
+    w = int(buf[0])
+    return unpack_values(buf[1:], n, w)
+
+
 def encode_cell(
     docids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray | None = None,
     block_size: int = DEFAULT_BLOCK,
+    codec: str = "varint",
 ) -> tuple[bytes, dict]:
     """Encode one posting list (sorted unique docids + parallel tfs).
 
     Returns (cell_bytes, meta) where meta maps META_FIELDS → python lists.
     ``dls`` (per-posting doc lengths) feed the in-cell dl stream and the
-    block-max metadata; if None, dl=1 is stored.
+    block-max metadata; if None, dl=1 is stored. ``codec`` picks the block
+    stream encoding: "varint" (LEB128, the reference's wire idea) or
+    "packed" (frame-of-reference bit packing, PForDelta-class).
     """
     docids = np.ascontiguousarray(docids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -96,6 +213,7 @@ def encode_cell(
     if dls is None:
         dls = np.ones(n, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)
+    enc = encode_varints if codec == "varint" else _packed_segment
     chunks: list[bytes] = []
     off = 0
     for s in range(0, n, block_size):
@@ -106,10 +224,10 @@ def encode_cell(
         deltas[0] = 0  # first docid delta'd against meta first
         deltas[1:] = (d[1:] - d[:-1]).astype(np.uint64)
         codes = (deltas << np.uint64(1)) | (t == 1).astype(np.uint64)
-        code_bytes = encode_varints(codes)
+        code_bytes = enc(codes)
         extra = t[t > 1].astype(np.uint64)
-        extra_bytes = encode_varints(extra)
-        dl_bytes = encode_varints(dls[s:e].astype(np.uint64))
+        extra_bytes = enc(extra)
+        dl_bytes = enc(dls[s:e].astype(np.uint64))
         meta["first"].append(int(d[0]))
         meta["last"].append(int(d[-1]))
         meta["n"].append(int(e - s))
@@ -136,6 +254,7 @@ def decode_cell(
     cell: bytes | memoryview,
     meta: dict,
     blocks: np.ndarray | list | None = None,
+    codec: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode selected blocks (default all) → (docids, tfs, dls)."""
     nblocks = len(meta["n"])
@@ -162,11 +281,29 @@ def decode_cell(
         ns.append(meta["n"][j])
     if not ns:
         return _EMPTY3
-    codes = decode_varints(np.concatenate(code_parts))
-    extras = decode_varints(np.concatenate(extra_parts)) if any(
-        len(p) for p in extra_parts
-    ) else np.empty(0, dtype=np.uint64)
-    dls = decode_varints(np.concatenate(dl_parts)).astype(np.int64)
+    if codec == "packed":
+        # fixed-width segments carry their width byte; counts come from
+        # block metadata (extras count = codes with the tf>1 low bit)
+        codes_bits, extras_bits, dls_bits = [], [], []
+        for cb, eb, db, nb in zip(code_parts, extra_parts, dl_parts, ns):
+            c = _unpack_segment(cb, int(nb))
+            codes_bits.append(c)
+            n_extra = int(((c & np.uint64(1)) == 0).sum())
+            extras_bits.append(_unpack_segment(eb, n_extra))
+            dls_bits.append(_unpack_segment(db, int(nb)))
+        codes = np.concatenate(codes_bits)
+        extras = (
+            np.concatenate(extras_bits)
+            if extras_bits
+            else np.empty(0, dtype=np.uint64)
+        )
+        dls = np.concatenate(dls_bits).astype(np.int64)
+    else:
+        codes = decode_varints(np.concatenate(code_parts))
+        extras = decode_varints(np.concatenate(extra_parts)) if any(
+            len(p) for p in extra_parts
+        ) else np.empty(0, dtype=np.uint64)
+        dls = decode_varints(np.concatenate(dl_parts)).astype(np.int64)
     ns_arr = np.asarray(ns, dtype=np.int64)
     deltas = (codes >> np.uint64(1)).astype(np.int64)
     docids = grouped_delta_decode(deltas, ns_arr) + np.repeat(
@@ -249,6 +386,7 @@ def encode_cells_batch(
     dls: np.ndarray,
     block_size: int = DEFAULT_BLOCK,
     flat_positions: np.ndarray | None = None,
+    codec: str = "varint",
 ) -> dict:
     """Encode G posting lists at once (inputs sorted by (group, docid),
     ``group_bounds`` = G+1 boundary indices). Byte-identical per cell to
@@ -300,17 +438,35 @@ def encode_cells_batch(
     ).astype(np.uint64)
     ext_mask = tfs > 1
 
-    code_stream, code_vlens = encode_varints_arr(codes)
-    ext_stream, ext_vlens_packed = encode_varints_arr(
-        tfs[ext_mask].astype(np.uint64)
-    )
-    dl_stream, dl_vlens = encode_varints_arr(dls.astype(np.uint64))
-    ext_vlens = np.zeros(N, dtype=np.int64)
-    ext_vlens[ext_mask] = ext_vlens_packed
+    if codec == "packed":
+        blk_bounds = np.append(blk_start, N)
+        ext_vals = tfs[ext_mask].astype(np.uint64)
+        ext_counts = np.add.reduceat(
+            ext_mask.astype(np.int64), blk_start
+        )
+        ext_bounds = np.concatenate([[0], np.cumsum(ext_counts)])
+        code_stream, blk_code_len = pack_blocks(
+            codes, blk_bounds, _block_widths(codes, blk_bounds)
+        )
+        ext_stream, blk_ext_len = pack_blocks(
+            ext_vals, ext_bounds, _block_widths(ext_vals, ext_bounds)
+        )
+        dl_u = dls.astype(np.uint64)
+        dl_stream, blk_dl_len = pack_blocks(
+            dl_u, blk_bounds, _block_widths(dl_u, blk_bounds)
+        )
+    else:
+        code_stream, code_vlens = encode_varints_arr(codes)
+        ext_stream, ext_vlens_packed = encode_varints_arr(
+            tfs[ext_mask].astype(np.uint64)
+        )
+        dl_stream, dl_vlens = encode_varints_arr(dls.astype(np.uint64))
+        ext_vlens = np.zeros(N, dtype=np.int64)
+        ext_vlens[ext_mask] = ext_vlens_packed
 
-    blk_code_len = np.add.reduceat(code_vlens, blk_start)
-    blk_ext_len = np.add.reduceat(ext_vlens, blk_start)
-    blk_dl_len = np.add.reduceat(dl_vlens, blk_start)
+        blk_code_len = np.add.reduceat(code_vlens, blk_start)
+        blk_ext_len = np.add.reduceat(ext_vlens, blk_start)
+        blk_dl_len = np.add.reduceat(dl_vlens, blk_start)
     blk_first = docids[blk_start]
     blk_last = docids[blk_end - 1]
     blk_maxtf = np.maximum.reduceat(tfs, blk_start)

@@ -133,9 +133,12 @@ def row_meta(row) -> dict:
     }
 
 
-def _cell_row(field, term, shard, docids, tfs, dls, pos_lists, block_size):
+def _cell_row(field, term, shard, docids, tfs, dls, pos_lists, block_size,
+              codec="varint"):
     """Encode one (field, term, shard) posting list into an output row."""
-    cell, meta = encode_cell(docids, tfs, dls=dls, block_size=block_size)
+    cell, meta = encode_cell(
+        docids, tfs, dls=dls, block_size=block_size, codec=codec
+    )
     if pos_lists is not None:
         flat = (
             np.concatenate(pos_lists)
@@ -233,10 +236,12 @@ class _ShardBuf:
     crossing a shard boundary flushes encoded cells. Bounds task memory by
     one shard (2^shard_bits docs), not the whole partition."""
 
-    def __init__(self, field: str, block_size: int, with_pos: bool):
+    def __init__(self, field: str, block_size: int, with_pos: bool,
+                 codec: str = "varint"):
         self.field = field
         self.block_size = block_size
         self.with_pos = with_pos
+        self.codec = codec
         self.shard = None
         self.chunks: list = []      # (terms, docids, tfs, dls, pos_lists)
         self.len_chunks: list = []  # (docids, dls) incl. dl=0 docs
@@ -285,6 +290,7 @@ class _ShardBuf:
             enc = encode_cells_batch(
                 bounds, docs[order], tfs[order], dls[order],
                 block_size=self.block_size, flat_positions=flat_pos,
+                codec=self.codec,
             )
             frames.append(
                 pd.DataFrame(
@@ -317,7 +323,7 @@ class _ShardBuf:
                 [
                     _cell_row(
                         self.field, DOCLENS_TERM, self.shard, ld, ldl, ldl,
-                        None, self.block_size,
+                        None, self.block_size, self.codec,
                     )
                 ],
                 columns=POSTINGS_COLS,
@@ -358,6 +364,7 @@ def _segment_iter(
     block_size: int,
     offsets: dict[int, int],
     boost_col: str | None = None,
+    codec: str = "varint",
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: the fused tokenize→invert→encode segment builder.
 
@@ -371,7 +378,8 @@ def _segment_iter(
         for f in fields
     }
     bufs = {
-        f.name: _ShardBuf(f.name, block_size, f.positions) for f in fields
+        f.name: _ShardBuf(f.name, block_size, f.positions, codec)
+        for f in fields
     }
     counter = None
     last_key = None
@@ -462,7 +470,7 @@ def _segment_iter(
                         np.concatenate([d for d, _ in parts]),
                         np.concatenate([q for _, q in parts]),
                         np.concatenate([q for _, q in parts]),
-                        None, block_size,
+                        None, block_size, codec,
                     )
                     for sh, parts in sorted(boost_acc.items())
                 ],
@@ -498,7 +506,8 @@ def _segment_iter(
         yield pd.concat(out_frames, ignore_index=True)
 
 
-def merge_cell_rows(rows: list, block_size: int) -> dict:
+def merge_cell_rows(rows: list, block_size: int,
+                    codec: str = "varint") -> dict:
     """Concatenate N cells of one (field, term) in docid order and re-encode
     — the append-postings merge (src/index/segment-merger.lisp:210-246).
     Valid for doclens marker cells too. Safe under the avgdl-free block-max
@@ -508,7 +517,7 @@ def merge_cell_rows(rows: list, block_size: int) -> dict:
     with_pos = any(len(r.pos_off) for r in rows)
     for r in rows:
         meta = row_meta(r)
-        d, t, dl = decode_cell(bytes(r.postings), meta)
+        d, t, dl = decode_cell(bytes(r.postings), meta, codec=codec)
         all_d.append(d)
         all_t.append(t)
         all_dl.append(dl)
@@ -538,11 +547,11 @@ def merge_cell_rows(rows: list, block_size: int) -> dict:
         pos_lists = None
     return _cell_row(
         rows[0].field, rows[0].term, rows[0].shard, docids, tfs, dls,
-        pos_lists, block_size,
+        pos_lists, block_size, codec,
     )
 
 
-def _make_cell_merger(block_size: int):
+def _make_cell_merger(block_size: int, codec: str = "varint"):
     """groupBy(field, shard, tbucket).applyInPandas fn. The overwhelmingly
     common case — every cell already complete inside one partition — is a
     zero-copy passthrough; only shard straddles re-encode."""
@@ -555,7 +564,9 @@ def _make_cell_merger(block_size: int):
         out = [singles] if len(singles) else []
         dups = pdf[pdf["term"].duplicated(keep=False)]
         merged_rows = [
-            merge_cell_rows(list(grp.itertuples(index=False)), block_size)
+            merge_cell_rows(
+                list(grp.itertuples(index=False)), block_size, codec
+            )
             for _, grp in dups.groupby("term", sort=False)
         ]
         out.append(pd.DataFrame(merged_rows, columns=POSTINGS_COLS))
@@ -569,6 +580,7 @@ def _rebase_iter(
     base: int,
     shard_bits: int,
     block_size: int,
+    codec: str = "varint",
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body for add-indexes: shift every docid by ``base`` and
     re-split cells at the new shard boundaries (a shifted cell can straddle
@@ -579,7 +591,9 @@ def _rebase_iter(
         out_rows = []
         for row in pdf.itertuples(index=False):
             meta = row_meta(row)
-            docids, tfs, dls = decode_cell(bytes(row.postings), meta)
+            docids, tfs, dls = decode_cell(
+                bytes(row.postings), meta, codec=codec
+            )
             if len(docids) == 0:
                 continue
             d2 = docids + base
@@ -611,7 +625,7 @@ def _rebase_iter(
                         row.field, row.term, int(shards[s]), d2[s:e],
                         tfs[s:e], dls[s:e],
                         pos_lists[s:e] if pos_lists is not None else None,
-                        block_size,
+                        block_size, codec,
                     )
                 )
                 s = e
@@ -626,6 +640,7 @@ TERM_VECTORS_SCHEMA = (
 
 def _uninvert_iter(
     batches: Iterator[pd.DataFrame],
+    codec: str = "varint",
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: decode cells back into per-doc term rows — the
     term-vectors sidecar (src/index/term-vectors-io.lisp:21-391) derived by
@@ -636,7 +651,9 @@ def _uninvert_iter(
         frames = []
         for row in pdf.itertuples(index=False):
             meta = row_meta(row)
-            docids, tfs, dls = decode_cell(bytes(row.postings), meta)
+            docids, tfs, dls = decode_cell(
+                bytes(row.postings), meta, codec=codec
+            )
             if len(docids) == 0:
                 continue
             if bytes(row.positions):
@@ -687,7 +704,10 @@ def term_vectors(index: "Index", docids: list[int] | None = None):
     if docids is not None:
         shards = sorted({d >> index.config.shard_bits for d in docids})
         postings = postings.filter(F.col("shard").isin(shards))
-    tv = postings.mapInPandas(_uninvert_iter, schema=TERM_VECTORS_SCHEMA)
+    codec = index.config.block_codec
+    tv = postings.mapInPandas(
+        lambda it: _uninvert_iter(it, codec), schema=TERM_VECTORS_SCHEMA
+    )
     if docids is not None:
         tv = tv.filter(F.col("docid").isin([int(d) for d in docids]))
     return tv
@@ -767,14 +787,17 @@ def _tv_offsets_iter(
             yield pd.DataFrame(rows)
 
 
-def _doclens_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _doclens_iter(batches: Iterator[pd.DataFrame],
+                  codec: str = "varint") -> Iterator[pd.DataFrame]:
     """Decode doclens marker cells → (field, docid, dl, shard) rows."""
     for pdf in batches:
         if len(pdf) == 0:
             continue
         parts = []
         for row in pdf.itertuples(index=False):
-            d, t, _ = decode_cell(bytes(row.postings), row_meta(row))
+            d, t, _ = decode_cell(
+                bytes(row.postings), row_meta(row), codec=codec
+            )
             parts.append(
                 pd.DataFrame(
                     {
@@ -894,11 +917,12 @@ class Index:
         }
         tombs = [self.tombstones]
         sb, bs = self.config.shard_bits, self.config.block_size
+        cdc = self.config.block_codec
         for o in others:
             b = base
             postings_parts.append(
                 o.postings.mapInPandas(
-                    lambda it, _b=b: _rebase_iter(it, _b, sb, bs),
+                    lambda it, _b=b: _rebase_iter(it, _b, sb, bs, cdc),
                     schema=POSTINGS_SCHEMA,
                 )
             )
@@ -984,7 +1008,9 @@ class Index:
         analog (src/index/index-writer.lisp:94-107). One shuffle of
         compressed cells, grouped (field, shard, term-bucket) so hot terms
         stay split across docid shards."""
-        merger = _make_cell_merger(self.config.block_size)
+        merger = _make_cell_merger(
+            self.config.block_size, self.config.block_codec
+        )
         postings = (
             self.postings.withColumn(
                 "tbucket", F.pmod(F.xxhash64("term"), F.lit(ENCODE_BUCKETS))
@@ -1112,6 +1138,7 @@ def build_index(
         return _segment_iter(
             it, fields, max_len, config.shard_bits, config.block_size,
             offsets, boost_col=config.boost_col,
+            codec=config.block_codec,
         )
 
     if index_dir:
@@ -1135,7 +1162,10 @@ def build_index(
 
     doc_lens = postings_all.filter(
         F.col("term") == DOCLENS_TERM
-    ).mapInPandas(_doclens_iter, schema=DOC_LENS_SCHEMA)
+    ).mapInPandas(
+        lambda it: _doclens_iter(it, config.block_codec),
+        schema=DOC_LENS_SCHEMA,
+    )
     postings = postings_all.filter(~F.col("term").isin(*MARKER_TERMS))
 
     # stats job — materializes (and caches) the whole postings build once;

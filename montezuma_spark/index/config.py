@@ -44,6 +44,16 @@ class IndexConfig:
                                        # (ref: index-writer.lisp:10)
     store_cols: tuple = ()             # source columns kept in doc_map
                                        # (stored fields — fields-io.lisp analog)
+    block_codec: str = "packed"        # posting-block stream codec:
+                                       # "packed" (default: frame-of-
+                                       # reference bit packing, the
+                                       # PForDelta-class layout; ~17%
+                                       # smaller cells, no encode cost) |
+                                       # "varint" (LEB128, the reference's
+                                       # wire idea). Positions sidecar
+                                       # stays varint in both. Stored in
+                                       # meta.json, so saved indexes decode
+                                       # with the codec they were built with.
     similarity: str = "bm25"           # scoring fn from the similarity
                                        # registry (search/similarity.py:
                                        # "bm25" | "classic" | registered
@@ -76,6 +86,7 @@ class IndexConfig:
             "b": self.b,
             "max_field_length": self.max_field_length,
             "store_cols": list(self.store_cols),
+            "block_codec": self.block_codec,
             "similarity": self.similarity,
             "boost_col": self.boost_col,
         }
@@ -97,6 +108,7 @@ class IndexConfig:
             b=d["b"],
             max_field_length=d.get("max_field_length", 10_000),
             store_cols=tuple(d.get("store_cols", ())),
+            block_codec=d.get("block_codec", "varint"),
             similarity=d.get("similarity", "bm25"),
             boost_col=d.get("boost_col"),
         )

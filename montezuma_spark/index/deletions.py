@@ -71,6 +71,7 @@ def _rewrite_iter(
     batches: Iterator[pd.DataFrame],
     deleted: np.ndarray,
     block_size: int,
+    codec: str = "varint",
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: drop tombstoned postings, re-encode touched cells.
 
@@ -97,7 +98,9 @@ def _rewrite_iter(
                 out_rows.append(row._asdict())
                 continue
             meta = row_meta(row)
-            docids, tfs, dls = decode_cell(bytes(row.postings), meta)
+            docids, tfs, dls = decode_cell(
+                bytes(row.postings), meta, codec=codec
+            )
             idx = np.clip(
                 np.searchsorted(deleted, docids), 0, len(deleted) - 1
             )
@@ -133,7 +136,7 @@ def _rewrite_iter(
             out_rows.append(
                 _cell_row(
                     row.field, row.term, row.shard, docids[keep], tfs[keep],
-                    dls[keep], pos_lists, block_size,
+                    dls[keep], pos_lists, block_size, codec,
                 )
             )
         if out_rows:
@@ -176,7 +179,9 @@ def expunge_deletes(index) -> "object":
     }
     cfg = index.config
     postings = index.postings.mapInPandas(
-        lambda it: _rewrite_iter(it, deleted, cfg.block_size),
+        lambda it: _rewrite_iter(
+            it, deleted, cfg.block_size, cfg.block_codec
+        ),
         schema=POSTINGS_SCHEMA,
     )
     from montezuma_spark.index.builder import BOOST_TERM

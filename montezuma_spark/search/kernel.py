@@ -76,6 +76,8 @@ class CompiledPlan:
     # pluggable scoring fn (search/similarity.py); None = BM25(k1, b).
     # Ships inside the plan, so custom similarities reach every shard.
     similarity: object | None = None
+    # posting-block stream codec of the index ("varint" | "packed")
+    codec: str = "varint"
     # sorted tombstoned docids (the .del bitset analog,
     # src/util/bit-vector.lisp + segment-reader.lisp:106-113). Shipped
     # inside the serialized plan = a broadcast to every shard kernel;
@@ -133,6 +135,7 @@ class ShardEval:
                         "maxtf": list(r.blk_maxtf),
                         "mindl": list(r.blk_mindl),
                     },
+                    codec=plan.codec,
                 )
                 for r in boost_rows
             ]
@@ -192,7 +195,9 @@ class ShardEval:
         meta = self._meta(row)
         sel = self._blocks_for(meta, candidates)
         blocks = sel if sel is not None else np.arange(len(meta["n"]))
-        docids, tfs, dls = decode_cell(bytes(row.postings), meta, blocks=blocks)
+        docids, tfs, dls = decode_cell(
+            bytes(row.postings), meta, blocks=blocks, codec=self.plan.codec
+        )
         if with_block_info:
             ns = np.asarray(meta["n"], dtype=np.int64)[blocks]
             block_of = np.repeat(blocks, ns)

@@ -422,6 +422,7 @@ class Searcher:
             k=k,
             need_positions=need_pos,
             similarity=self.similarity,
+            codec=self.index.config.block_codec,
             deleted=tomb if tomb is not None and len(tomb) else None,
         )
         return plan, resolved, need_pos

@@ -251,11 +251,14 @@ def _merge_postings(merged: Index, out_dir: str) -> Index:
     )
 
     block = merged.config.block_size
+    codec = merged.config.block_codec
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 1:
             return pdf[POSTINGS_COLS]
-        row = merge_cell_rows(list(pdf.itertuples(index=False)), block)
+        row = merge_cell_rows(
+            list(pdf.itertuples(index=False)), block, codec
+        )
         return pd.DataFrame([row], columns=POSTINGS_COLS)
 
     from pyspark.sql import functions as F

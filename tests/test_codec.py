@@ -197,6 +197,103 @@ def test_encode_cells_batch_matches_encode_cell(groups, block, with_pos):
             )
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),  # docid gap seed
+            st.integers(min_value=1, max_value=50),  # tf
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=4, max_value=128),
+)
+@settings(max_examples=80, deadline=None)
+def test_packed_cell_roundtrip(entries, block):
+    """The bit-packed (PForDelta-class) codec round-trips any posting
+    list, including partial-block decode."""
+    gaps = np.array([e[0] for e in entries], dtype=np.int64)
+    docids = np.cumsum(gaps + 1) - 1
+    tfs = np.array([e[1] for e in entries], dtype=np.int64)
+    dls = (docids % 473 + 1).astype(np.int64)
+    cell, meta = encode_cell(
+        docids, tfs, dls=dls, block_size=block, codec="packed"
+    )
+    d, t, dl = decode_cell(cell, meta, codec="packed")
+    np.testing.assert_array_equal(d, docids)
+    np.testing.assert_array_equal(t, tfs)
+    np.testing.assert_array_equal(dl, dls)
+    nb = len(meta["n"])
+    if nb > 1:
+        d1, t1, _ = decode_cell(cell, meta, blocks=[nb - 1], codec="packed")
+        s = (nb - 1) * block
+        np.testing.assert_array_equal(d1, docids[s:])
+        np.testing.assert_array_equal(t1, tfs[s:])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=150),
+            st.integers(min_value=0, max_value=2**31),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=4, max_value=64),
+)
+@settings(max_examples=40, deadline=None)
+def test_packed_batch_matches_scalar(groups, block):
+    """pack_blocks-based batch encoding is byte-identical per group to the
+    scalar packed encoder (same invariant as the varint pair)."""
+    from montezuma_spark.codec.postings import encode_cells_batch
+
+    all_d, all_t, all_dl = [], [], []
+    bounds = [0]
+    for n, seed in groups:
+        rng = np.random.RandomState(seed % (2**31))
+        gaps = rng.randint(0, 100000, size=n).astype(np.int64)
+        all_d.append(np.cumsum(gaps + 1) - 1)
+        all_t.append(rng.randint(1, 9, size=n).astype(np.int64))
+        all_dl.append(rng.randint(1, 1000, size=n).astype(np.int64))
+        bounds.append(bounds[-1] + n)
+    gb = np.asarray(bounds, dtype=np.int64)
+    docids, tfs, dls = map(np.concatenate, (all_d, all_t, all_dl))
+    enc = encode_cells_batch(
+        gb, docids, tfs, dls, block_size=block, codec="packed"
+    )
+    for g in range(len(gb) - 1):
+        s, e = gb[g], gb[g + 1]
+        cell, meta = encode_cell(
+            docids[s:e], tfs[s:e], dls=dls[s:e], block_size=block,
+            codec="packed",
+        )
+        assert enc["postings"][g] == cell, g
+        for f in ("first", "last", "n", "off", "codes_len", "ext_len",
+                  "maxtf", "mindl"):
+            np.testing.assert_array_equal(
+                np.asarray(enc[f][g]), np.asarray(meta[f]), err_msg=f
+            )
+
+
+def test_packed_is_smaller_on_typical_postings():
+    """On dense postings with small dls the packed codec beats varint
+    (the reason it exists); both decode to the same arrays."""
+    rng = np.random.RandomState(1)
+    n = 5000
+    docids = np.cumsum(rng.randint(1, 60, size=n)).astype(np.int64)
+    tfs = rng.randint(1, 4, size=n).astype(np.int64)
+    dls = rng.randint(20, 120, size=n).astype(np.int64)
+    cv, mv = encode_cell(docids, tfs, dls=dls, block_size=128)
+    cp, mp = encode_cell(docids, tfs, dls=dls, block_size=128, codec="packed")
+    assert len(cp) < len(cv) * 0.8, (len(cp), len(cv))
+    for cell, meta, codec in ((cv, mv, "varint"), (cp, mp, "packed")):
+        d, t, dl = decode_cell(cell, meta, codec=codec)
+        np.testing.assert_array_equal(d, docids)
+        np.testing.assert_array_equal(t, tfs)
+        np.testing.assert_array_equal(dl, dls)
+
+
 def test_empty_cell():
     cell, meta = encode_cell(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     assert cell == b""

@@ -170,9 +170,10 @@ def test_postings_word2(search_index):
         (F.col("field") == "field") & (F.col("term") == "word2")
     ).collect()
     docids = []
+    codec = search_index.config.block_codec
     for r in rows:
         meta = row_meta(r)
-        d, t, dl = decode_cell(bytes(r["postings"]), meta)
+        d, t, dl = decode_cell(bytes(r["postings"]), meta, codec=codec)
         assert (t == 1).all()
         assert (dl > 0).all()
         docids.extend(d.tolist())
@@ -186,9 +187,10 @@ def test_positions_roundtrip_via_index(search_index):
         (F.col("field") == "field") & (F.col("term") == "and")
     ).collect()
     found = {}
+    codec = search_index.config.block_codec
     for r in rows:
         meta = row_meta(r)
-        d, t, _dl = decode_cell(bytes(r["postings"]), meta)
+        d, t, _dl = decode_cell(bytes(r["postings"]), meta, codec=codec)
         block_tfs = {}
         # split tfs by block
         i = 0
