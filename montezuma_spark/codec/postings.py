@@ -323,11 +323,13 @@ def encode_positions(
     tfs: np.ndarray,
     flat_positions: np.ndarray,
     block_size: int = DEFAULT_BLOCK,
+    codec: str = "varint",
 ) -> tuple[bytes, list[int]]:
     """Encode concatenated per-doc position lists (lens given by tfs).
 
     Per doc: first position absolute, rest delta-encoded; docs grouped into
-    the same blocks as the postings cell. Returns (bytes, per-block offsets).
+    the same blocks as the postings cell. Returns (bytes, per-block
+    offsets). Same two codecs as the postings streams.
     """
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     pos = np.ascontiguousarray(flat_positions, dtype=np.int64)
@@ -338,6 +340,7 @@ def encode_positions(
         starts = np.cumsum(tfs)[:-1]  # first-position index of docs 1..
         deltas[starts] = pos[starts]
         deltas[0] = pos[0]
+    enc = encode_varints if codec == "varint" else _packed_segment
     chunks: list[bytes] = []
     offsets: list[int] = []
     off = 0
@@ -345,7 +348,7 @@ def encode_positions(
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         seg = deltas[pos_bounds[s] : pos_bounds[e]]
-        bts = encode_varints(seg.astype(np.uint64))
+        bts = enc(seg.astype(np.uint64))
         offsets.append(off)
         chunks.append(bts)
         off += len(bts)
@@ -357,6 +360,7 @@ def decode_positions(
     pos_off: list[int],
     meta: dict,
     block_tfs: dict[int, np.ndarray],
+    codec: str = "varint",
 ) -> dict[int, np.ndarray]:
     """Decode positions for the given blocks → {block: flat positions}.
 
@@ -370,8 +374,14 @@ def decode_positions(
     for j, tfs in block_tfs.items():
         s = pos_off[j]
         e = pos_off[j + 1] if j + 1 < nblocks else total
-        deltas = decode_varints(buf[s:e]).astype(np.int64)
-        out[j] = grouped_delta_decode(deltas, np.asarray(tfs, dtype=np.int64))
+        tfs_arr = np.asarray(tfs, dtype=np.int64)
+        if codec == "packed":
+            deltas = _unpack_segment(
+                buf[s:e], int(tfs_arr.sum())
+            ).astype(np.int64)
+        else:
+            deltas = decode_varints(buf[s:e]).astype(np.int64)
+        out[j] = grouped_delta_decode(deltas, tfs_arr)
     return out
 
 
@@ -500,17 +510,28 @@ def encode_cells_batch(
             pdeltas[starts[starts < len(pos)]] = pos[
                 starts[starts < len(pos)]
             ]
-        pos_stream, pos_vlens = encode_varints_arr(pdeltas.astype(np.uint64))
-        # byte length of each posting's position run, summed per block
-        post_pos_len = np.add.reduceat(pos_vlens, pb[:-1]) if len(pos) else \
-            np.zeros(N, dtype=np.int64)
-        if len(pos):
-            # reduceat with duplicate starts can't occur (tf >= 1)
-            blk_pos_len = np.add.reduceat(post_pos_len, blk_start)
+        if codec == "packed":
+            pu = pdeltas.astype(np.uint64)
+            # per-block value bounds: positions of block j are
+            # pb[blk_start[j]] .. pb[blk_end[j]] in the flat stream
+            blk_val_bounds = pb[np.append(blk_start, N)]
+            pos_arr, blk_pos_len = pack_blocks(
+                pu, blk_val_bounds, _block_widths(pu, blk_val_bounds)
+            )
         else:
-            blk_pos_len = np.zeros(total_blocks, dtype=np.int64)
+            pos_stream, pos_vlens = encode_varints_arr(
+                pdeltas.astype(np.uint64)
+            )
+            # byte length of each posting's position run, summed per block
+            post_pos_len = np.add.reduceat(pos_vlens, pb[:-1]) if len(pos) \
+                else np.zeros(N, dtype=np.int64)
+            if len(pos):
+                # reduceat with duplicate starts can't occur (tf >= 1)
+                blk_pos_len = np.add.reduceat(post_pos_len, blk_start)
+            else:
+                blk_pos_len = np.zeros(total_blocks, dtype=np.int64)
+            pos_arr = pos_stream
         ps = np.concatenate([[0], np.cumsum(blk_pos_len)])
-        pos_arr = pos_stream
 
     for g in range(G):
         b0, b1 = gb_blk[g], gb_blk[g + 1]

@@ -145,7 +145,9 @@ def _cell_row(field, term, shard, docids, tfs, dls, pos_lists, block_size,
             if len(pos_lists)
             else np.empty(0, dtype=np.int64)
         )
-        pos_cell, pos_off = encode_positions(tfs, flat, block_size=block_size)
+        pos_cell, pos_off = encode_positions(
+            tfs, flat, block_size=block_size, codec=codec
+        )
     else:
         pos_cell, pos_off = b"", []
     return {
@@ -528,7 +530,8 @@ def merge_cell_rows(rows: list, block_size: int,
                 j: t[bounds[j] : bounds[j + 1]] for j in range(nblocks)
             }
             pos = decode_positions(
-                bytes(r.positions), list(r.pos_off), meta, block_tfs
+                bytes(r.positions), list(r.pos_off), meta, block_tfs,
+                codec=codec,
             )
             all_pos.append(
                 np.concatenate([pos[j] for j in sorted(pos)])
@@ -607,7 +610,8 @@ def _rebase_iter(
                     j: tfs[bounds[j] : bounds[j + 1]] for j in range(nblocks)
                 }
                 pos_by_block = decode_positions(
-                    bytes(row.positions), list(row.pos_off), meta, block_tfs
+                    bytes(row.positions), list(row.pos_off), meta, block_tfs,
+                    codec=codec,
                 )
                 flat = (
                     np.concatenate([pos_by_block[j] for j in range(nblocks)])
@@ -665,7 +669,8 @@ def _uninvert_iter(
                     j: tfs[bounds[j] : bounds[j + 1]] for j in range(nblocks)
                 }
                 pos_by_block = decode_positions(
-                    bytes(row.positions), list(row.pos_off), meta, block_tfs
+                    bytes(row.positions), list(row.pos_off), meta, block_tfs,
+                    codec=codec,
                 )
                 flat = np.concatenate(
                     [pos_by_block[j] for j in range(nblocks)]

@@ -121,7 +121,8 @@ def _rewrite_iter(
                     j: tfs[bounds[j] : bounds[j + 1]] for j in range(nblocks)
                 }
                 pos_by_block = decode_positions(
-                    bytes(row.positions), list(row.pos_off), meta, block_tfs
+                    bytes(row.positions), list(row.pos_off), meta, block_tfs,
+                    codec=codec,
                 )
                 flat_all = (
                     np.concatenate([pos_by_block[j] for j in range(nblocks)])

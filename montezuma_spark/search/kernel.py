@@ -546,7 +546,8 @@ class ShardEval:
             int(b): t_all[bounds[i] : bounds[i + 1]] for i, b in enumerate(blocks)
         }
         pos_by_block = decode_positions(
-            bytes(row.positions), list(row.pos_off), meta, block_tfs
+            bytes(row.positions), list(row.pos_off), meta, block_tfs,
+            codec=self.plan.codec,
         )
         # one flat stream in decoded-block order; posting j's run is
         # pb[j]:pb[j+1] (t_all aligns with d_all) — no per-doc block search

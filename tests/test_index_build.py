@@ -198,7 +198,8 @@ def test_positions_roundtrip_via_index(search_index):
             block_tfs[j] = t[i : i + nb]
             i += nb
         pos = decode_positions(
-            bytes(r["positions"]), list(r["pos_off"]), meta, block_tfs
+            bytes(r["positions"]), list(r["pos_off"]), meta, block_tfs,
+            codec=codec,
         )
         flat = np.concatenate([pos[j] for j in sorted(pos)])
         bounds = np.cumsum(t)
