@@ -58,11 +58,50 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def rank_docids(df: DataFrame, key: str, docid_col: str = "docid") -> DataFrame:
+    """Distributed rank-of-key docid assignment — semantically identical to
+    ``ROW_NUMBER() OVER (ORDER BY key) - 1`` for unique keys, but with NO
+    single-partition Window (which Spark executes as one task over the whole
+    table — the round-2 verdict's 100-TB bottleneck in this glue).
+
+    Same strategy as the index builder's docid bases (builder.py:1125-1137):
+    range-partition by key, collect tiny per-partition counts to the driver,
+    then partition-LOCAL row_number + broadcast-joined partition offsets.
+    Spark's range partitioning is deterministic for a given input, so the
+    counts job and the main query see identical partition boundaries.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(nparts, key)
+        .sortWithinPartitions(key)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = (
+        ranged.groupBy("_pid").agg(F.count("*").alias("n"))
+        .orderBy("_pid").collect()
+    )
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((int(r["_pid"]), acc))
+        acc += int(r["n"])
+    offset_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy(key)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offset_df), "_pid")
+        .withColumn(
+            docid_col, (F.col("_offset") + F.col("_rn") - 1).cast("long")
+        )
+        .drop("_pid", "_rn", "_offset")
+    )
+
+
 def _tokens_df(spark, sf_dir) -> DataFrame:
     """(docid, dl, tok) exploded token table, Spark-native (no index)."""
     d = _docs(spark, sf_dir)
-    from pyspark.sql.window import Window
-
     toks = d.select(
         F.col("doc_id"),
         F.col("source"),
@@ -71,11 +110,8 @@ def _tokens_df(spark, sf_dir) -> DataFrame:
         F.expr(
             "transform(regexp_extract_all(text, '[a-zA-Z]+', 0), x -> lower(x))"
         ).alias("toks"),
-    ).withColumn(
-        "docid",
-        F.row_number().over(Window.orderBy("doc_id")).cast("long") - 1,
     )
-    return toks
+    return rank_docids(toks, "doc_id")
 
 
 # ===========================================================================

@@ -145,3 +145,26 @@ def test_read_table_path_and_name(spark, tmp_path):
     with pytest.raises(ValueError, match="missing required columns"):
         spark.range(3).write.parquet(str(tmp_path / "bad.parquet"))
         read_web_pages(spark, str(tmp_path / "bad.parquet"))
+
+
+def test_rank_docids_no_single_partition_window(spark, capsys):
+    """The ta_*/dd_* docid glue must assign rank-of-key WITHOUT a global
+    Window.orderBy (Spark executes that as ONE task over the whole table —
+    the round-2 verdict's 100-TB bottleneck). rank_docids range-partitions
+    and uses a partition-LOCAL window, so the plan must contain no
+    single-partition exchange."""
+    from montezuma_spark.queries import rank_docids
+
+    df = synth_web_pages_df(spark, 200).select("url", "text")
+    out = rank_docids(df, "url")
+    out.explain("formatted")
+    plan = capsys.readouterr().out
+    assert "Window" in plan                       # rank is still a window...
+    assert "SinglePartition" not in plan          # ...but never on one task
+    # correctness: identical to ROW_NUMBER() OVER (ORDER BY url) - 1
+    import pandas as pd
+
+    got = out.select("url", "docid").toPandas().sort_values(
+        "url", ignore_index=True
+    )
+    assert list(got["docid"]) == list(range(len(got)))
