@@ -71,6 +71,10 @@ class OracleIndex:
     def _bm25(self, field, docid, tf, idf, boost) -> float:
         import numpy as np
 
+        if getattr(self.sim, "normalize_query", False):
+            # reference weight chain: value = query_weight·idf = idf²·boost
+            # (×query_norm applied once in scores()) — term-query.lisp:29-36
+            idf = idf * idf
         dl = self.dl[field].get(docid, 1)
         avgdl = max(self.avgdl(field), 1e-9)
         tf_norm = float(
@@ -180,6 +184,7 @@ class OracleIndex:
                 else out
             )
         scores: dict[int, float] = defaultdict(float)
+        matchers: dict[int, int] = defaultdict(int)
         if musts:
             sets = []
             for m in musts:
@@ -191,16 +196,27 @@ class OracleIndex:
             for r in sets:
                 for d in docs:
                     scores[d] += r[d]
+                    matchers[d] += 1
             for sq in shoulds:
                 r = self.eval(sq)
                 for d in docs & set(r):
                     scores[d] += r[d]
+                    matchers[d] += 1
             scores = {d: s for d, s in scores.items() if d in docs}
         else:
             for sq in shoulds:
                 for d, s in self.eval(sq).items():
                     scores[d] += s
+                    matchers[d] += 1
             scores = dict(scores)
+        if not q.coord_disabled:
+            # per-doc coord factor (boolean-scorer.lisp:262-266); max-coord
+            # counts scoring clauses only (add-scorer :52-54)
+            mx = len(musts) + len(shoulds)
+            scores = {
+                d: s * self.sim.coord(matchers[d], mx)
+                for d, s in scores.items()
+            }
         if filter_docs is not None:
             scores = {d: s for d, s in scores.items() if d in filter_docs}
         for nq in nots:
@@ -210,8 +226,55 @@ class OracleIndex:
             scores = {d: s * q.boost for d, s in scores.items()}
         return scores
 
+    def _ssw(self, q: Query) -> float:
+        """sum-of-squared-weights, reference-style (query.lisp:9-15;
+        prohibited clauses included per boolean-query.lisp:150-156)."""
+        if isinstance(q, TermQuery):
+            return (self.idf(q.field, q.term) * q.boost) ** 2
+        if isinstance(q, (RangeQuery, WildcardQuery)):
+            import re
+
+            terms = []
+            for (f, t) in self.postings:
+                if f != q.field:
+                    continue
+                if isinstance(q, WildcardQuery):
+                    if re.compile(q.to_regex()).match(t):
+                        terms.append(t)
+                else:
+                    if q.lower is not None and (
+                        t < q.lower or (not q.include_lower and t == q.lower)
+                    ):
+                        continue
+                    if q.upper is not None and (
+                        t > q.upper or (not q.include_upper and t == q.upper)
+                    ):
+                        continue
+                    terms.append(t)
+            return sum((self.idf(q.field, t) * q.boost) ** 2 for t in terms)
+        if isinstance(q, PhraseQuery):
+            pidf = sum(self.idf(q.field, t) for t in set(q.terms))
+            return (pidf * q.boost) ** 2
+        if isinstance(q, MatchAllQuery):
+            return 1.0  # match-all-query.lisp:50-51
+        if isinstance(q, BooleanQuery):
+            return q.boost ** 2 * sum(self._ssw(c.query) for c in q.clauses)
+        return 0.0
+
+    def scores(self, q: Query) -> dict[int, float]:
+        import math
+
+        q = rewrite(q)
+        out = self.eval(q)
+        if getattr(self.sim, "normalize_query", False):
+            ssw = self._ssw(q)
+            if ssw > 0:
+                qn = 1.0 / math.sqrt(ssw)
+                out = {d: s * qn for d, s in out.items()}
+        return out
+
     def top_k(self, q: Query, k: int = 10) -> list[tuple[int, float]]:
-        scores = self.eval(q)
+        scores = self.scores(q)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def matching(self, q: Query) -> list[int]:

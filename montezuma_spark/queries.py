@@ -270,6 +270,23 @@ def ft_classic_topk(spark, sf_dir):
 _BOOST_CACHE: dict = {}
 
 
+def ft_classic_bool_topk(spark, sf_dir):
+    """The FULL reference classic pipeline through the correctness gate:
+    a 2-term SHOULD boolean with coord ENABLED under classic similarity.
+    Exercises query-norm (1/sqrt(Σ(idf·boost)²), query.lisp:9-15), the
+    idf²-per-term weight chain (term-query.lisp:29-36), and the per-doc
+    coord factor matchers/max_coord (boolean-scorer.lisp:262-266)."""
+    idx, _ = get_index(spark, sf_dir)
+    return _topk(
+        Searcher(idx, similarity="classic"),
+        bool_query(
+            (TermQuery("text", "spark"), SHOULD),
+            (TermQuery("text", "merge"), SHOULD),
+            coord_disabled=False,
+        ),
+    )
+
+
 def ft_boost_topk(spark, sf_dir):
     """Index-time per-doc boosts (field.lisp:104-120, write-norms
     document-writer.lisp:215-227): BM25 top-10 for 'merge' over an index
@@ -613,6 +630,7 @@ QUERIES = {
     "ft_boost_topk": ft_boost_topk,
     "ft_std_term_topk": ft_std_term_topk,
     "ft_classic_topk": ft_classic_topk,
+    "ft_classic_bool_topk": ft_classic_bool_topk,
     "ta_stop_count": ta_stop_count,
     "ft_range_docs": ft_range_docs,
     "ft_wildcard_docs": ft_wildcard_docs,
@@ -891,6 +909,28 @@ scores AS (
 )
 SELECT docid, round(score, 6) AS score FROM (
   SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_classic_bool_topk": _BASE + """
+, tf AS (
+  SELECT docid, dl, tok, count(*) AS tf
+  FROM tokens WHERE tok IN ('spark', 'merge')
+  GROUP BY docid, dl, tok
+),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+idfs AS (
+  SELECT tok, 1 + ln((SELECT n FROM stats)::DOUBLE / (df + 1)) AS idf
+  FROM dfs
+),
+nrm AS (SELECT 1.0 / sqrt(sum(idf * idf)) AS qn FROM idfs),
+scores AS (
+  SELECT t.docid, i.idf * i.idf * (SELECT qn FROM nrm)
+         * sqrt(t.tf) / sqrt(greatest(t.dl, 1)) AS s
+  FROM tf t JOIN idfs i USING (tok)
+)
+SELECT docid, round(score, 6) AS score FROM (
+  -- coord = matched clauses / max_coord (2 SHOULD terms)
+  SELECT docid, sum(s) * (count(*) / 2.0) AS score FROM scores GROUP BY docid
 ) ORDER BY score DESC, docid ASC LIMIT 10
 """,
     "ft_boost_topk": _BASE + _bm25_cte(["merge"]) + """

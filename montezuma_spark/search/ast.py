@@ -105,15 +105,31 @@ class BooleanClause:
 
 @dataclass(frozen=True)
 class BooleanQuery(Query):
+    """``coord_disabled`` mirrors the reference exactly: coord scoring is
+    OFF by default (boolean-query.lisp:12-13 ``:initform T``) and opt-in
+    per query. When enabled, each doc's clause-sum is multiplied by
+    ``similarity.coord(matchers, max_coord)`` where max_coord counts the
+    scoring (non-prohibited) clauses (boolean-scorer.lisp:52-54,262-266).
+    FILTER clauses are a local extension and never count."""
+
     clauses: tuple[BooleanClause, ...] = ()
     boost: float = 1.0
+    coord_disabled: bool = True
 
     def add(self, query: Query, occur: str = SHOULD) -> "BooleanQuery":
-        return BooleanQuery(self.clauses + (BooleanClause(query, occur),), self.boost)
+        return BooleanQuery(
+            self.clauses + (BooleanClause(query, occur),),
+            self.boost,
+            self.coord_disabled,
+        )
 
 
-def bool_query(*clauses: tuple[Query, str]) -> BooleanQuery:
-    return BooleanQuery(tuple(BooleanClause(q, o) for q, o in clauses))
+def bool_query(*clauses: tuple[Query, str],
+               coord_disabled: bool = True) -> BooleanQuery:
+    return BooleanQuery(
+        tuple(BooleanClause(q, o) for q, o in clauses),
+        coord_disabled=coord_disabled,
+    )
 
 
 def _scale_boost(q: Query, factor: float) -> Query:
@@ -136,7 +152,7 @@ def _rewrite_once(q: Query) -> Query:
         new_clauses = tuple(
             BooleanClause(_rewrite_once(c.query), c.occur) for c in q.clauses
         )
-        q = BooleanQuery(new_clauses, q.boost)
+        q = BooleanQuery(new_clauses, q.boost, q.coord_disabled)
         # single non-prohibited, scoring clause → unwrap with boost folded
         if len(q.clauses) == 1 and q.clauses[0].occur in (MUST, SHOULD):
             return _scale_boost(q.clauses[0].query, q.boost)

@@ -78,6 +78,10 @@ class CompiledPlan:
     similarity: object | None = None
     # posting-block stream codec of the index ("varint" | "packed")
     codec: str = "varint"
+    # reference weight-pipeline scalar (1/sqrt(sum of squared clause
+    # weights), query.lisp:9-15) — 1.0 unless the similarity sets
+    # normalize_query; applied once to final scores (ranking-safe)
+    query_norm: float = 1.0
     # sorted tombstoned docids (the .del bitset analog,
     # src/util/bit-vector.lisp + segment-reader.lisp:106-113). Shipped
     # inside the serialized plan = a broadcast to every shard kernel;
@@ -99,6 +103,10 @@ class ShardEval:
 
         self.plan = plan
         self.sim = plan.similarity or BM25Similarity(k1=plan.k1, b=plan.b)
+        # classic weight pipeline: score with idf² per term (term-weight
+        # value = query_weight·idf, term-query.lisp:29-36); the query_norm
+        # scalar is applied once in eval_top
+        self.normalize = bool(getattr(self.sim, "normalize_query", False))
         # tombstones: either the plan-shipped broadcast array (small delete
         # sets) or this shard's slice of the tombstone TABLE delivered via
         # cogroup (massive delete sets — see searcher._execute)
@@ -244,6 +252,8 @@ class ShardEval:
         similarity.tf_norm (BM25 by default; pluggable via the plan)."""
         p = self.plan
         idf = p.idf.get((field, term), 0.0)
+        if self.normalize:
+            idf = idf * idf
         avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
         return (
             idf
@@ -279,9 +289,11 @@ class ShardEval:
         """Entry point for per-shard top-k: uses the block-max pruned
         disjunction path when the plan shape allows, else exact eval."""
         pruned = self._try_pruned_disjunction(node)
-        if pruned is not None:
-            return pruned
-        return self.eval(node)
+        docids, scores = pruned if pruned is not None else self.eval(node)
+        qn = self.plan.query_norm
+        if self.normalize and qn != 1.0 and len(scores):
+            scores = scores * qn
+        return docids, scores
 
     def _flatten_should_terms(self, node: Query):
         """If ``node`` is a pure disjunction of term-like leaves, return the
@@ -291,6 +303,8 @@ class ShardEval:
         if isinstance(node, MultiTermGroup):
             return [(node.field, t, node.boost) for t in node.terms]
         if isinstance(node, BooleanQuery):
+            if not node.coord_disabled:
+                return None  # coord needs per-doc matcher counts
             out = []
             for c in node.clauses:
                 if c.occur != SHOULD:
@@ -323,6 +337,8 @@ class ShardEval:
                 )
                 mx = max(mx, float(ubs.max()))
         idf = p.idf.get((field, term), 0.0)
+        if self.normalize:
+            idf = idf * idf
         # max_boost keeps the bound valid for boosted docs (exact per-doc
         # boosts are applied when the postings actually decode)
         return idf * boost * mx * self.max_boost
@@ -444,6 +460,8 @@ class ShardEval:
             docs, _ = self.eval(fq, docs)
             if len(docs) == 0:
                 return _EMPTY
+        count_coord = not node.coord_disabled
+        matchers = None
         if musts:
             # smallest-df first — conjunction-scorer's sort-by-current-doc
             # leapfrog, at plan level (conjunction-scorer.lisp:45-56)
@@ -459,15 +477,36 @@ class ShardEval:
             for d, s in contributions:
                 idx = np.searchsorted(d, base)
                 score += s[np.clip(idx, 0, max(len(s) - 1, 0))] if len(s) else 0.0
+            if count_coord:
+                matchers = np.full(len(base), len(musts), dtype=np.int64)
             # SHOULD adds score where it coincides (req-opt-sum-scorer.lisp)
             for sq in shoulds:
                 d, s = self.eval(sq, base)
                 if len(d):
                     idx = np.searchsorted(base, d)
                     score[idx] += s
+                    if count_coord:
+                        matchers[idx] += 1
             result = (base, score)
         else:
-            result = self._union_sum([self.eval(sq, docs) for sq in shoulds])
+            parts = [self.eval(sq, docs) for sq in shoulds]
+            result = self._union_sum(parts)
+            if count_coord and len(result[0]):
+                matchers = np.zeros(len(result[0]), dtype=np.int64)
+                for d, _ in parts:
+                    if len(d):
+                        matchers[np.searchsorted(result[0], d)] += 1
+        if count_coord and matchers is not None and len(result[0]):
+            # per-doc coord factor, precomputed per overlap count exactly
+            # like the reference's coord-factors array
+            # (boolean-scorer.lisp:23-41, applied :262-266); max_coord
+            # counts scoring clauses only (MUST+SHOULD, never MUST_NOT —
+            # add-scorer :52-54 — nor our scoreless FILTER extension)
+            max_coord = len(musts) + len(shoulds)
+            factors = np.array(
+                [self.sim.coord(i, max_coord) for i in range(max_coord + 1)]
+            )
+            result = (result[0], result[1] * factors[matchers])
         return self._apply_nots(result, nots, node.boost)
 
     def _apply_nots(self, result, nots, boost):
@@ -639,6 +678,8 @@ class ShardEval:
         # (idf-phrase analog: tc-similarity.lisp:36-38)
         p = self.plan
         idf = sum(p.idf.get((node.field, t), 0.0) for t in set(node.terms))
+        if self.normalize:
+            idf = idf * idf
         dl = doc_dls[keep]
         avgdl = max(p.stats.get(node.field, {}).get("avgdl", 1.0), 1e-9)
         score = (

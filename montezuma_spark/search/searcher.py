@@ -363,6 +363,7 @@ class Searcher:
                         for c in node.clauses
                     ),
                     node.boost,
+                    node.coord_disabled,
                 )
             if isinstance(node, MatchAllQuery):
                 return node
@@ -409,9 +410,44 @@ class Searcher:
             return any(self._has_matchall(c.query) for c in q.clauses)
         return False
 
+    def _sum_squared_weights(self, node: Query, idf: dict) -> float:
+        """Reference sum-of-squared-weights over the resolved tree
+        (query.lisp:9-15). Per the Lisp as written, a boolean sums ALL
+        clause weights — prohibited included — then scales by its boost²
+        (boolean-query.lisp:150-156); term weight = idf·boost
+        (term-query.lisp:29-31), phrase weight = Σidf·boost
+        (phrase-query.lisp:64-67), match-all contributes 1.0
+        (match-all-query.lisp:50-51)."""
+        if isinstance(node, TermQuery):
+            return (idf.get((node.field, node.term), 0.0) * node.boost) ** 2
+        if isinstance(node, MultiTermGroup):
+            # rewrites to a disjunction of term queries in the reference
+            return sum(
+                (idf.get((node.field, t), 0.0) * node.boost) ** 2
+                for t in node.terms
+            )
+        if isinstance(node, PhraseQuery):
+            pidf = sum(
+                idf.get((node.field, t), 0.0) for t in set(node.terms)
+            )
+            return (pidf * node.boost) ** 2
+        if isinstance(node, MatchAllQuery):
+            return 1.0
+        if isinstance(node, BooleanQuery):
+            return node.boost ** 2 * sum(
+                self._sum_squared_weights(c.query, idf) for c in node.clauses
+            )
+        return 0.0
+
     def _compile(self, query: Query, k: int | None):
         resolved, idf, df_est, need_pos = self._resolve(query)
         tomb = getattr(self.index, "tombstones", None)
+        query_norm = 1.0
+        if getattr(self.similarity, "normalize_query", False):
+            ssw = self._sum_squared_weights(resolved, idf)
+            # query-norm = 1/sqrt(ssw) (similarity.lisp:149-153); a zero
+            # sum means every clause has idf 0 → all scores 0 anyway
+            query_norm = 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
         plan = CompiledPlan(
             query=resolved,
             idf=idf,
@@ -424,6 +460,7 @@ class Searcher:
             similarity=self.similarity,
             codec=self.index.config.block_codec,
             deleted=tomb if tomb is not None and len(tomb) else None,
+            query_norm=query_norm,
         )
         return plan, resolved, need_pos
 

@@ -45,12 +45,25 @@ class Similarity:
 
     name: str = "base"
 
+    # Reference weight pipeline (query.lisp:9-15): when True, the searcher
+    # computes query_norm = 1/sqrt(Σ (idf·boost)² over scoring leaves) at
+    # compile time, and the kernel scores each term with idf² (the
+    # term-weight value = query_weight·idf chain, term-query.lisp:29-36).
+    # A query-global scalar → ranking-safe under WAND pruning.
+    normalize_query: bool = False
+
     def idf(self, df: int, n: int) -> float:
         raise NotImplementedError
 
     def tf_norm(self, tfs: np.ndarray, dls: np.ndarray,
                 avgdl: float) -> np.ndarray:
         raise NotImplementedError
+
+    def coord(self, overlap: int, max_overlap: int) -> float:
+        """Clause-overlap factor for coord-enabled boolean queries —
+        the reference's default-coord-function (similarity.lisp:167-169:
+        overlap / max-overlap)."""
+        return overlap / max_overlap if max_overlap else 1.0
 
 
 @dataclass(frozen=True)
@@ -75,9 +88,14 @@ class BM25Similarity(Similarity):
 @dataclass(frozen=True)
 class ClassicSimilarity(Similarity):
     """The reference's default-similarity (similarity.lisp:155-166):
-    sqrt-tf with 1/sqrt(dl) length norm (avgdl unused)."""
+    sqrt-tf with 1/sqrt(dl) length norm (avgdl unused). Scores through
+    the full reference weight pipeline: per-term idf²·boost scaled by
+    query_norm = 1/sqrt(Σ squared weights) (query.lisp:9-15,
+    similarity.lisp:149-153) — a single-term query reduces to
+    idf·sqrt(tf)/sqrt(dl), so the pipeline is invisible there."""
 
     name: str = "classic"
+    normalize_query: bool = True
 
     def idf(self, df: int, n: int) -> float:
         if n == 0:

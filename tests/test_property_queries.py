@@ -77,16 +77,20 @@ def _query_strategy(vocab, slop_weights=("count",)):
         st.just(MatchAllQuery()),
     )
 
-    def bool_of(children):
+    def bool_of(args):
+        children, coord_disabled = args
         occurs = [MUST, SHOULD, SHOULD, MUST_NOT, FILTER]
         clauses = tuple(
             BooleanClause(c, occurs[i % len(occurs)])
             for i, c in enumerate(children)
         )
-        return BooleanQuery(clauses)
+        return BooleanQuery(clauses, coord_disabled=coord_disabled)
 
     return st.recursive(
-        leaf, lambda inner: st.lists(inner, min_size=1, max_size=4).map(bool_of),
+        leaf,
+        lambda inner: st.tuples(
+            st.lists(inner, min_size=1, max_size=4), st.booleans()
+        ).map(bool_of),
         max_leaves=6,
     )
 
