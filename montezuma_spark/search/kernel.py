@@ -92,6 +92,13 @@ class CompiledPlan:
 
 _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
 
+# marker field for tombstone rows riding the doc_lens cogroup: delete sets
+# too large to broadcast inside the plan reach each shard kernel as rows
+# (TOMB_FIELD, docid, 0) unioned into the lens table — each task receives
+# ONLY its shard's slice (searcher._execute, the MatchAll analog of
+# make_kernel_cogrouped_tombstones)
+TOMB_FIELD = "\x00tomb"
+
 
 class ShardEval:
     """Evaluates a compiled plan against one shard's postings + doc lens."""
@@ -152,8 +159,24 @@ class ShardEval:
             order = np.argsort(d)
             self.boost_d = d[order]
             self.boost_v = q[order].astype(np.float64) / BOOST_SCALE
-            self.max_boost = float(self.boost_v.max())
+            # clamp: every doc WITHOUT a boost entry scores with an implicit
+            # 1.0, so a shard whose covered boosts are all demotions (< 1)
+            # must still bound with 1.0 or WAND could prune a true top-k
+            # doc (round-2 advice)
+            self.max_boost = max(1.0, float(self.boost_v.max()))
         self.lens = {}
+        if lens_pdf is not None and len(lens_pdf):
+            tomb_mask = lens_pdf["field"] == TOMB_FIELD
+            if tomb_mask.any():
+                tomb = np.sort(
+                    lens_pdf.loc[tomb_mask, "docid"].to_numpy(np.int64)
+                )
+                self.deleted = (
+                    tomb
+                    if self.deleted is None
+                    else np.unique(np.concatenate([self.deleted, tomb]))
+                )
+                lens_pdf = lens_pdf[~tomb_mask]
         if lens_pdf is not None and len(lens_pdf):
             for f, grp in lens_pdf.groupby("field"):
                 d = grp["docid"].to_numpy(dtype=np.int64)
@@ -718,6 +741,12 @@ def _sloppy_freqs_batch(shifted_lists: list[list[np.ndarray]], slop: int,
     """Vectorized sloppy-phrase frequencies for ALL candidate docs at once
     — the numpy closed form of the k-pointer sweep, O(k·n log n) with no
     per-doc (or per-position) Python.
+
+    PRECONDITION (shared with ``_sloppy_freq``'s equivalence claim): each
+    per-doc position list is strictly increasing — no duplicate values
+    within a list. Decoded postings always satisfy this (positions are
+    per-doc strictly ascending); synthetic/shifted inputs with within-list
+    duplicates would diverge from the scalar sweep (round-2 advice).
 
     Sweep identity: the loop retires the minimum pointer each step, so the
     retired elements follow the merged (value, list) sorted order, and at

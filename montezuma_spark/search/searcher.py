@@ -503,20 +503,24 @@ class Searcher:
 
     def _tombstones_df(self):
         """Tombstones as a (docid, shard) DataFrame — only materialized for
-        delete sets too large to broadcast inside the plan."""
+        delete sets too large to broadcast inside the plan. Cached per
+        delete-set SIZE: Index.delete_docs mutates index.tombstones in
+        place, so a reused Searcher must rebuild when the set grows
+        (round-2 advice — a stale cache silently returned deleted docs)."""
         tomb = getattr(self.index, "tombstones", None)
         if tomb is None or len(tomb) <= TOMBSTONE_BROADCAST_MAX:
             return None
-        if self._tomb_df is None:
+        if self._tomb_df is None or self._tomb_df[0] != len(tomb):
             import pandas as pd
 
             sb = self.index.config.shard_bits
             pdf = pd.DataFrame({"docid": tomb.astype("int64")})
             self._tomb_df = (
+                len(tomb),
                 self.index.spark.createDataFrame(pdf)
-                .withColumn("shard", F.shiftright("docid", sb))
+                .withColumn("shard", F.shiftright("docid", sb)),
             )
-        return self._tomb_df
+        return self._tomb_df[1]
 
     def _execute(self, query: Query, k: int | None) -> DataFrame:
         """Distributed execution → DataFrame(docid, score)."""
@@ -541,6 +545,24 @@ class Searcher:
             lens = self.index.doc_lens.filter(
                 F.col("field").isin(sorted(fields)) if fields else F.lit(False)
             )
+            if tomb_df is not None:
+                # massive delete set + MatchAll: the tombstones ride the
+                # SAME doc_lens cogroup as marker rows (field=TOMB_FIELD),
+                # so each shard kernel still receives only its own slice —
+                # never the full array broadcast inside the plan
+                from dataclasses import replace as _dc_replace
+
+                from montezuma_spark.search.kernel import TOMB_FIELD
+
+                plan = _dc_replace(plan, deleted=None)
+                lens = lens.select("field", "docid", "dl", "shard").unionByName(
+                    tomb_df.select(
+                        F.lit(TOMB_FIELD).alias("field"),
+                        F.col("docid"),
+                        F.lit(0).cast("long").alias("dl"),
+                        F.col("shard"),
+                    )
+                )
             kernel = make_kernel(plan)
             return (
                 postings.groupBy("shard")

@@ -167,3 +167,52 @@ def test_boost_quantization_is_1024th_steps(spark):
     base = got[2] / 2.5  # exact multiplier (2.5*1024 is integral)
     assert got[0] == pytest.approx(base * round(1.00049 * 1024) / 1024)
     assert got[1] == pytest.approx(base * 1 / 1024)  # floor, never 0
+
+
+def test_wand_bound_with_all_demotion_boosts(spark):
+    """max_boost clamp (round-2 advice): merging a demotion-boosted index
+    (every boost < 1.0) with an unboosted one puts docs WITHOUT a boost
+    entry (implicit 1.0) next to covered boosts all < 1 — WAND's upper
+    bound must still use max(1.0, max boost) or pruned top-k can drop a
+    true hit. Pruned ranking must equal the exhaustive one."""
+    from pyspark.sql import functions as F
+
+    from montezuma_spark.fixtures import synth_web_pages_df
+    from montezuma_spark.search import SHOULD, bool_query
+
+    cfg_boost = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")], shard_bits=4,
+        block_size=8, boost_col="boost",
+    )
+    cfg_plain = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")], shard_bits=4,
+        block_size=8,
+    )
+    demoted = build_index(
+        spark,
+        synth_web_pages_df(spark, 40).withColumn("boost", F.lit(0.25)),
+        cfg_boost,
+    )
+    plain = build_index(
+        spark,
+        synth_web_pages_df(spark, 40).withColumn(
+            "url", F.concat(F.lit("z"), F.col("url"))
+        ),
+        cfg_plain,
+    )
+    merged = demoted.add_indexes(plain)
+    s = Searcher(merged, preload=True)
+    q = bool_query(
+        (TermQuery("text", "spark"), SHOULD),
+        (TermQuery("text", "merge"), SHOULD),
+        (TermQuery("text", "vector"), SHOULD),
+    )
+    full = s.top_docs(q, k=None)
+    got = s.top_docs(q, k=5)
+    # pruned vs exhaustive may differ in last-ulp summation order — compare
+    # rank and approx scores (same discipline as the WAND/similarity tests)
+    assert [d for d, _ in got] == [d for d, _ in full[:5]]
+    for (d, sg), (_, sf) in zip(got, full[:5]):
+        assert sg == pytest.approx(sf, rel=1e-12), d
+    # unboosted (rebased) docs outrank demoted ones given equal content
+    assert any(d >= 40 for d, _ in got)

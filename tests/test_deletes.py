@@ -81,10 +81,47 @@ def test_tombstone_table_path_matches_broadcast(spark, idx, monkeypatch):
         assert all(d % 3 != 0 for d, _ in got)
     # the table path is active (threshold 0) — tombstones exist as a table
     assert s._tombstones_df() is not None
-    # matchall falls back to the broadcast array (documented) and stays right
+    # MatchAll ALSO goes through the table (tombstones ride the doc_lens
+    # cogroup as marker rows): the shipped plan must carry NO delete array
+    import montezuma_spark.search.kernel as kernel_mod
+
+    seen_plans = []
+    orig = kernel_mod.make_kernel
+
+    def spy(plan):
+        seen_plans.append(plan)
+        return orig(plan)
+
+    monkeypatch.setattr(searcher_mod, "make_kernel", spy)
     assert sorted(
         d for d, _ in s.top_docs(MatchAllQuery(), k=None)
     ) == [d for d in range(N) if d % 3 != 0]
+    assert seen_plans and all(p.deleted is None for p in seen_plans)
+    # boolean containing MatchAll: deleted docs stay excluded even when a
+    # SHOULD term clause matches them (postings-side masking still applies)
+    q = bool_query((MatchAllQuery(), SHOULD), (TermQuery("text", "merge"), SHOULD))
+    got = s.top_docs(q, k=None)
+    assert sorted(d for d, _ in got) == [d for d in range(N) if d % 3 != 0]
+    assert seen_plans and all(p.deleted is None for p in seen_plans)
+
+
+def test_tombstone_cache_invalidated_on_new_deletes(spark, idx, monkeypatch):
+    """A reused Searcher must see deletes made AFTER its first query on the
+    cogrouped-table path (round-2 advice: the cached _tomb_df went stale)."""
+    from montezuma_spark.search import searcher as searcher_mod
+
+    monkeypatch.setattr(searcher_mod, "TOMBSTONE_BROADCAST_MAX", 0)
+    s = Searcher(idx, distributed=True)
+    idx.delete_docs([0, 1])
+    q = TermQuery("text", "merge")
+    first = s.top_docs(q, k=N)
+    assert not {0, 1} & {d for d, _ in first}
+    survivors = [d for d, _ in first]
+    assert survivors, "need a surviving match to delete"
+    idx.delete_docs(survivors[:1])
+    second = s.top_docs(q, k=N)
+    assert survivors[0] not in {d for d, _ in second}
+    assert {d for d, _ in second} == set(survivors[1:])
 
 
 def test_delete_persists_and_undelete(spark, idx):
