@@ -362,3 +362,45 @@ def test_ivf_assignment_and_topk(spark, emb_df):
     # they dominate the top-k
     same_cluster = sum(1 for v in out["vec_id"] if 1 <= v <= 5)
     assert same_cluster >= 3
+
+
+def test_ann_index_by_id_point_lookup(spark, emb_df, tmp_path_factory,
+                                      capsys):
+    """Query-vector resolution must be a point lookup, not a full scan of
+    the cid-partitioned table (round-2 verdict #5): the by_id sidecar is
+    range-sorted on id so files cover disjoint id intervals (≤1 file can
+    contain any id), and the id-equality predicate reaches the scan."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from montezuma_spark.ann import AnnIndex
+
+    df, rows = emb_df
+    d = str(tmp_path_factory.mktemp("annix3") / "ix")
+    AnnIndex.build(spark, df, d, dim=16, num_planes=16, num_centroids=8)
+    ix = AnnIndex.load(spark, d)
+    # lookup answers from the sidecar and matches the source vector
+    qv = ix._query_vec(3)
+    want = next(r[1] for r in rows if r[0] == 3)
+    assert qv == pytest.approx([float(x) for x in want])
+    # the equality predicate is pushed into the by_id parquet scan
+    scan = ix.by_id.filter(F.col("vec_id") == 3).select("embedding")
+    scan.explain("formatted")
+    plan = capsys.readouterr().out
+    assert "EqualTo(vec_id,3)" in plan.replace(" ", "")
+    # files hold DISJOINT id ranges → min/max stats prune to ≤1 file
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{d}/by_id/*.parquet"):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("vec_id")
+        lo = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert ranges, "by_id sidecar missing"
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2, f"overlapping id ranges: {(l1, h1)} {(l2, h2)}"
