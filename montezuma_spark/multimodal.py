@@ -31,6 +31,49 @@ FEATURE_SCHEMA = (
 FEATURE_DIM = 16
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_image_pil(payload: bytes) -> dict:
+    """REAL image decode via PIL (optional dependency): true dimensions +
+    a 16-dim feature = 4×4 grayscale thumbnail, row-major, /255. Import
+    is local so the module (and the stub path) never require PIL."""
+    import io
+
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(payload))
+    w, h = im.size
+    g = im.convert("L").resize((4, 4))
+    feature = (
+        np.asarray(g, dtype=np.float32) / 255.0
+    ).ravel()[:FEATURE_DIM].astype(np.float32)
+    return {
+        "sha256": hashlib.sha256(payload).hexdigest(),
+        "width": int(w),
+        "height": int(h),
+        "feature": feature,
+    }
+
+
+def _decode(payload: bytes, media_type: str, decoder: str = "auto") -> dict:
+    """Dispatch: ``auto`` uses the real PIL decode for images when PIL is
+    importable, else the deterministic stub; ``stub``/``pil`` force a
+    branch (the contract's mm_features pins ``stub`` so its oracle hash
+    is environment-independent)."""
+    if decoder == "pil" or (
+        decoder == "auto" and media_type == "image" and _pil_available()
+    ):
+        return _decode_image_pil(payload)
+    return _decode_stub(payload, media_type)
+
+
 def _decode_stub(payload: bytes, media_type: str) -> dict:
     """Deterministic fake decode. A real build would call PIL / ffmpeg /
     librosa here; the container has none, so we derive stable pseudo
@@ -53,9 +96,13 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
 
 def extract_features(
     df: DataFrame, payload_col: str = "html", url_col: str = "url",
-    media_type: str = "image",
+    media_type: str = "image", decoder: str = "stub",
 ) -> DataFrame:
     """binary payload column → per-item feature rows, Arrow-batched.
+
+    ``decoder``: "stub" (default — deterministic, environment-independent,
+    what the correctness oracle pins), "pil" (real image decode, optional
+    dependency), or "auto" (pil for images when importable, else stub).
 
     Partitioning note for scale: payloads are large and skew by size; the
     caller should ``repartition`` by a size-aware key before this to even
@@ -67,7 +114,7 @@ def extract_features(
             rows = []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                d = _decode_stub(b, media_type)
+                d = _decode(b, media_type, decoder)
                 rows.append(
                     {
                         "url": url,

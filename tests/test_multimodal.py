@@ -56,3 +56,46 @@ def test_dedup_by_content_hash(spark):
     groups = dedup_by_content_hash(feats).toPandas()
     assert (groups["copies"] >= 2).sum() == 5
     assert groups["copies"].sum() == 35
+
+
+def test_decoder_dispatch_and_optional_pil(spark):
+    """decoder="stub" is environment-independent (the oracle pins it);
+    "auto" falls back to the stub when PIL is absent; the real PIL branch
+    is exercised when the optional dependency is importable."""
+    from montezuma_spark.multimodal import _decode, _pil_available
+
+    payload = b"\x89PNG-not-really" * 8
+    stub = _decode(payload, "image", decoder="stub")
+    assert stub["sha256"] and len(stub["feature"]) == 16
+    if not _pil_available():
+        # auto == stub without PIL, and the forced branch fails loudly
+        auto = _decode(payload, "image", decoder="auto")
+        assert auto["width"] == stub["width"]
+        assert (auto["feature"] == stub["feature"]).all()
+        with pytest.raises(ImportError):
+            _decode(payload, "image", decoder="pil")
+
+
+def test_real_pil_decode_branch(spark):
+    """Real decode path (runs wherever PIL is installed): true dims +
+    4x4 grayscale feature, end-to-end through extract_features."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from montezuma_spark.multimodal import extract_features
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 12), (120, 30, 200)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    df = spark.createDataFrame([("u://1", bytearray(payload))],
+                               "url string, html binary")
+    out = extract_features(df, decoder="pil").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (20, 12)
+    assert len(r["feature"]) == 16
+    # uniform image → uniform thumbnail feature
+    f = np.asarray(r["feature"])
+    assert float(f.std()) < 1e-3
