@@ -244,6 +244,27 @@ def _scale_arm_subprocess(cores: int, n_docs: int) -> dict:
         return scaling_run(cores, n_docs)
 
 
+def _robustness_subprocess(n_docs: int, cores: int) -> dict | None:
+    """tools/robustness_arm.py in a fresh process (own JVM) → its JSON,
+    or None on failure (the bench still emits everything else)."""
+    import json as _json
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = [sys.executable, os.path.join(here, "tools", "robustness_arm.py"),
+           str(n_docs), str(cores)]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800, check=True
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("ROBUSTNESS_RESULT "):
+                return _json.loads(line[len("ROBUSTNESS_RESULT "):])
+    except Exception:
+        pass
+    return None
+
+
 def _warm_workers(spark, cores: int):
     """Warm JVM codegen AND the python workers' import of the engine
     package (first pandas-UDF stage otherwise pays ~N simultaneous cold
@@ -347,6 +368,15 @@ def main():
     result["queries"]["q_classic_bool_or_top10"] = round(_st.median(ts), 4)
     result["ann_recall"] = ann_recall(spark)
     spark.stop()
+
+    # 1M-doc robustness arm (BASELINE.md's claim, scripted — verdict #8):
+    # steady-state build + hot-term serving at 200x the sf0.1 doc count
+    if os.environ.get("BENCH_ROBUSTNESS", "1") == "1":
+        rb = _robustness_subprocess(
+            int(os.environ.get("BENCH_ROBUSTNESS_DOCS", "1000000")), CPUS
+        )
+        if rb is not None:
+            result["robustness"] = rb
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         # Primary N→4N pair: 2→8 cores. On ONE box, 32-way concurrency

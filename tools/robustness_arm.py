@@ -1,0 +1,100 @@
+"""1M-doc robustness run — the scripted form of BASELINE.md's prose claim
+(round-2 verdict item #8): build the inverted index over a deterministic
+1M-doc / ~80M-token synthetic corpus at local[N], then time hot-term and
+boolean queries through the DISTRIBUTED per-shard kernel (the preload tier
+is refused at this size by design). Emits one JSON line:
+
+    ROBUSTNESS_RESULT {"n_docs":..., "build_seconds":..., "docs_per_sec":...,
+                       "bytes_per_posting":..., "q_hot_term":..., ...}
+
+Usage: python tools/robustness_arm.py [n_docs] [cores]
+(defaults 1_000_000 docs, all CPUs). bench.py runs it as a subprocess when
+BENCH_ROBUSTNESS=1 so the per-round driver artifact carries the numbers.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else (os.cpu_count() or 8)
+
+    from pyspark.sql import functions as F
+
+    from bench import _fresh_spark, _warm_workers
+    from montezuma_spark.fixtures import synth_corpus_spark
+    from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+    from montezuma_spark.search import (
+        MUST,
+        Searcher,
+        TermQuery,
+        bool_query,
+    )
+
+    spark = _fresh_spark(cores, f"robustness-{n_docs}")
+    _warm_workers(spark, cores)
+    parts = cores * 4
+    docs = synth_corpus_spark(spark, n_docs, parts=parts).persist()
+    docs.count()
+
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")],
+        key_col="url", shard_bits=15, num_partitions=parts,
+    )
+    t0 = time.time()
+    idx = build_index(spark, docs, cfg)
+    agg = idx.postings.agg(
+        F.sum("df").alias("postings"),
+        (F.sum(F.length("postings")) + F.sum(F.length("positions"))).alias(
+            "bytes"
+        ),
+    ).collect()[0]
+    build_s = time.time() - t0
+    st = idx.stats["text"]
+
+    # hottest term = highest df (the worst-case posting list)
+    hot = idx.term_stats.orderBy(F.desc("df")).limit(2).collect()
+    hot_term = hot[0]["term"]
+    second = hot[1]["term"] if len(hot) > 1 else hot_term
+
+    s = Searcher(idx)  # default tier: per-query pushdown + size-gated path
+    queries = {
+        "q_hot_term": TermQuery("text", hot_term),
+        "q_hot_bool_and": bool_query(
+            (TermQuery("text", hot_term), MUST),
+            (TermQuery("text", second), MUST),
+        ),
+    }
+    timings = {}
+    for name, q in queries.items():
+        s.top_docs(q, k=10)  # warm (codegen, dictionary cache)
+        t1 = time.time()
+        s.top_docs(q, k=10)
+        timings[name] = round(time.time() - t1, 4)
+
+    out = {
+        "n_docs": st["num_docs"],
+        "total_tokens": st["total_tokens"],
+        "total_postings": int(agg["postings"]),
+        "build_seconds": round(build_s, 2),
+        "docs_per_sec": round(st["num_docs"] / build_s, 1),
+        "tokens_per_sec": round(st["total_tokens"] / build_s, 1),
+        "bytes_per_posting": round(
+            float(agg["bytes"]) / max(int(agg["postings"]), 1), 3
+        ),
+        "hot_term": hot_term,
+        "hot_term_df": int(hot[0]["df"]),
+        "cores": cores,
+        **timings,
+    }
+    print("ROBUSTNESS_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
