@@ -82,6 +82,11 @@ class CompiledPlan:
     # weights), query.lisp:9-15) — 1.0 unless the similarity sets
     # normalize_query; applied once to final scores (ranking-safe)
     query_norm: float = 1.0
+    # hot-serving flag: set by the preload tier, enables the
+    # decode-once-per-row caches (full postings + full positions) on the
+    # shared CellRow objects; the distributed path keeps block-selective
+    # decodes (a worker task sees each row once)
+    hot: bool = False
     # sorted tombstoned docids (the .del bitset analog,
     # src/util/bit-vector.lisp + segment-reader.lisp:106-113). Shipped
     # inside the serialized plan = a broadcast to every shard kernel;
@@ -98,6 +103,59 @@ _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
 # ONLY its shard's slice (searcher._execute, the MatchAll analog of
 # make_kernel_cogrouped_tombstones)
 TOMB_FIELD = "\x00tomb"
+
+# lightweight parsed form of one postings-cell row. pandas itertuples costs
+# ~45 us/row of pure accessor overhead (and rebuilds its namedtuple class
+# per call) — at ~20 cells/query that was 74% of hot-serving latency; a
+# one-time parse into these tuples makes per-query cell access free.
+CELL_COLS = ("field", "term", "shard", "postings", "positions", "pos_off",
+             "blk_first", "blk_last", "blk_n", "blk_off", "blk_codes_len",
+             "blk_ext_len", "blk_maxtf", "blk_mindl")
+
+
+class CellRow:
+    """One parsed cell row. ``full`` memoizes the FULL-cell decode
+    (docids, tfs, dls): rows are shared across queries in the preload
+    tier, and a cell's decode is query-independent, so the hot serving
+    path decodes each cell once ever (callers never mutate the returned
+    arrays — they mask/copy). Cost: ~24 B/posting for queried terms,
+    bounded by the preload guard. Worker-side rows are per-task, where
+    the cache is just a same-query memo."""
+
+    __slots__ = (*CELL_COLS, "full", "full_pos")
+
+    def __init__(self, field, term, shard, postings, positions, pos_off,
+                 blk_first, blk_last, blk_n, blk_off, blk_codes_len,
+                 blk_ext_len, blk_maxtf, blk_mindl):
+        self.field = field
+        self.term = term
+        self.shard = shard
+        self.postings = postings
+        self.positions = positions
+        self.pos_off = pos_off
+        self.blk_first = blk_first
+        self.blk_last = blk_last
+        self.blk_n = blk_n
+        self.blk_off = blk_off
+        self.blk_codes_len = blk_codes_len
+        self.blk_ext_len = blk_ext_len
+        self.blk_maxtf = blk_maxtf
+        self.blk_mindl = blk_mindl
+        self.full = None
+        self.full_pos = None
+
+
+def rows_from_pandas(pdf: pd.DataFrame) -> list[CellRow]:
+    """Parse a postings-cell pandas frame into CellRow tuples — ONE pass
+    of column-array zips, no per-row pandas indexing."""
+    n = len(pdf)
+    cols = []
+    for c in CELL_COLS:
+        if c in pdf.columns:
+            cols.append(pdf[c].to_numpy())
+        else:
+            cols.append(np.empty(n, dtype=object))
+    return [CellRow(*vals) for vals in zip(*cols)]
 
 
 class ShardEval:
@@ -125,7 +183,12 @@ class ShardEval:
         # multi-term-doc-enum analog (src/index/multi-reader.lisp:225-318).
         self.cells: dict = {}
         boost_rows = []
-        for r in postings_pdf.itertuples(index=False):
+        rows = (
+            postings_pdf
+            if isinstance(postings_pdf, list)
+            else rows_from_pandas(postings_pdf)
+        )
+        for r in rows:
             if r.term == BOOST_TERM:
                 boost_rows.append(r)
                 continue
@@ -223,12 +286,20 @@ class ShardEval:
         return sel if len(sel) < nb else None
 
     def _decode_row(self, row, candidates=None, with_block_info=False):
+        if not with_block_info:
+            full = getattr(row, "full", None)
+            if full is not None:
+                # cached full decode: a superset of any block selection —
+                # every caller restricts/intersects afterwards
+                return full
         meta = self._meta(row)
         sel = self._blocks_for(meta, candidates)
         blocks = sel if sel is not None else np.arange(len(meta["n"]))
         docids, tfs, dls = decode_cell(
             bytes(row.postings), meta, blocks=blocks, codec=self.plan.codec
         )
+        if not with_block_info and sel is None and hasattr(row, "full"):
+            row.full = (docids, tfs, dls)
         if with_block_info:
             ns = np.asarray(meta["n"], dtype=np.int64)[blocks]
             block_of = np.repeat(blocks, ns)
@@ -596,6 +667,25 @@ class ShardEval:
         return out
 
     def _positions_for_row(self, row, wanted: np.ndarray):
+        cached = getattr(row, "full_pos", None)
+        if cached is None and self.plan.hot and hasattr(row, "full_pos"):
+            cached = row.full_pos = self._full_positions(row)
+        if cached is not None:
+            d_all, t_all, flat, pb = cached
+            idx = np.searchsorted(d_all, wanted)
+            idx_c = np.clip(idx, 0, max(len(d_all) - 1, 0))
+            found = (
+                d_all[idx_c] == wanted if len(d_all) else
+                np.zeros(len(wanted), dtype=bool)
+            )
+            out = []
+            for w in range(len(wanted)):
+                if not found[w]:
+                    out.append(np.empty(0, dtype=np.int64))
+                else:
+                    j = idx_c[w]
+                    out.append(flat[pb[j] : pb[j + 1]])
+            return out
         d_all, t_all, _dls, block_of, handle = self._decode_row(
             row, wanted, with_block_info=True
         )
@@ -630,6 +720,39 @@ class ShardEval:
                 j = idx_c[w]
                 out.append(flat[pb[j] : pb[j + 1]])
         return out
+
+    def _full_positions(self, row):
+        """Whole-cell positions decode for the hot tier: (docids, tfs,
+        flat positions, per-posting bounds) — computed once per row ever,
+        then every phrase query slices (the positions analog of
+        CellRow.full)."""
+        meta = self._meta(row)
+        nb = len(meta["n"])
+        full = getattr(row, "full", None)
+        if full is None:
+            full = decode_cell(
+                bytes(row.postings), meta, codec=self.plan.codec
+            )
+            if hasattr(row, "full"):
+                row.full = full
+        d_all, t_all, _ = full
+        bounds = np.concatenate(
+            [[0], np.cumsum(np.asarray(meta["n"], dtype=np.int64))]
+        )
+        block_tfs = {
+            j: t_all[bounds[j] : bounds[j + 1]] for j in range(nb)
+        }
+        pos_by_block = decode_positions(
+            bytes(row.positions), list(row.pos_off), meta, block_tfs,
+            codec=self.plan.codec,
+        )
+        flat = (
+            np.concatenate([pos_by_block[j] for j in range(nb)])
+            if nb
+            else np.empty(0, dtype=np.int64)
+        )
+        pb = np.concatenate([[0], np.cumsum(t_all)])
+        return d_all, t_all, flat, pb
 
     def _eval_phrase(self, node: PhraseQuery, candidates):
         # 1. intersect postings of all phrase terms (rarest first)
@@ -887,16 +1010,26 @@ def make_kernel_cogrouped_tombstones(plan: CompiledPlan):
     return kernel
 
 
-def eval_local(plan: CompiledPlan, postings_pdf: pd.DataFrame) -> pd.DataFrame:
+def eval_local(plan: CompiledPlan, postings) -> pd.DataFrame:
     """Driver-side evaluation over collected postings rows (the fast path
-    for small matched sets): group by shard, evaluate, global top-k."""
+    for small matched sets): group by shard, evaluate, global top-k.
+    ``postings``: a pandas frame OR a pre-parsed list[CellRow] (the
+    preload tier caches parsed rows so repeated queries skip pandas
+    entirely)."""
+    rows = (
+        postings
+        if isinstance(postings, list)
+        else rows_from_pandas(postings)
+    )
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
     parts = []
-    if len(postings_pdf):
-        for _, grp in postings_pdf.groupby("shard", sort=True):
-            ev = ShardEval(plan, grp, None)
-            d, s = ev.eval_top(plan.query)
-            if len(d):
-                parts.append((d, s))
+    for shard in sorted(by_shard):
+        ev = ShardEval(plan, by_shard[shard], None)
+        d, s = ev.eval_top(plan.query)
+        if len(d):
+            parts.append((d, s))
     if not parts:
         return pd.DataFrame({"docid": [], "score": []}).astype(
             {"docid": "int64", "score": "float64"}
