@@ -404,3 +404,22 @@ def test_ann_index_by_id_point_lookup(spark, emb_df, tmp_path_factory,
     assert ranges, "by_id sidecar missing"
     for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
         assert h1 < l2, f"overlapping id ranges: {(l1, h1)} {(l2, h2)}"
+
+
+def test_ann_index_without_by_id_sidecar_falls_back(spark, emb_df,
+                                                    tmp_path_factory):
+    """Indexes built before the by_id sidecar existed must still answer
+    id lookups (unpruned vectors scan fallback)."""
+    import shutil
+
+    from montezuma_spark.ann import AnnIndex
+
+    df, rows = emb_df
+    d = str(tmp_path_factory.mktemp("annix4") / "ix")
+    AnnIndex.build(spark, df, d, dim=16, num_planes=16, num_centroids=8)
+    shutil.rmtree(f"{d}/by_id")
+    ix = AnnIndex.load(spark, d)
+    qv = ix._query_vec(5)
+    want = next(r[1] for r in rows if r[0] == 5)
+    assert qv == pytest.approx([float(x) for x in want])
+    assert ix.lsh_topk(query_id=5, k=3).count() == 3

@@ -168,3 +168,13 @@ def test_rank_docids_no_single_partition_window(spark, capsys):
         "url", ignore_index=True
     )
     assert list(got["docid"]) == list(range(len(got)))
+
+
+def test_rank_docids_empty_and_single_row(spark):
+    from montezuma_spark.queries import rank_docids
+
+    empty = synth_web_pages_df(spark, 5).select("url").limit(0)
+    assert rank_docids(empty, "url").count() == 0
+    one = synth_web_pages_df(spark, 1).select("url")
+    got = rank_docids(one, "url").collect()
+    assert len(got) == 1 and got[0]["docid"] == 0
