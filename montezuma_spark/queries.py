@@ -99,8 +99,17 @@ def rank_docids(df: DataFrame, key: str, docid_col: str = "docid") -> DataFrame:
     )
 
 
+_TOKENS_CACHE: dict = {}
+
+
 def _tokens_df(spark, sf_dir) -> DataFrame:
-    """(docid, dl, tok) exploded token table, Spark-native (no index)."""
+    """(docid, dl, tok) exploded token table, Spark-native (no index).
+    Cached + persisted per sf_dir: eleven ta_*/dd_* contract entries
+    share it, and the docid assignment (rank_docids) runs a small counts
+    job that need not repeat per query."""
+    cached = _TOKENS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     d = _docs(spark, sf_dir)
     toks = d.select(
         F.col("doc_id"),
@@ -111,7 +120,9 @@ def _tokens_df(spark, sf_dir) -> DataFrame:
             "transform(regexp_extract_all(text, '[a-zA-Z]+', 0), x -> lower(x))"
         ).alias("toks"),
     )
-    return rank_docids(toks, "doc_id")
+    out = rank_docids(toks, "doc_id").persist()
+    _TOKENS_CACHE[sf_dir] = out
+    return out
 
 
 # ===========================================================================
