@@ -16,6 +16,7 @@ from montezuma_spark.search.ast import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    FuzzyQuery,
     MatchAllQuery,
     PhraseQuery,
     Query,
@@ -24,6 +25,41 @@ from montezuma_spark.search.ast import (
     WildcardQuery,
     rewrite,
 )
+
+
+def _lev(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a or not b:
+        return len(a) + len(b)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _fuzzy_matches(postings, q: FuzzyQuery):
+    """(term, sim, scale) for dictionary terms within the threshold —
+    independent re-derivation of the engine's expansion semantics."""
+    ms = q.min_similarity
+    out = []
+    for (f, t) in postings:
+        if f != q.field:
+            continue
+        if q.prefix_length and not t.startswith(q.term[: q.prefix_length]):
+            continue
+        m = min(len(q.term), len(t))
+        if m == 0:
+            continue
+        sim = 1.0 - _lev(q.term, t) / m
+        if sim >= ms:
+            scale = 1.0 if ms >= 1.0 else (sim - ms) / (1.0 - ms)
+            out.append((t, sim, scale))
+    return out
 
 
 class OracleIndex:
@@ -125,6 +161,15 @@ class OracleIndex:
                 idf = self.idf(f, t)
                 for d, ps in plist.items():
                     out[d] += self._bm25(f, d, len(ps), idf, q.boost)
+            return dict(out)
+        if isinstance(q, FuzzyQuery):
+            out = defaultdict(float)
+            for t, _sim, scale in _fuzzy_matches(self.postings, q):
+                idf = self.idf(q.field, t)
+                for d, ps in self.postings[(q.field, t)].items():
+                    out[d] += self._bm25(
+                        q.field, d, len(ps), idf, q.boost * scale
+                    )
             return dict(out)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q)
@@ -255,6 +300,11 @@ class OracleIndex:
         if isinstance(q, PhraseQuery):
             pidf = sum(self.idf(q.field, t) for t in set(q.terms))
             return (pidf * q.boost) ** 2
+        if isinstance(q, FuzzyQuery):
+            return sum(
+                (self.idf(q.field, t) * q.boost * scale) ** 2
+                for t, _sim, scale in _fuzzy_matches(self.postings, q)
+            )
         if isinstance(q, MatchAllQuery):
             return 1.0  # match-all-query.lisp:50-51
         if isinstance(q, BooleanQuery):

@@ -26,6 +26,7 @@ from montezuma_spark.search import (
     MUST,
     MUST_NOT,
     SHOULD,
+    FuzzyQuery,
     MatchAllQuery,
     PhraseQuery,
     RangeQuery,
@@ -279,6 +280,15 @@ def ft_classic_topk(spark, sf_dir):
 
 
 _BOOST_CACHE: dict = {}
+
+
+def ft_fuzzy_topk(spark, sf_dir):
+    """Fuzzy term expansion (beyond-reference extension): dictionary
+    terms within edit-distance similarity >= 0.6 of 'spark', each OR'd
+    with boost scale (sim-0.6)/0.4 — pushdown length/prefix bounds +
+    JVM levenshtein on the pruned term_stats slice."""
+    _, s = get_index(spark, sf_dir)
+    return _topk(s, FuzzyQuery("text", "spark", 0.6))
 
 
 def ft_classic_bool_topk(spark, sf_dir):
@@ -641,6 +651,7 @@ QUERIES = {
     "ft_boost_topk": ft_boost_topk,
     "ft_std_term_topk": ft_std_term_topk,
     "ft_classic_topk": ft_classic_topk,
+    "ft_fuzzy_topk": ft_fuzzy_topk,
     "ft_classic_bool_topk": ft_classic_bool_topk,
     "ta_stop_count": ta_stop_count,
     "ft_range_docs": ft_range_docs,
@@ -917,6 +928,33 @@ scores AS (
          (1 + ln((SELECT n FROM stats)::DOUBLE / (d.df + 1)))
          * sqrt(t.tf) / sqrt(greatest(t.dl, 1)) AS s
   FROM tf t JOIN dfs d USING (tok)
+)
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_fuzzy_topk": _BASE + f"""
+, vocab AS (SELECT DISTINCT tok FROM tokens),
+fz AS (
+  SELECT tok,
+         1.0 - levenshtein(tok, 'spark')::DOUBLE / least(5, len(tok)) AS sim
+  FROM vocab
+  WHERE 1.0 - levenshtein(tok, 'spark')::DOUBLE / least(5, len(tok)) >= 0.6
+),
+tf AS (
+  SELECT docid, dl, tok, count(*) AS tf
+  FROM tokens WHERE tok IN (SELECT tok FROM fz)
+  GROUP BY docid, dl, tok
+),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+  SELECT t.docid,
+         ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+         * ((f.sim - 0.6) / 0.4)
+         * t.tf * ({K1} + 1)
+         / (t.tf + {K1} * (1 - {B} + {B} * t.dl / (SELECT avgdl FROM stats)))
+         AS s
+  FROM tf t JOIN dfs d USING (tok) JOIN fz f USING (tok)
 )
 SELECT docid, round(score, 6) AS score FROM (
   SELECT docid, sum(s) AS score FROM scores GROUP BY docid

@@ -10,6 +10,7 @@ from montezuma_spark.search.ast import (  # noqa: F401
     Query,
     RangeQuery,
     TermQuery,
+    FuzzyQuery,
     WildcardQuery,
     bool_query,
     rewrite,

@@ -93,6 +93,29 @@ class WildcardQuery(Query):
 
 
 @dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """Edit-distance term expansion — a beyond-reference EXTENSION (the
+    reference never built fuzzy: the only mention is a FuzzyQuery name in
+    a boolean-query docstring, boolean-query.lisp:42). Semantics follow
+    the Lucene/Ferret lineage the reference ports:
+
+      sim(q, t) = 1 − levenshtein(q, t) / min(len(q), len(t))
+
+    terms with sim ≥ ``min_similarity`` (and sharing the first
+    ``prefix_length`` chars) are OR'd, each boosted by
+    ``(sim − min_sim) / (1 − min_sim)`` so nearer spellings outrank
+    distant ones. Expansion is a pushdown dictionary scan: length bounds
+    + prefix reach the parquet scan, the JVM ``levenshtein`` filters the
+    pruned slice — never a vocabulary collect."""
+
+    field: str
+    term: str
+    min_similarity: float = 0.5
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllQuery(Query):
     boost: float = 1.0
 

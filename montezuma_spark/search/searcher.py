@@ -41,6 +41,7 @@ from montezuma_spark.search.ast import (
     Query,
     RangeQuery,
     TermQuery,
+    FuzzyQuery,
     WildcardQuery,
     rewrite,
 )
@@ -317,6 +318,95 @@ class Searcher:
             for t in [t for t in ts[lo:hi] if rx.match(t)][: self.max_expansion]
         )
 
+
+    @staticmethod
+    def _levenshtein(a: str, b: str) -> int:
+        """Plain DP edit distance (driver-side, short dictionary terms —
+        the distributed path computes it JVM-side via F.levenshtein)."""
+        if a == b:
+            return 0
+        if not a or not b:
+            return len(a) + len(b)
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    @staticmethod
+    def _fuzzy_sim(q: str, t: str, dist: int) -> float:
+        m = min(len(q), len(t))
+        return 1.0 - dist / m if m else 0.0
+
+    def _expand_fuzzy(self, node: FuzzyQuery) -> tuple:
+        """Concrete (term, df, sim) list for a fuzzy term. Pushdown scan:
+        length BETWEEN bounds (any in-threshold term satisfies
+        len(q)/(2-ms) <= len(t) <= len(q)*(2-ms), from dist >= |len
+        difference| and dist <= (1-ms)*min_len) + constant-prefix
+        startswith prune parquet files; the exact JVM levenshtein
+        predicate filters the pruned slice; LIMIT at scan time."""
+        ms = node.min_similarity
+        key = ("fuzzy", node.field, node.term, ms, node.prefix_length,
+               self.max_expansion)
+        if key in self._exp_cache:
+            return self._exp_cache[key]
+        q = node.term
+        L = len(q)
+        if self._preload:
+            out = self._expand_fuzzy_local(node)
+        else:
+            import math as _m
+
+            lo = max(1, int(_m.ceil(L / (2.0 - ms))))
+            hi = int(_m.floor(L * (2.0 - ms)))
+            ts = self.index.term_stats.filter(
+                (F.col("field") == node.field)
+                & F.length("term").between(lo, hi)
+            )
+            if node.prefix_length > 0:
+                ts = ts.filter(
+                    F.col("term").startswith(q[: node.prefix_length])
+                )
+            dist = F.levenshtein(F.col("term"), F.lit(q))
+            sim = F.lit(1.0) - dist / F.least(
+                F.lit(L), F.length("term")
+            ).cast("double")
+            rows = (
+                ts.withColumn("_sim", sim)
+                .filter(F.col("_sim") >= ms)
+                .select("term", "df", "_sim")
+                .orderBy("term")
+                .limit(self.max_expansion)
+                .collect()
+            )
+            out = tuple(
+                (r["term"], int(r["df"]), float(r["_sim"])) for r in rows
+            )
+        self._exp_cache[key] = out
+        return out
+
+    def _expand_fuzzy_local(self, node: FuzzyQuery) -> tuple:
+        q = node.term
+        ms = node.min_similarity
+        pl = node.prefix_length
+        d = self._dictionary()
+        out = []
+        for t in self._terms_sorted(node.field):
+            if pl > 0 and not t.startswith(q[:pl]):
+                continue
+            if abs(len(t) - len(q)) > (1.0 - ms) * max(len(t), len(q)):
+                continue
+            dist = self._levenshtein(q, t)
+            sim = self._fuzzy_sim(q, t, dist)
+            if sim >= ms:
+                out.append((t, d.get((node.field, t), 0), sim))
+                if len(out) >= self.max_expansion:
+                    break
+        return tuple(out)
+
     def _resolve(self, q: Query) -> tuple[Query, dict, dict, bool]:
         """Expand range/wildcard and gather idf/df maps — every dictionary
         touch is a filtered scan (pushdown), batched across the query."""
@@ -367,6 +457,32 @@ class Searcher:
                 return MultiTermGroup(
                     node.field, tuple(t for t, _ in expanded), node.boost
                 )
+            if isinstance(node, FuzzyQuery):
+                from montezuma_spark.search.ast import (
+                    SHOULD as _SHOULD,
+                    BooleanClause as _BC,
+                )
+
+                ms = node.min_similarity
+                expanded = self._expand_fuzzy(node)
+                for t, df, _sim in expanded:
+                    idf_for(node.field, t, df)
+                # per-term boost scaling (sim-ms)/(1-ms): nearer spellings
+                # outrank distant ones; a disjunction of boosted terms
+                # composes with WAND pruning like any SHOULD tree
+                clauses = tuple(
+                    _BC(
+                        TermQuery(
+                            node.field,
+                            t,
+                            node.boost
+                            * (1.0 if ms >= 1.0 else (sim - ms) / (1.0 - ms)),
+                        ),
+                        _SHOULD,
+                    )
+                    for t, _df, sim in expanded
+                )
+                return BooleanQuery(clauses)
             if isinstance(node, BooleanQuery):
                 from montezuma_spark.search.ast import BooleanClause
 
