@@ -358,9 +358,10 @@ def planes_sql_values(planes: np.ndarray) -> str:
 NUM_CENTROIDS = 16
 NPROBE = 4
 IVF_SEED = 54321
-# file count of the AnnIndex by_id point-lookup sidecar; sized so each
-# range file stays a few hundred MB at 10^9 vectors (tune per deployment)
-BY_ID_FILES = 8
+# rows per range file of the AnnIndex by_id point-lookup sidecar: file
+# count scales with the table (10^9 vectors → ~500 files of ~2M rows,
+# each a few hundred MB) so point lookups stay ≤1 file at any scale
+BY_ID_ROWS_PER_FILE = 2_000_000
 
 
 def ivf_centroids(dim: int = 64, n: int = NUM_CENTROIDS,
@@ -602,9 +603,11 @@ class AnnIndex:
         # id-ordered point-lookup sidecar: range-partitioned AND sorted on
         # id, so every file covers a disjoint id interval and an
         # id-equality predicate prunes to ≤1 file via parquet min/max
-        # stats at any scale
+        # stats at any scale; file count follows the table size
+        n_vec = saved_vec.count()
+        n_files = max(1, -(-n_vec // BY_ID_ROWS_PER_FILE))
         (
-            saved_vec.repartitionByRange(BY_ID_FILES, F.col(id_col))
+            saved_vec.repartitionByRange(n_files, F.col(id_col))
             .sortWithinPartitions(id_col)
             .write.mode("overwrite")
             .parquet(f"{index_dir}/by_id")
