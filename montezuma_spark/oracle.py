@@ -18,6 +18,7 @@ from montezuma_spark.search.ast import (
     BooleanQuery,
     FuzzyQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     Query,
     RangeQuery,
@@ -171,26 +172,38 @@ class OracleIndex:
                         q.field, d, len(ps), idf, q.boost * scale
                     )
             return dict(out)
-        if isinstance(q, PhraseQuery):
+        if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
             return self._eval_phrase(q)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q)
         raise TypeError(type(q))
 
-    def _eval_phrase(self, q: PhraseQuery) -> dict[int, float]:
+    def _eval_phrase(self, q) -> dict[int, float]:
+        alts = (
+            q.alternatives
+            if isinstance(q, MultiPhraseQuery)
+            else tuple((t,) for t in q.terms)
+        )
         cand: set | None = None
-        for t in q.terms:
-            docs = set(self.postings.get((q.field, t), {}))
+        for slot in alts:
+            docs: set = set()
+            for t in slot:
+                docs |= set(self.postings.get((q.field, t), {}))
             cand = docs if cand is None else (cand & docs)
         out = {}
-        idf = sum(self.idf(q.field, t) for t in set(q.terms))
+        idf = sum(
+            self.idf(q.field, t) for t in {t for slot in alts for t in slot}
+        )
         for d in cand or ():
             shifted = [
                 sorted(
-                    p - off
-                    for p in self.postings[(q.field, t)][d]
+                    {
+                        p - off
+                        for t in slot
+                        for p in self.postings.get((q.field, t), {}).get(d, [])
+                    }
                 )
-                for t, off in zip(q.terms, q.offsets)
+                for slot, off in zip(alts, q.offsets)
             ]
             if q.slop == 0:
                 common = set(shifted[0])
@@ -299,6 +312,12 @@ class OracleIndex:
             return sum((self.idf(q.field, t) * q.boost) ** 2 for t in terms)
         if isinstance(q, PhraseQuery):
             pidf = sum(self.idf(q.field, t) for t in set(q.terms))
+            return (pidf * q.boost) ** 2
+        if isinstance(q, MultiPhraseQuery):
+            pidf = sum(
+                self.idf(q.field, t)
+                for t in {t for slot in q.alternatives for t in slot}
+            )
             return (pidf * q.boost) ** 2
         if isinstance(q, FuzzyQuery):
             return sum(

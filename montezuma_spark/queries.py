@@ -28,6 +28,7 @@ from montezuma_spark.search import (
     SHOULD,
     FuzzyQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     RangeQuery,
     Searcher,
@@ -185,6 +186,15 @@ def ft_bool_not_docs(spark, sf_dir):
 def ft_phrase_docs(spark, sf_dir):
     _, s = get_index(spark, sf_dir)
     q = PhraseQuery.of("text", ["batch", "batch"])
+    return s._execute(q, None).select("docid")
+
+
+def ft_multi_phrase_docs(spark, sf_dir):
+    """Multi-phrase (per-position alternatives, beyond-reference
+    extension): docs where 'batch' is immediately followed by 'batch' OR
+    'window' — one positions-intersection pass over the slot unions."""
+    _, s = get_index(spark, sf_dir)
+    q = MultiPhraseQuery.of("text", ["batch", ("batch", "window")])
     return s._execute(q, None).select("docid")
 
 
@@ -644,6 +654,7 @@ QUERIES = {
     "ft_parsed_topk": ft_parsed_topk,
     "ft_bool_not_docs": ft_bool_not_docs,
     "ft_phrase_docs": ft_phrase_docs,
+    "ft_multi_phrase_docs": ft_multi_phrase_docs,
     "ft_sloppy_phrase_docs": ft_sloppy_phrase_docs,
     "ft_matchall": ft_matchall,
     "ft_expunge_topk": ft_expunge_topk,
@@ -872,6 +883,11 @@ SELECT docid, round(score, 6) AS score FROM (
     "ft_phrase_docs": _BASE + """
 SELECT docid FROM docs
 WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% batch batch %'
+""",
+    "ft_multi_phrase_docs": _BASE + """
+SELECT docid FROM docs
+WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% batch batch %'
+   OR ' ' || array_to_string(toks, ' ') || ' ' LIKE '% batch window %'
 """,
     "ft_expunge_topk": f"""
 WITH docs0 AS (

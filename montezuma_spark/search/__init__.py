@@ -11,6 +11,7 @@ from montezuma_spark.search.ast import (  # noqa: F401
     RangeQuery,
     TermQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     WildcardQuery,
     bool_query,
     rewrite,

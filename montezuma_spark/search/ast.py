@@ -69,6 +69,35 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with per-position term ALTERNATIVES ("batch (batch|window)")
+    — a beyond-reference EXTENSION from the reference's Lucene lineage
+    (multi-phrase is named in the reference's commented-out
+    merge-boolean-queries port only; never built). A position slot
+    matches when ANY of its alternatives occurs there; slop/weight
+    semantics are identical to PhraseQuery over the per-slot position
+    unions; idf = Σ over the distinct terms of all slots."""
+
+    field: str
+    alternatives: tuple[tuple[str, ...], ...]  # terms per position slot
+    offsets: tuple[int, ...]
+    slop: int = 0
+    boost: float = 1.0
+    weight: str = "count"
+
+    @staticmethod
+    def of(field: str, alternatives, slop: int = 0, boost: float = 1.0,
+           weight: str = "count") -> "MultiPhraseQuery":
+        alts = tuple(
+            tuple(a) if isinstance(a, (list, tuple)) else (a,)
+            for a in alternatives
+        )
+        return MultiPhraseQuery(
+            field, alts, tuple(range(len(alts))), slop, boost, weight
+        )
+
+
+@dataclass(frozen=True)
 class RangeQuery(Query):
     field: str
     lower: str | None
@@ -171,6 +200,12 @@ def rewrite(q: Query) -> Query:
 def _rewrite_once(q: Query) -> Query:
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.field, q.terms[0], q.boost)
+    if (
+        isinstance(q, MultiPhraseQuery)
+        and len(q.alternatives) == 1
+        and len(q.alternatives[0]) == 1
+    ):
+        return TermQuery(q.field, q.alternatives[0][0], q.boost)
     if isinstance(q, BooleanQuery):
         new_clauses = tuple(
             BooleanClause(_rewrite_once(c.query), c.occur) for c in q.clauses

@@ -46,6 +46,7 @@ from montezuma_spark.search.ast import (
     SHOULD,
     BooleanQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     Query,
     TermQuery,
@@ -524,7 +525,7 @@ class ShardEval:
                     docs, np.zeros(len(docs)), candidates
                 )
             return docs, np.full(len(docs), float(node.boost))
-        if isinstance(node, PhraseQuery):
+        if isinstance(node, (PhraseQuery, MultiPhraseQuery)):
             return self._eval_phrase(node, candidates)
         if isinstance(node, BooleanQuery):
             return self._eval_bool(node, candidates)
@@ -629,6 +630,14 @@ class ShardEval:
         if isinstance(q, PhraseQuery):
             return min(
                 (dfm.get((q.field, t), 0) for t in q.terms), default=0
+            )
+        if isinstance(q, MultiPhraseQuery):
+            return min(
+                (
+                    sum(dfm.get((q.field, t), 0) for t in slot)
+                    for slot in q.alternatives
+                ),
+                default=0,
             )
         if isinstance(q, BooleanQuery):
             ests = [
@@ -754,25 +763,53 @@ class ShardEval:
         pb = np.concatenate([[0], np.cumsum(t_all)])
         return d_all, t_all, flat, pb
 
-    def _eval_phrase(self, node: PhraseQuery, candidates):
-        # 1. intersect postings of all phrase terms (rarest first)
-        terms = sorted(
-            range(len(node.terms)),
-            key=lambda i: self.plan.df_est.get((node.field, node.terms[i]), 0),
+    def _eval_phrase(self, node, candidates):
+        """PhraseQuery or MultiPhraseQuery (per-slot alternatives): a slot
+        matches where ANY of its terms occurs; slots with one term keep
+        the exact single-term decode path (bit-identical to the original
+        phrase implementation)."""
+        field = node.field
+        alts = (
+            node.alternatives
+            if isinstance(node, MultiPhraseQuery)
+            else tuple((t,) for t in node.terms)
         )
+        dfm = self.plan.df_est
+
+        def slot_df(i):
+            return sum(dfm.get((field, t), 0) for t in alts[i])
+
+        # 1. intersect slot doc-sets (rarest slot first)
+        order = sorted(range(len(alts)), key=slot_df)
         docs = candidates
         doc_dls = None
-        for i in terms:
-            d, _, dl = self._decode(node.field, node.terms[i], docs)
-            d, dl = self._restrict(d, dl.astype(np.float64), docs)
+        for i in order:
+            if len(alts[i]) == 1:
+                d, _, dl = self._decode(field, alts[i][0], docs)
+                d, dl = self._restrict(d, dl.astype(np.float64), docs)
+            else:
+                parts = [self._decode(field, t, docs) for t in alts[i]]
+                alld = np.concatenate([p[0] for p in parts])
+                alldl = np.concatenate([p[2] for p in parts])
+                d, first = np.unique(alld, return_index=True)
+                dl = alldl[first].astype(np.float64)  # dl is per-doc
+                d, dl = self._restrict(d, dl, docs)
             docs, doc_dls = d, dl
             if len(docs) == 0:
                 return _EMPTY
-        # 2. positions per term for surviving docs, shifted by offsets
-        pos_lists = [
-            self._positions_for(node.field, node.terms[i], docs) for i in
-            range(len(node.terms))
-        ]
+        # 2. positions per slot for surviving docs, shifted by offsets
+        pos_lists = []
+        for i in range(len(alts)):
+            if len(alts[i]) == 1:
+                pos_lists.append(self._positions_for(field, alts[i][0], docs))
+            else:
+                per_term = [
+                    self._positions_for(field, t, docs) for t in alts[i]
+                ]
+                pos_lists.append([
+                    np.unique(np.concatenate([pt[di] for pt in per_term]))
+                    for di in range(len(docs))
+                ])
         freqs = np.zeros(len(docs), dtype=np.float64)
         if node.slop == 0:
             # vectorized across ALL candidate docs: encode (doc, shifted
@@ -783,7 +820,7 @@ class ShardEval:
             M = np.int64(1) << np.int64(33)
             bias = max(node.offsets)
             keys = None
-            for i in range(len(node.terms)):
+            for i in range(len(alts)):
                 lists = pos_lists[i]
                 lens = np.fromiter(
                     (len(a) for a in lists), dtype=np.int64, count=len(lists)
@@ -812,7 +849,7 @@ class ShardEval:
                     pos_lists[i][di] - node.offsets[i]
                     for di in range(len(docs))
                 ]
-                for i in range(len(node.terms))
+                for i in range(len(alts))
             ]
             freqs = _sloppy_freqs_batch(
                 shifted_lists, node.slop, getattr(node, "weight", "count")
@@ -823,11 +860,12 @@ class ShardEval:
         # 3. BM25 with tf = phrase freq, idf = Σ constituent idfs
         # (idf-phrase analog: tc-similarity.lisp:36-38)
         p = self.plan
-        idf = sum(p.idf.get((node.field, t), 0.0) for t in set(node.terms))
+        all_terms = {t for slot in alts for t in slot}
+        idf = sum(p.idf.get((field, t), 0.0) for t in all_terms)
         if self.normalize:
             idf = idf * idf
         dl = doc_dls[keep]
-        avgdl = max(p.stats.get(node.field, {}).get("avgdl", 1.0), 1e-9)
+        avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
         score = (
             idf
             * node.boost

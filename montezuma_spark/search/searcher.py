@@ -42,6 +42,7 @@ from montezuma_spark.search.ast import (
     RangeQuery,
     TermQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     WildcardQuery,
     rewrite,
 )
@@ -421,6 +422,13 @@ class Searcher:
             elif isinstance(node, PhraseQuery):
                 need_pos = True
                 exact.update((node.field, t) for t in node.terms)
+            elif isinstance(node, MultiPhraseQuery):
+                need_pos = True
+                exact.update(
+                    (node.field, t)
+                    for slot in node.alternatives
+                    for t in slot
+                )
             elif isinstance(node, BooleanQuery):
                 for c in node.clauses:
                     gather(c.query)
@@ -436,10 +444,13 @@ class Searcher:
             df_est[(field, term)] = df
 
         def walk(node: Query) -> Query:
-            if isinstance(node, (TermQuery, PhraseQuery)):
-                terms = (
-                    [node.term] if isinstance(node, TermQuery) else node.terms
-                )
+            if isinstance(node, (TermQuery, PhraseQuery, MultiPhraseQuery)):
+                if isinstance(node, TermQuery):
+                    terms = [node.term]
+                elif isinstance(node, PhraseQuery):
+                    terms = list(node.terms)
+                else:
+                    terms = [t for slot in node.alternatives for t in slot]
                 for t in terms:
                     idf_for(node.field, t, dfs.get((node.field, t), 0))
                 return node
@@ -512,6 +523,10 @@ class Searcher:
                 out.setdefault(node.field, set()).update(node.terms)
             elif isinstance(node, PhraseQuery):
                 out.setdefault(node.field, set()).update(node.terms)
+            elif isinstance(node, MultiPhraseQuery):
+                out.setdefault(node.field, set()).update(
+                    t for slot in node.alternatives for t in slot
+                )
             elif isinstance(node, BooleanQuery):
                 for c in node.clauses:
                     walk(c.query)
@@ -558,6 +573,12 @@ class Searcher:
         if isinstance(node, PhraseQuery):
             pidf = sum(
                 idf.get((node.field, t), 0.0) for t in set(node.terms)
+            )
+            return (pidf * node.boost) ** 2
+        if isinstance(node, MultiPhraseQuery):
+            pidf = sum(
+                idf.get((node.field, t), 0.0)
+                for t in {t for slot in node.alternatives for t in slot}
             )
             return (pidf * node.boost) ** 2
         if isinstance(node, MatchAllQuery):

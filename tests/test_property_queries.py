@@ -25,6 +25,7 @@ from montezuma_spark.search import (
     BooleanClause,
     BooleanQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     RangeQuery,
     Searcher,
@@ -74,6 +75,13 @@ def _query_strategy(vocab, slop_weights=("count",)):
             )
         ),
         terms.map(lambda t: WildcardQuery("text", t[:2] + "*")),
+        st.tuples(
+            terms, terms, terms, st.integers(0, 2), st.sampled_from(slop_weights)
+        ).map(
+            lambda x: MultiPhraseQuery.of(
+                "text", [x[0], (x[1], x[2])], slop=x[3], weight=x[4]
+            )
+        ),
         st.just(MatchAllQuery()),
     )
 
