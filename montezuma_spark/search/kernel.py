@@ -998,6 +998,122 @@ def _sloppy_freqs_batch(shifted_lists: list[list[np.ndarray]], slop: int,
     return freqs
 
 
+def explain_doc(plan: CompiledPlan, rows, docid: int,
+                lens_pdf: pd.DataFrame | None = None) -> dict:
+    """Score breakdown for one doc — the reference's disabled
+    explain-score surface (explain methods exist but are commented out
+    throughout src/search/*.lisp), rebuilt as a tree walk over the
+    compiled plan. ``rows``: parsed CellRow list covering the query's
+    terms (any shards — cells with disjoint docid ranges merge at decode
+    time). The returned tree's ``value`` at the root equals the served
+    score exactly (tests assert identity vs top_docs)."""
+    ev = ShardEval(plan, rows, lens_pdf)
+    d1 = np.asarray([docid], dtype=np.int64)
+
+    def node_value(n) -> float:
+        dd, ss = ev.eval(n, d1)
+        return float(ss[0]) if len(dd) else 0.0
+
+    sim_name = getattr(ev.sim, "name", "custom")
+
+    def walk(n) -> dict:
+        if isinstance(n, TermQuery):
+            d, t, dl = ev._decode(n.field, n.term, d1)
+            d, idx = d, np.searchsorted(d, docid) if len(d) else 0
+            hit = len(d) > 0 and idx < len(d) and d[idx] == docid
+            tf = int(t[idx]) if hit else 0
+            dlv = int(dl[idx]) if hit else 0
+            idf = ev.plan.idf.get((n.field, n.term), 0.0)
+            avgdl = max(
+                ev.plan.stats.get(n.field, {}).get("avgdl", 1.0), 1e-9
+            )
+            tfn = (
+                float(ev.sim.tf_norm(
+                    np.asarray([tf], dtype=np.int64),
+                    np.asarray([max(dlv, 1)], dtype=np.int64), avgdl,
+                )[0])
+                if hit
+                else 0.0
+            )
+            dboost = ev._doc_boost(d1)
+            dboost = float(dboost[0]) if not np.isscalar(dboost) else dboost
+            return {
+                "type": "term",
+                "description": f"{n.field}:{n.term} [{sim_name}]",
+                "value": node_value(n),
+                "idf": idf,
+                "tf": tf,
+                "dl": dlv,
+                "tf_norm": tfn,
+                "boost": n.boost,
+                "doc_boost": dboost,
+                "matched": bool(hit),
+            }
+        if isinstance(n, MultiTermGroup):
+            details = [
+                walk(TermQuery(n.field, t, n.boost)) for t in n.terms
+            ]
+            return {
+                "type": "multi_term",
+                "description": f"{n.field}:({len(n.terms)} expanded terms)",
+                "value": node_value(n),
+                "details": [x for x in details if x["matched"]],
+            }
+        if isinstance(n, (PhraseQuery, MultiPhraseQuery)):
+            dd, ss = ev.eval(n, d1)
+            alts = (
+                n.alternatives
+                if isinstance(n, MultiPhraseQuery)
+                else tuple((t,) for t in n.terms)
+            )
+            terms = {t for slot in alts for t in slot}
+            idf = sum(ev.plan.idf.get((n.field, t), 0.0) for t in terms)
+            return {
+                "type": "phrase",
+                "description": " ".join(
+                    "|".join(slot) for slot in alts
+                ) + (f" slop={n.slop}" if n.slop else ""),
+                "value": node_value(n),
+                "idf_sum": idf,
+                "boost": n.boost,
+                "matched": bool(len(dd)),
+            }
+        if isinstance(n, MatchAllQuery):
+            return {
+                "type": "match_all",
+                "description": "*:*",
+                "value": node_value(n),
+            }
+        if isinstance(n, BooleanQuery):
+            details = []
+            for c in n.clauses:
+                sub = walk(c.query)
+                sub["occur"] = c.occur
+                details.append(sub)
+            out = {
+                "type": "boolean",
+                "description": f"{len(n.clauses)} clauses"
+                + ("" if n.coord_disabled else " (coord)"),
+                "value": node_value(n),
+                "boost": n.boost,
+                "details": details,
+            }
+            return out
+        return {"type": "unknown", "value": node_value(n)}
+
+    tree = walk(plan.query)
+    qn = plan.query_norm
+    if getattr(ev.sim, "normalize_query", False) and qn != 1.0:
+        tree = {
+            "type": "query_norm",
+            "description": f"query_norm {qn:.6g} × clause tree",
+            "value": tree["value"] * qn,
+            "query_norm": qn,
+            "details": [tree],
+        }
+    return tree
+
+
 def _finish(plan: CompiledPlan, docids, scores) -> pd.DataFrame:
     if len(docids) == 0:
         return pd.DataFrame({"docid": [], "score": []}).astype(

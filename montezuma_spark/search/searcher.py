@@ -805,6 +805,39 @@ class Searcher:
             rows = rows.orderBy(F.desc("score"), F.asc("docid"))
         return [(r["docid"], r["score"]) for r in rows.collect()]
 
+    def explain(self, query: Query, docid: int) -> dict:
+        """Score-breakdown tree for one document — the reference's
+        explain surface (explain-score exists but is disabled throughout
+        src/search/*.lisp; montezuma.asd:76), rebuilt as a plan walk.
+        The root ``value`` equals the served score exactly."""
+        from montezuma_spark.search.kernel import explain_doc, rows_from_pandas
+
+        plan, resolved, need_pos = self._compile(query, None)
+        needed = self._needed_terms(resolved)
+        if self._preload:
+            from montezuma_spark.codec.postings import BOOST_TERM
+
+            hot = self._hot_cells()
+            rows = []
+            for f, terms in needed.items():
+                for t in sorted(terms):
+                    if (f, t) in hot:
+                        rows.extend(self._hot_rows((f, t)))
+            if self.index.config.boost_col is not None:
+                for key in sorted(k for k in hot if k[1] == BOOST_TERM):
+                    rows.extend(self._hot_rows(key))
+            plan.hot = True
+        else:
+            postings, _ = self._filtered_postings(resolved, need_pos)
+            rows = rows_from_pandas(postings.toPandas())
+        lens_pdf = None
+        if self._has_matchall(resolved):
+            lens_pdf = (
+                self.index.doc_lens.filter(F.col("docid") == docid)
+                .toPandas()
+            )
+        return explain_doc(plan, rows, docid, lens_pdf)
+
     def matching_docids(self, query: Query) -> list[int]:
         """All matching docids, sorted — the golden doc-set surface."""
         local = self._execute_local(query, None)
