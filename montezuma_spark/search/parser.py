@@ -34,6 +34,7 @@ from montezuma_spark.search.ast import (
     MUST_NOT,
     BooleanClause,
     BooleanQuery,
+    FuzzyQuery,
     PhraseQuery,
     Query,
     TermQuery,
@@ -57,12 +58,19 @@ class QueryParser:
         analyzer="standard",
         default_occur: str = SHOULD,
         default_slop: int = 0,
+        extensions: bool = False,
     ):
+        """``extensions=True`` enables the Lucene-lineage ``~`` syntax the
+        reference grammar lacks: ``word~`` / ``word~0.7`` → FuzzyQuery
+        (min_similarity default 0.5), ``"a b"~2`` → phrase slop. OFF by
+        default so the grammar stays a faithful reference port (``~`` is
+        an ordinary word character there, query-parser.lisp:181-191)."""
         self.default_field = default_field
         self.fields = tuple(fields)
         self.analyzer = get_analyzer(analyzer)
         self.default_occur = default_occur
         self.default_slop = default_slop
+        self.extensions = extensions
         self._active_field: str | None = None
 
     # ------------------------------------------------------------------ parse
@@ -123,10 +131,21 @@ class QueryParser:
                 break
             if ch in _DISALLOWED and not (allow_wild and ch in _WILD):
                 break
+            if ch == "~" and self.extensions:
+                break
             self._pos += 1
         if self._pos == start:
             raise ParseError("expected word")
         return s[start : self._pos]
+
+    def _maybe_number(self) -> str | None:
+        start = self._pos
+        s = self._s
+        while self._pos < len(s) and (
+            s[self._pos].isdigit() or s[self._pos] == "."
+        ):
+            self._pos += 1
+        return s[start : self._pos] if self._pos > start else None
 
     def _unboosted(self) -> Query:
         if self._peek() == '"':
@@ -158,14 +177,25 @@ class QueryParser:
             if not had_ws:
                 raise ParseError("unterminated phrase")
             words.append(self._word_chars(allow_wild=False))
+        slop = self.default_slop
+        if self.extensions and self._peek() == "~":
+            self._pos += 1
+            num = self._maybe_number()
+            if num is None:
+                raise ParseError("expected slop after ~")
+            try:
+                slop = int(float(num))
+            except ValueError as e:
+                raise ParseError("bad slop") from e
         field = self._use_active_field()
-        if len(words) == 1:
+        if len(words) == 1 and slop == self.default_slop:
             return self._analyzed_word_query(field, words[0])
         return self._multi_field(
-            field, lambda f: self._normal_phrase(f, words)
+            field, lambda f: self._normal_phrase(f, words, slop)
         )
 
-    def _normal_phrase(self, field: str, words: list[str]) -> Query:
+    def _normal_phrase(self, field: str, words: list[str],
+                       slop: int | None = None) -> Query:
         terms: list[str] = []
         offsets: list[int] = []
         pos = -1  # first token increment (1) lands at offset 0
@@ -184,11 +214,29 @@ class QueryParser:
             field,
             tuple(terms),
             tuple(o - base for o in offsets),
-            slop=self.default_slop,
+            slop=self.default_slop if slop is None else slop,
         )
 
     def _term_or_phrase_from_word(self, word: str) -> Query:
         field = self._use_active_field()
+        if self.extensions and self._peek() == "~":
+            self._pos += 1
+            num = self._maybe_number()
+            ms = 0.5
+            if num is not None:
+                try:
+                    ms = float(num)
+                except ValueError as e:
+                    raise ParseError("bad fuzziness") from e
+                if not (0.0 <= ms < 1.0):
+                    raise ParseError("fuzziness must be in [0, 1)")
+            toks = self.analyzer.tokens(word)
+            if len(toks) == 1:
+                return self._multi_field(
+                    field, lambda f: FuzzyQuery(f, toks[0], ms)
+                )
+            # multi-token word under ~: fuzziness has no single term to
+            # apply to — fall through to the normal analyzed query
         return self._multi_field(
             field, lambda f: self._analyzed_word_query(f, word)
         )

@@ -137,3 +137,42 @@ def test_field_applies_to_next_query_only():
     q = QueryParser(fields=()).parse("field:abc def")
     assert q.clauses[0].query == T("field", "abc")
     assert q.clauses[1].query == T("*", "def")
+
+
+def test_parser_extensions_fuzzy_and_slop():
+    """Opt-in ~ syntax (extensions=True): word~/word~0.7 → FuzzyQuery,
+    "a b"~2 → phrase slop; composes with field:, boost and occur. The
+    DEFAULT grammar stays a faithful reference port: ~ is an ordinary
+    word character there."""
+    from montezuma_spark.search import FuzzyQuery, PhraseQuery, TermQuery
+    from montezuma_spark.search.ast import MUST
+    from montezuma_spark.search.parser import QueryParser
+
+    from montezuma_spark.search.ast import rewrite
+
+    p = QueryParser(default_field="text", analyzer="simple", extensions=True)
+    q = rewrite(p.parse("spark~"))
+    assert q == FuzzyQuery("text", "spark", 0.5)
+    q = rewrite(p.parse("spark~0.7"))
+    assert q == FuzzyQuery("text", "spark", 0.7)
+    q = rewrite(p.parse('"batch batch"~2'))
+    assert isinstance(q, PhraseQuery) and q.slop == 2
+    q = p.parse("+title:spark~0.8^3")
+    c = q.clauses[0] if hasattr(q, "clauses") else None
+    if c is None:
+        got = q
+    else:
+        got = c.query
+    assert got == FuzzyQuery("title", "spark", 0.8, boost=3.0)
+    if c is not None:
+        assert c.occur == MUST
+    # bad fuzziness falls back to the OR-of-tokens bad-parse (reference
+    # error-recovery behavior)
+    q = rewrite(p.parse("spark~7"))
+    assert q == TermQuery("text", "spark")
+    # default grammar unchanged: ~ is a word char, analyzer strips it
+    p0 = QueryParser(default_field="text", analyzer="simple")
+    assert rewrite(p0.parse("spark~0.7")) == TermQuery("text", "spark")
+    assert rewrite(p0.parse('"batch batch"~2')) != rewrite(
+        p.parse('"batch batch"~2')
+    )
