@@ -88,6 +88,8 @@ def headline_queries() -> dict:
         MUST,
         MUST_NOT,
         SHOULD,
+        FuzzyQuery,
+        MultiPhraseQuery,
         PhraseQuery,
         RangeQuery,
         TermQuery,
@@ -98,6 +100,10 @@ def headline_queries() -> dict:
 
     p = QueryParser(default_field="text", analyzer="simple")
     return {
+        "q_fuzzy_top10": FuzzyQuery("text", "spark", 0.6),
+        "q_multi_phrase_top10": MultiPhraseQuery.of(
+            "text", ["batch", ("batch", "window")]
+        ),
         "q_term_top10": TermQuery("text", "spark"),
         "q_bool_and_top10": bool_query(
             (TermQuery("text", "spark"), MUST), (TermQuery("text", "merge"), MUST)
