@@ -20,6 +20,7 @@ The 35-word English stop list is verbatim from analyzers.lisp:35-39.
 
 from __future__ import annotations
 
+import unicodedata
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -28,6 +29,7 @@ from montezuma_spark.analysis.porter import stem
 from montezuma_spark.analysis.tokenizers import (
     LOWERCASE_TOKENIZER,
     STANDARD_TOKENIZER,
+    UNICODE_LETTER_TOKENIZER,
     WHITESPACE_TOKENIZER,
     Tokenizer,
 )
@@ -40,15 +42,31 @@ ENGLISH_STOP_WORDS = frozenset(
 )
 
 
+def fold_ascii(token: str) -> str:
+    """Accent folding — the Lucene-family ASCIIFolding idea as a
+    beyond-reference EXTENSION (the reference's filters are lowercase/
+    stop/porter only, token-filters.lisp): NFKD-decompose and drop
+    combining marks, so café→cafe, naïve→naive, Łódź→"odz" minus the
+    unmapped stroke (chars that don't decompose to ASCII pass through
+    unchanged rather than being dropped)."""
+    out = []
+    for ch in unicodedata.normalize("NFKD", token):
+        if unicodedata.combining(ch):
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
 @dataclass(frozen=True)
 class Analyzer:
-    """A tokenizer followed by optional lowercase/stop/stem filters."""
+    """A tokenizer followed by optional lowercase/stop/stem/fold filters."""
 
     name: str
     tokenizer: Tokenizer
     lowercase: bool = False
     stop_words: frozenset | None = None
     stemmer: bool = False
+    fold: bool = False   # accent folding AFTER lowercase, BEFORE stop/stem
 
     # -- single-string path (goldens, query-side analysis) -------------------
     def tokens_with_offsets(self, text: str) -> list[tuple[str, int, int]]:
@@ -56,6 +74,8 @@ class Analyzer:
         for img, s, e in self.tokenizer.scan(text):
             if self.lowercase:
                 img = img.lower()
+            if self.fold:
+                img = fold_ascii(img)
             if self.stop_words is not None and img in self.stop_words:
                 continue
             if self.stemmer:
@@ -74,7 +94,10 @@ class Analyzer:
         Python), keeping the per-row work a C-level list comprehension.
         """
         toks = self.tokenizer.tokens_series(s)
-        needs_table = self.lowercase or self.stop_words is not None or self.stemmer
+        needs_table = (
+            self.lowercase or self.stop_words is not None or self.stemmer
+            or self.fold
+        )
         if not needs_table:
             return toks
         vocab = set()
@@ -83,6 +106,8 @@ class Analyzer:
         table: dict[str, str | None] = {}
         for t in vocab:
             img = t.lower() if self.lowercase else t
+            if self.fold:
+                img = fold_ascii(img)
             if self.stop_words is not None and img in self.stop_words:
                 table[t] = None
                 continue
@@ -116,6 +141,12 @@ PORTER_ANALYZER = Analyzer(
 # lowercase letter tokens, no stop/stem — SQL-oracle-friendly pipeline
 # (expressible in DuckDB as lower(regexp_extract_all(text,'[a-zA-Z]+')))
 SIMPLE_ANALYZER = Analyzer("simple", LOWERCASE_TOKENIZER)
+# standard pipeline + accent folding (beyond-reference extension for
+# multilingual web text: café/cafe unify at index AND query time)
+FOLDING_ANALYZER = Analyzer(
+    "folding", UNICODE_LETTER_TOKENIZER, lowercase=True,
+    stop_words=ENGLISH_STOP_WORDS, fold=True,
+)
 
 ANALYZERS: dict[str, Analyzer] = {
     a.name: a
@@ -127,6 +158,7 @@ ANALYZERS: dict[str, Analyzer] = {
         STANDARD_NOSTOP_ANALYZER,
         PORTER_ANALYZER,
         SIMPLE_ANALYZER,
+        FOLDING_ANALYZER,
     )
 }
 

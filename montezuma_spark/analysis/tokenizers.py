@@ -70,9 +70,13 @@ class Tokenizer:
     pattern: str
     normalize: Callable[[str], str] | None = None
     lowercase_input: bool = False  # lowercase-tokenizer downcases images
+    unicode_letters: bool = False  # compile WITHOUT re.ASCII (extension
+                                   # tokenizers; reference ones are ASCII)
 
     def regex(self) -> re.Pattern:
-        return re.compile(self.pattern, re.ASCII)
+        return re.compile(
+            self.pattern, 0 if self.unicode_letters else re.ASCII
+        )
 
     # -- single-string path (golden tests / query analysis; driver-side) -----
     def scan(self, text: str) -> list[tuple[str, int, int]]:
@@ -108,6 +112,11 @@ LETTER_TOKENIZER = Tokenizer("letter", r"[a-zA-Z]+")
 LOWERCASE_TOKENIZER = Tokenizer("lowercase", r"[a-zA-Z]+", lowercase_input=True)
 WHITESPACE_TOKENIZER = Tokenizer("whitespace", r"\S+")
 STANDARD_TOKENIZER = Tokenizer("standard", STANDARD_PATTERN, normalize=standard_normalize)
+# Unicode-letter runs — for the accent-folding extension pipeline (the
+# ASCII tokenizers above split on accented characters)
+UNICODE_LETTER_TOKENIZER = Tokenizer(
+    "uletter", r"[^\W\d_]+", unicode_letters=True
+)
 
 TOKENIZERS = {
     t.name: t

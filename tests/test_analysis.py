@@ -195,3 +195,39 @@ def test_stop_list_exact():
     assert len(ENGLISH_STOP_WORDS) == 35
     for w in ("a", "an", "and", "their", "with", "s", "t"):
         assert w in ENGLISH_STOP_WORDS
+
+
+def test_ascii_folding_filter_and_analyzer(spark):
+    """Accent folding (Lucene-family ASCIIFolding, beyond-reference
+    extension): café/cafe unify through both the scalar and vectorized
+    pipelines, at index and query time."""
+    import pandas as pd
+
+    from montezuma_spark.analysis import get_analyzer
+    from montezuma_spark.analysis.analyzers import fold_ascii
+
+    assert fold_ascii("café") == "cafe"
+    assert fold_ascii("naïve") == "naive"
+    assert fold_ascii("Über") == "Uber"
+    assert fold_ascii("ascii") == "ascii"
+    an = get_analyzer("folding")
+    assert an.tokens("Café crème, naïve – RÉSUMÉ") == \
+        ["cafe", "creme", "naive", "resume"]
+    vec = an.tokens_series(pd.Series(["Café crème", "plain text"]))
+    assert list(vec) == [["cafe", "creme"], ["plain", "text"]]
+    # end-to-end: an accented doc answers an unaccented query
+    from montezuma_spark.fixtures import search_docs_df  # noqa: F401
+    from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+    from montezuma_spark.search import Searcher, TermQuery
+
+    docs = spark.createDataFrame(
+        [("u://1", "the café on the corner"), ("u://2", "a plain diner")],
+        "url string, text string",
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "folding")], key_col="url",
+        shard_bits=2,
+    )
+    idx = build_index(spark, docs, cfg)
+    s = Searcher(idx)
+    assert [d for d, _ in s.top_docs(TermQuery("text", "cafe"), k=5)] == [0]
