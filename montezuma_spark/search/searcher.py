@@ -800,10 +800,16 @@ class Searcher:
                 else local.iloc[first_doc:]
             )
             return list(sel.itertuples(index=False, name=None))
-        rows = self.search(query, k, first_doc=first_doc)
-        if k is None:
-            rows = rows.orderBy(F.desc("score"), F.asc("docid"))
-        return [(r["docid"], r["score"]) for r in rows.collect()]
+        # distributed: (docid, score) only — skip search()'s doc_map key
+        # join, which top_docs never returns
+        result = self._execute(query, fetch).orderBy(
+            F.desc("score"), F.asc("docid")
+        )
+        if first_doc:
+            result = result.offset(first_doc)
+        if k is not None:
+            result = result.limit(k)
+        return [(r["docid"], r["score"]) for r in result.collect()]
 
     def explain(self, query: Query, docid: int) -> dict:
         """Score-breakdown tree for one document — the reference's
