@@ -24,6 +24,7 @@ from montezuma_spark.search import (
     SHOULD,
     BooleanClause,
     BooleanQuery,
+    FuzzyQuery,
     MatchAllQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -75,6 +76,9 @@ def _query_strategy(vocab, slop_weights=("count",)):
             )
         ),
         terms.map(lambda t: WildcardQuery("text", t[:2] + "*")),
+        st.tuples(terms, st.sampled_from([0.5, 0.7])).map(
+            lambda x: FuzzyQuery("text", x[0], x[1])
+        ),
         st.tuples(
             terms, terms, terms, st.integers(0, 2), st.sampled_from(slop_weights)
         ).map(
