@@ -835,7 +835,13 @@ class Searcher:
             plan.hot = True
         else:
             postings, _ = self._filtered_postings(resolved, need_pos)
-            rows = rows_from_pandas(postings.toPandas())
+            # the explained doc's contributions live entirely in its
+            # docid-range shard — restrict the collect so explaining a
+            # web-hot term never pulls its full posting list to the driver
+            shard = docid >> self.index.config.shard_bits
+            rows = rows_from_pandas(
+                postings.filter(F.col("shard") == shard).toPandas()
+            )
         lens_pdf = None
         if self._has_matchall(resolved):
             lens_pdf = (
