@@ -806,10 +806,32 @@ class ShardEval:
                 per_term = [
                     self._positions_for(field, t, docs) for t in alts[i]
                 ]
-                pos_lists.append([
-                    np.unique(np.concatenate([pt[di] for pt in per_term]))
-                    for di in range(len(docs))
-                ])
+                # vectorized per-doc sorted-unique merge of the slot's
+                # alternatives: one lexsort + dedupe over ALL docs, then
+                # per-doc views — no per-doc np.unique python loop
+                nd = len(docs)
+                lens_pt = [
+                    np.fromiter((len(a) for a in pt), np.int64, nd)
+                    for pt in per_term
+                ]
+                flat = np.concatenate(
+                    [np.concatenate(pt) if nd else
+                     np.empty(0, dtype=np.int64) for pt in per_term]
+                ) if nd else np.empty(0, dtype=np.int64)
+                doc_idx = np.concatenate(
+                    [np.repeat(np.arange(nd), ln) for ln in lens_pt]
+                ) if nd else np.empty(0, dtype=np.int64)
+                order = np.lexsort((flat, doc_idx))
+                d_s, f_s = doc_idx[order], flat[order]
+                if len(d_s):
+                    keep = np.ones(len(d_s), dtype=bool)
+                    keep[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+                    d_s, f_s = d_s[keep], f_s[keep]
+                counts = np.bincount(d_s, minlength=nd)
+                b = np.concatenate([[0], np.cumsum(counts)])
+                pos_lists.append(
+                    [f_s[b[j] : b[j + 1]] for j in range(nd)]
+                )
         freqs = np.zeros(len(docs), dtype=np.float64)
         if node.slop == 0:
             # vectorized across ALL candidate docs: encode (doc, shifted
