@@ -653,15 +653,34 @@ class ShardEval:
         return float("inf")
 
     # ---------------------------------------------------------------- phrase
-    def _positions_for(self, field, term, wanted: np.ndarray):
-        """positions of ``wanted`` docids for (field, term) → list of arrays."""
+    @staticmethod
+    def _gather_runs(flat, starts, lens):
+        """Concatenate runs flat[starts[i] : starts[i]+lens[i]] — one
+        vectorized gather, no per-run python."""
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        out_starts = np.cumsum(lens) - lens
+        gidx = np.repeat(starts, lens) + (
+            np.arange(total) - np.repeat(out_starts, lens)
+        )
+        return flat[gidx]
+
+    def _positions_flat(self, field, term, wanted: np.ndarray):
+        """Positions of ``wanted`` docids for (field, term), doc-major →
+        (flat positions, per-doc lens). Fully vectorized — the phrase
+        path never touches per-doc python lists."""
+        W = len(wanted)
         rows = self.cells.get((field, term)) or []
-        if len(rows) <= 1:
-            if not rows:
-                return [np.empty(0, dtype=np.int64)] * len(wanted)
-            return self._positions_for_row(rows[0], wanted)
-        # multi-segment: each wanted docid lives in exactly one segment row
-        out = [np.empty(0, dtype=np.int64)] * len(wanted)
+        if not rows:
+            return np.empty(0, dtype=np.int64), np.zeros(W, dtype=np.int64)
+        if len(rows) == 1:
+            return self._positions_flat_row(rows[0], wanted)
+        # multi-segment: each wanted docid lives in exactly one segment
+        # row (disjoint docid ranges); stitch per-row results back into
+        # wanted order with one gather
+        lens_full = np.zeros(W, dtype=np.int64)
+        parts = []  # (wanted-index array, flat, lens)
         for row in rows:
             if not len(row.blk_first):
                 continue
@@ -669,66 +688,64 @@ class ShardEval:
             mask = (wanted >= lo) & (wanted <= hi)
             if not mask.any():
                 continue
-            sub = wanted[mask]
-            sub_out = self._positions_for_row(row, sub)
-            for i, j in enumerate(np.flatnonzero(mask)):
-                out[j] = sub_out[i]
-        return out
+            widx = np.flatnonzero(mask)
+            f, ln = self._positions_flat_row(row, wanted[mask])
+            lens_full[widx] = ln
+            parts.append((widx, f, ln))
+        bounds = np.cumsum(lens_full) - lens_full
+        out = np.empty(int(lens_full.sum()), dtype=np.int64)
+        for widx, f, ln in parts:
+            tgt = np.repeat(bounds[widx], ln) + (
+                np.arange(len(f))
+                - np.repeat(np.cumsum(ln) - ln, ln)
+            )
+            out[tgt] = f
+        return out, lens_full
 
-    def _positions_for_row(self, row, wanted: np.ndarray):
+    def _positions_flat_row(self, row, wanted: np.ndarray):
         cached = getattr(row, "full_pos", None)
         if cached is None and self.plan.hot and hasattr(row, "full_pos"):
             cached = row.full_pos = self._full_positions(row)
         if cached is not None:
             d_all, t_all, flat, pb = cached
-            idx = np.searchsorted(d_all, wanted)
-            idx_c = np.clip(idx, 0, max(len(d_all) - 1, 0))
-            found = (
-                d_all[idx_c] == wanted if len(d_all) else
-                np.zeros(len(wanted), dtype=bool)
+        else:
+            d_all, t_all, _dls, block_of, handle = self._decode_row(
+                row, wanted, with_block_info=True
             )
-            out = []
-            for w in range(len(wanted)):
-                if not found[w]:
-                    out.append(np.empty(0, dtype=np.int64))
-                else:
-                    j = idx_c[w]
-                    out.append(flat[pb[j] : pb[j + 1]])
-            return out
-        d_all, t_all, _dls, block_of, handle = self._decode_row(
-            row, wanted, with_block_info=True
-        )
+            if len(d_all) == 0:
+                return (
+                    np.empty(0, dtype=np.int64),
+                    np.zeros(len(wanted), dtype=np.int64),
+                )
+            row, meta, blocks = handle
+            ns = np.asarray(meta["n"], dtype=np.int64)[blocks]
+            bounds = np.concatenate([[0], np.cumsum(ns)])
+            block_tfs = {
+                int(b): t_all[bounds[i] : bounds[i + 1]]
+                for i, b in enumerate(blocks)
+            }
+            pos_by_block = decode_positions(
+                bytes(row.positions), list(row.pos_off), meta, block_tfs,
+                codec=self.plan.codec,
+            )
+            # one flat stream in decoded-block order; posting j's run is
+            # pb[j]:pb[j+1] (t_all aligns with d_all)
+            flat = (
+                np.concatenate([pos_by_block[int(b)] for b in blocks])
+                if len(blocks)
+                else np.empty(0, dtype=np.int64)
+            )
+            pb = np.concatenate([[0], np.cumsum(t_all)])
         if len(d_all) == 0:
-            return [np.empty(0, dtype=np.int64)] * len(wanted)
-        row, meta, blocks = handle
-        ns = np.asarray(meta["n"], dtype=np.int64)[blocks]
-        bounds = np.concatenate([[0], np.cumsum(ns)])
-        block_tfs = {
-            int(b): t_all[bounds[i] : bounds[i + 1]] for i, b in enumerate(blocks)
-        }
-        pos_by_block = decode_positions(
-            bytes(row.positions), list(row.pos_off), meta, block_tfs,
-            codec=self.plan.codec,
-        )
-        # one flat stream in decoded-block order; posting j's run is
-        # pb[j]:pb[j+1] (t_all aligns with d_all) — no per-doc block search
-        flat = (
-            np.concatenate([pos_by_block[int(b)] for b in blocks])
-            if len(blocks)
-            else np.empty(0, dtype=np.int64)
-        )
-        pb = np.concatenate([[0], np.cumsum(t_all)])
+            return (
+                np.empty(0, dtype=np.int64),
+                np.zeros(len(wanted), dtype=np.int64),
+            )
         idx = np.searchsorted(d_all, wanted)
         idx_c = np.clip(idx, 0, len(d_all) - 1)
         found = d_all[idx_c] == wanted
-        out = []
-        for w in range(len(wanted)):
-            if not found[w]:
-                out.append(np.empty(0, dtype=np.int64))
-            else:
-                j = idx_c[w]
-                out.append(flat[pb[j] : pb[j + 1]])
-        return out
+        lens = np.where(found, pb[idx_c + 1] - pb[idx_c], 0)
+        return self._gather_runs(flat, pb[idx_c], lens), lens
 
     def _full_positions(self, row):
         """Whole-cell positions decode for the hot tier: (docids, tfs,
@@ -797,63 +814,44 @@ class ShardEval:
             docs, doc_dls = d, dl
             if len(docs) == 0:
                 return _EMPTY
-        # 2. positions per slot for surviving docs, shifted by offsets
-        pos_lists = []
+        # 2. positions per slot for surviving docs (flat doc-major
+        # representation — no per-doc python anywhere in the phrase path)
+        slot_flats, slot_lens = [], []
+        nd = len(docs)
         for i in range(len(alts)):
             if len(alts[i]) == 1:
-                pos_lists.append(self._positions_for(field, alts[i][0], docs))
+                f, ln = self._positions_flat(field, alts[i][0], docs)
             else:
-                per_term = [
-                    self._positions_for(field, t, docs) for t in alts[i]
-                ]
-                # vectorized per-doc sorted-unique merge of the slot's
-                # alternatives: one lexsort + dedupe over ALL docs, then
-                # per-doc views — no per-doc np.unique python loop
-                nd = len(docs)
-                lens_pt = [
-                    np.fromiter((len(a) for a in pt), np.int64, nd)
-                    for pt in per_term
-                ]
-                flat = np.concatenate(
-                    [np.concatenate(pt) if nd else
-                     np.empty(0, dtype=np.int64) for pt in per_term]
-                ) if nd else np.empty(0, dtype=np.int64)
+                # sorted-unique union of the slot's alternatives: one
+                # lexsort + dedupe over all docs
+                fs = [self._positions_flat(field, t, docs) for t in alts[i]]
+                flat = np.concatenate([x[0] for x in fs])
                 doc_idx = np.concatenate(
-                    [np.repeat(np.arange(nd), ln) for ln in lens_pt]
-                ) if nd else np.empty(0, dtype=np.int64)
+                    [np.repeat(np.arange(nd), x[1]) for x in fs]
+                )
                 order = np.lexsort((flat, doc_idx))
                 d_s, f_s = doc_idx[order], flat[order]
                 if len(d_s):
                     keep = np.ones(len(d_s), dtype=bool)
                     keep[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
                     d_s, f_s = d_s[keep], f_s[keep]
-                counts = np.bincount(d_s, minlength=nd)
-                b = np.concatenate([[0], np.cumsum(counts)])
-                pos_lists.append(
-                    [f_s[b[j] : b[j + 1]] for j in range(nd)]
-                )
-        freqs = np.zeros(len(docs), dtype=np.float64)
+                f, ln = f_s, np.bincount(d_s, minlength=nd)
+            slot_flats.append(f)
+            slot_lens.append(np.asarray(ln, dtype=np.int64))
+        freqs = np.zeros(nd, dtype=np.float64)
         if node.slop == 0:
             # vectorized across ALL candidate docs: encode (doc, shifted
-            # position) as one composite key and intersect the terms' key
-            # sets — no per-doc python. Bias keeps shifted positions
-            # non-negative; it is identical per term so intersection is
-            # unaffected.
+            # position) as one composite key and intersect the slots' key
+            # sets. Bias keeps shifted positions non-negative; it is
+            # identical per slot so intersection is unaffected.
             M = np.int64(1) << np.int64(33)
             bias = max(node.offsets)
             keys = None
             for i in range(len(alts)):
-                lists = pos_lists[i]
-                lens = np.fromiter(
-                    (len(a) for a in lists), dtype=np.int64, count=len(lists)
+                di = np.repeat(
+                    np.arange(nd, dtype=np.int64), slot_lens[i]
                 )
-                flat = (
-                    np.concatenate(lists)
-                    if len(lists)
-                    else np.empty(0, dtype=np.int64)
-                )
-                di = np.repeat(np.arange(len(docs), dtype=np.int64), lens)
-                k = di * M + (flat - node.offsets[i] + bias)
+                k = di * M + (slot_flats[i] - node.offsets[i] + bias)
                 keys = (
                     k
                     if keys is None
@@ -863,18 +861,17 @@ class ShardEval:
                     break
             if keys is not None and len(keys):
                 freqs = np.bincount(
-                    (keys // M).astype(np.int64), minlength=len(docs)
+                    (keys // M).astype(np.int64), minlength=nd
                 ).astype(np.float64)
         else:
-            shifted_lists = [
+            freqs = _sloppy_freqs_flat(
                 [
-                    pos_lists[i][di] - node.offsets[i]
-                    for di in range(len(docs))
-                ]
-                for i in range(len(alts))
-            ]
-            freqs = _sloppy_freqs_batch(
-                shifted_lists, node.slop, getattr(node, "weight", "count")
+                    slot_flats[i] - node.offsets[i]
+                    for i in range(len(alts))
+                ],
+                slot_lens,
+                node.slop,
+                getattr(node, "weight", "count"),
             )
         keep = freqs > 0
         docs = docs[keep]
@@ -921,14 +918,39 @@ def _sloppy_freq(shifted: list[np.ndarray], slop: int,
 
 def _sloppy_freqs_batch(shifted_lists: list[list[np.ndarray]], slop: int,
                         weight: str = "count") -> np.ndarray:
+    """List-of-arrays API kept for the oracle-equivalence tests; converts
+    to the flat doc-major representation and delegates to
+    ``_sloppy_freqs_flat`` (the production path)."""
+    k = len(shifted_lists)
+    ndocs = len(shifted_lists[0]) if k else 0
+    if ndocs == 0:
+        return np.zeros(0, dtype=np.float64)
+    term_flats, term_lens = [], []
+    for t in range(k):
+        lens = np.fromiter(
+            (len(a) for a in shifted_lists[t]), dtype=np.int64, count=ndocs
+        )
+        term_lens.append(lens)
+        term_flats.append(
+            np.concatenate(shifted_lists[t])
+            if int(lens.sum())
+            else np.empty(0, dtype=np.int64)
+        )
+    return _sloppy_freqs_flat(term_flats, term_lens, slop, weight)
+
+
+def _sloppy_freqs_flat(term_flats: list[np.ndarray],
+                       term_lens: list[np.ndarray], slop: int,
+                       weight: str = "count") -> np.ndarray:
     """Vectorized sloppy-phrase frequencies for ALL candidate docs at once
     — the numpy closed form of the k-pointer sweep, O(k·n log n) with no
-    per-doc (or per-position) Python.
+    per-doc (or per-position) Python. ``term_flats[t]`` holds term t's
+    shifted positions doc-major; ``term_lens[t]`` the per-doc counts.
 
     PRECONDITION (shared with ``_sloppy_freq``'s equivalence claim): each
-    per-doc position list is strictly increasing — no duplicate values
-    within a list. Decoded postings always satisfy this (positions are
-    per-doc strictly ascending); synthetic/shifted inputs with within-list
+    per-doc position run is strictly increasing — no duplicate values
+    within a run. Decoded postings always satisfy this (positions are
+    per-doc strictly ascending); synthetic inputs with within-run
     duplicates would diverge from the scalar sweep (round-2 advice).
 
     Sweep identity: the loop retires the minimum pointer each step, so the
@@ -938,28 +960,27 @@ def _sloppy_freqs_batch(shifted_lists: list[list[np.ndarray]], slop: int,
     retires lower list ids first). The sweep stops — inclusively — at the
     first element that is the last of its list.
 
-    ``shifted_lists[t][d]`` = term t's shifted positions in doc d.
     Returns per-doc frequency (count or Σ 1/(1+span)).
     """
-    k = len(shifted_lists)
-    ndocs = len(shifted_lists[0]) if k else 0
+    k = len(term_flats)
+    ndocs = len(term_lens[0]) if k else 0
     freqs = np.zeros(ndocs, dtype=np.float64)
     if ndocs == 0:
         return freqs
     # docs where every term occurs (others contribute 0)
-    lens = np.array(
-        [[len(shifted_lists[t][d]) for d in range(ndocs)] for t in range(k)],
-        dtype=np.int64,
-    )
+    lens = np.stack([np.asarray(ln, dtype=np.int64) for ln in term_lens])
     active = np.flatnonzero((lens > 0).all(axis=0))
     if len(active) == 0:
         return freqs
-    # flatten per term, doc-major; values biased non-negative so the
-    # (doc, value) composite key fits one int64
-    flat = [
-        np.concatenate([shifted_lists[t][d] for d in active])
-        for t in range(k)
-    ]
+    # per-term flat streams restricted to active docs (one gather each)
+    flat = []
+    for t in range(k):
+        starts = np.cumsum(lens[t]) - lens[t]
+        flat.append(
+            ShardEval._gather_runs(
+                np.asarray(term_flats[t]), starts[active], lens[t][active]
+            )
+        )
     vmin = min(int(f.min()) for f in flat)
     vmax = max(int(f.max()) for f in flat)
     M = np.int64(vmax - vmin + 2)
