@@ -1033,7 +1033,13 @@ class Index:
     # ------------------------------------------------------------------ save
     def save(self, index_dir: str) -> "Index":
         os.makedirs(index_dir, exist_ok=True)
-        self.doc_map.write.mode("overwrite").parquet(f"{index_dir}/doc_map")
+        # docid-range layout: get_document / highlight / key-hydration
+        # lookups are docid point predicates — range-sorted files prune to
+        # one file via parquet min/max (same idea as the term_stats .tii
+        # layout, applied to the stored-fields table)
+        self.doc_map.repartitionByRange("docid").sortWithinPartitions(
+            "docid"
+        ).write.mode("overwrite").parquet(f"{index_dir}/doc_map")
         self.doc_lens.repartition("field").write.mode("overwrite").parquet(
             f"{index_dir}/doc_lens"
         )
@@ -1052,10 +1058,11 @@ class Index:
             "overwrite"
         ).parquet(f"{index_dir}/term_stats")
         if self.tv_offsets is not None:
-            # doc-major layout: highlighting fetches by docid
-            self.tv_offsets.repartitionByRange("docid").write.mode(
-                "overwrite"
-            ).parquet(f"{index_dir}/term_vectors")
+            # doc-major layout: highlighting fetches by docid (sorted
+            # within files too, so row-group stats prune as well)
+            self.tv_offsets.repartitionByRange("docid").sortWithinPartitions(
+                "docid"
+            ).write.mode("overwrite").parquet(f"{index_dir}/term_vectors")
         with open(f"{index_dir}/meta.json", "w") as fh:
             json.dump(
                 {

@@ -178,3 +178,38 @@ def test_rank_docids_empty_and_single_row(spark):
     one = synth_web_pages_df(spark, 1).select("url")
     got = rank_docids(one, "url").collect()
     assert len(got) == 1 and got[0]["docid"] == 0
+
+
+def test_doc_map_point_lookup_layout(spark, tmp_path, capsys):
+    """Saved doc_map files hold disjoint docid ranges (docid point
+    predicates prune to ≤1 file) and the equality predicate reaches the
+    parquet scan — get_document at web scale is a point lookup, not a
+    table scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "dm")
+    cfg = IndexConfig(fields=[FieldConfig("text", "text", "simple")],
+                      shard_bits=5)
+    build_index(spark, synth_web_pages_df(spark, 200), cfg, index_dir=d)
+    idx = Index.load(spark, d)
+    scan = idx.doc_map.filter(F.col("docid") == 7)
+    scan.explain("formatted")
+    plan = capsys.readouterr().out
+    assert "EqualTo(docid,7)" in plan.replace(" ", "")
+    ranges = []
+    for f in glob.glob(f"{d}/doc_map/*.parquet"):
+        md = pq.read_metadata(f)
+        i = md.schema.names.index("docid")
+        lo = min(md.row_group(g).column(i).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(i).statistics.max
+                 for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert ranges
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2, f"overlapping docid ranges: {(l1, h1)} {(l2, h2)}"
+    # the lookup still answers correctly
+    assert scan.count() == 1
