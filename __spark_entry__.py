@@ -40,6 +40,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from montezuma_spark.queries import ORACLE
+    from montezuma_spark.queries import get_oracle
 
-    return dict(ORACLE)
+    return get_oracle()

@@ -198,9 +198,14 @@ def ann_recall(spark) -> dict:
     gt = np.argsort(-sims, axis=1)[:, :k]  # row-index ground truth
 
     out = {"nprobe": NPROBE, "k": k, "n_vectors": int(len(ids))}
+    from montezuma_spark.queries import _trained_centroids
+
     variants = {
         "seed": ivf_centroids(dim=X.shape[1]),
         "trained": ivf_train_centroids(emb, sample_fraction=1.0),
+        # the matrix the GRADED contract path actually persists
+        # (deterministic driver-side numpy k-means, queries._ann_index)
+        "trained_graded": _trained_centroids(SF_DIR),
     }
     for name, cents in variants.items():
         t0 = time.time()
@@ -325,11 +330,58 @@ def _remaining() -> float:
     return TOTAL_BUDGET - (time.time() - _T0)
 
 
+def _compact(result: dict) -> dict:
+    """≤2 KB digest of the full metrics: the driver records only the tail
+    of stdout, and round 3's full JSON overran the tail window (parsed:
+    null) — so the LAST line is always this compact form, full detail on
+    the line above."""
+    out = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "sf", "partial")
+        if k in result
+    }
+    q = result.get("queries") or {}
+    out["queries"] = {k: round(v, 4) for k, v in q.items()}
+    b = result.get("build") or {}
+    if "docs_per_sec" in b:
+        out["build_docs_per_sec"] = round(b["docs_per_sec"], 1)
+    s = result.get("scaling") or {}
+    if "efficiency" in s:
+        out["scaling_efficiency"] = s["efficiency"]
+        out["scaling_cores"] = [s.get("cores_lo"), s.get("cores_hi")]
+    r = result.get("robustness") or {}
+    if "docs_per_sec" in r:
+        out["robustness"] = {
+            "n_docs": r.get("n_docs"),
+            "docs_per_sec": round(r["docs_per_sec"], 1),
+        }
+    c = result.get("codec_ab") or {}
+    if "ratio_other_over_default" in c:
+        out["codec_ab_ratio"] = c["ratio_other_over_default"]
+    a = result.get("ann_recall") or {}
+    for kk in ("trained", "trained_graded", "seed"):
+        if isinstance(a.get(kk), dict) and "recall_at_10" in a[kk]:
+            out.setdefault("ann_recall", {})[kk] = a[kk]["recall_at_10"]
+    da = result.get("dedup_ann_scale") or {}
+    if da:
+        out["dedup_ann_scale"] = {
+            k: da[k]
+            for k in ("n_docs", "n_vectors", "cand_ratio", "probe_sec")
+            if k in da
+        }
+    return out
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+    print(json.dumps(_compact(result)), flush=True)
+
+
 def _emit_partial(signum, frame):
     """SIGTERM safety net: a killed bench still emits everything measured
     so far (an empty BENCH artifact is worse than a partial one)."""
     _RESULT.setdefault("partial", True)
-    print(json.dumps(_RESULT), flush=True)
+    _emit(_RESULT)
     os._exit(0)
 
 
@@ -494,7 +546,7 @@ def main():
         if rb is not None:
             result["robustness"] = rb
 
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":

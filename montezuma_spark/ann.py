@@ -414,6 +414,47 @@ def ivf_train_centroids(emb: DataFrame, n: int = NUM_CENTROIDS,
     return c / np.maximum(norms, 1e-12)
 
 
+IVF_TRAIN_ITERS = 25
+# driver-side training sample cap: k-means quality saturates long before
+# table size (FAISS trains IVF quantizers on ~256 vectors/centroid); the
+# sample is the LOWEST vec_ids (ORDER BY id LIMIT cap) so it is a
+# deterministic pure function of the table, independent of partitioning
+IVF_TRAIN_CAP = 65536
+
+
+def ivf_train_centroids_local(vectors: np.ndarray, n: int = NUM_CENTROIDS,
+                              seed: int = IVF_SEED,
+                              max_iter: int = IVF_TRAIN_ITERS) -> np.ndarray:
+    """Driver-side Lloyd's k-means over unit-normalized vectors — the
+    deterministic trainer behind the graded IVF path.
+
+    Same spherical objective as ``ivf_train_centroids`` (Spark ML), but a
+    pure float64-numpy function of (vectors, seed): init = the seed
+    centroid matrix, fixed iteration cap, empty cells keep their previous
+    center. Bit-reproducible anywhere, so the DuckDB oracle can template
+    the EXACT matrix as SQL literals (``planes_sql_values``). Feed it a
+    bounded deterministic sample (``IVF_TRAIN_CAP`` lowest-id vectors) —
+    quantizer quality saturates at tiny fractions of the table, and the
+    Spark-ML trainer remains the whole-table/cluster-scale alternative."""
+    v = np.ascontiguousarray(vectors, dtype=np.float64)
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    c = ivf_centroids(dim=v.shape[1], n=n, seed=seed)
+    for _ in range(max_iter):
+        assign = np.argmax(v @ c.T, axis=1)
+        newc = c.copy()
+        for j in range(n):
+            members = v[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = float(np.linalg.norm(m))
+                if nm > 1e-12:
+                    newc[j] = m / nm
+        if np.array_equal(newc, c):
+            break
+        c = newc
+    return np.ascontiguousarray(c)
+
+
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:

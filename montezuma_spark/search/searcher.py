@@ -375,16 +375,20 @@ class Searcher:
             sim = F.lit(1.0) - dist / F.least(
                 F.lit(L), F.length("term")
             ).cast("double")
+            # truncation keeps the BEST terms (sim desc, term asc) — a
+            # lexicographic limit could drop the nearest spellings at web
+            # vocabularies (Lucene's priority-queue semantics)
             rows = (
                 ts.withColumn("_sim", sim)
                 .filter(F.col("_sim") >= ms)
                 .select("term", "df", "_sim")
-                .orderBy("term")
+                .orderBy(F.desc("_sim"), F.asc("term"))
                 .limit(self.max_expansion)
                 .collect()
             )
             out = tuple(
-                (r["term"], int(r["df"]), float(r["_sim"])) for r in rows
+                sorted((r["term"], int(r["df"]), float(r["_sim"]))
+                       for r in rows)
             )
         self._exp_cache[key] = out
         return out
@@ -404,9 +408,10 @@ class Searcher:
             sim = self._fuzzy_sim(q, t, dist)
             if sim >= ms:
                 out.append((t, d.get((node.field, t), 0), sim))
-                if len(out) >= self.max_expansion:
-                    break
-        return tuple(out)
+        # best-similarity-first truncation, then back to term order so the
+        # distributed and preload tiers return identical tuples
+        out.sort(key=lambda r: (-r[2], r[0]))
+        return tuple(sorted(out[: self.max_expansion]))
 
     def _resolve(self, q: Query) -> tuple[Query, dict, dict, bool]:
         """Expand range/wildcard and gather idf/df maps — every dictionary

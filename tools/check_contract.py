@@ -26,6 +26,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, only: list[str] | None = None):
+    import os
+
+    # data-dependent oracle entries (trained IVF centroids) must template
+    # the matrix for THIS sf, not the driver's default sf0.01
+    os.environ["MONTEZUMA_ORACLE_SF_DIR"] = sf_dir
+
     from montezuma_spark import get_spark
     import __spark_entry__ as entrymod
 
