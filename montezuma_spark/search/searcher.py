@@ -951,11 +951,24 @@ class Searcher:
         out.append(text[prev:])
         return "".join(out)
 
-    def get_document(self, docid: int) -> dict | None:
+    def get_document(self, docid: int, join_multi: bool = True) -> dict | None:
         """Fetch the stored document by docid (get-document analog,
-        src/index/index.lisp:226-233)."""
+        src/index/index.lisp:226-233). Multi-valued stored fields (array
+        store_cols) are concatenated with a single space at fetch time —
+        the reference's ``document-values`` (document.lisp:85-91 joins
+        same-name field values with ``"~{~A~^ ~}"``); pass
+        ``join_multi=False`` for the raw arrays (``document-fields``)."""
         rows = self.index.doc_map.filter(F.col("docid") == docid).limit(1).collect()
-        return rows[0].asDict() if rows else None
+        if not rows:
+            return None
+        d = rows[0].asDict()
+        if join_multi:
+            for k, v in d.items():
+                if isinstance(v, list):
+                    d[k] = " ".join(
+                        "" if x is None else str(x) for x in v
+                    )
+        return d
 
     def each_hit(self, query: Query):
         """Iterate (docid, score) over every hit — search-each analog

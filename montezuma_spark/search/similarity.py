@@ -108,9 +108,84 @@ class ClassicSimilarity(Similarity):
         return np.sqrt(tf) / np.sqrt(np.maximum(dl, 1.0))
 
 
+# ---------------------------------------------------------------------------
+# SmallFloat byte315 norm quantization (opt-in reference-score fidelity)
+# ---------------------------------------------------------------------------
+# The reference encodes boost×1/sqrt(dl) into ONE byte via Lucene's
+# SmallFloat 3-mantissa-bit/5-exponent-bit scheme (similarity.lisp:40-60:
+# float-to-byte315 / byte315-to-float, zero-point 63-15) and scores with
+# the decoded table value (*norm-table*, similarity.lisp:90-99). The
+# default engine keeps exact dl (SURVEY §1.1 design choice); this block
+# reproduces the byte table exactly for the opt-in quantized similarity.
+
+_B315_ZERO = (63 - 15) << 3  # 384: smallfloat value of the zero point
+
+
+def float_to_byte315(f: float) -> int:
+    """Lucene SmallFloat.floatToByte315 (similarity.lisp:50-60). NOTE:
+    the Lisp port's underflow branch `(if (<= bits) 0 1)` is a
+    one-argument `<=` (always true → always 0); we follow the Lucene
+    original it claims to mirror (tiny positive floats → byte 1), which
+    the reference's own round-trip test cannot distinguish."""
+    bits = int(np.float32(f).view(np.int32))
+    smallfloat = bits >> 21
+    if smallfloat <= _B315_ZERO:
+        return 0 if bits <= 0 else 1
+    if smallfloat >= _B315_ZERO + 0x100:
+        return 255
+    return smallfloat - _B315_ZERO
+
+
+def byte315_to_float(b: int) -> float:
+    """Lucene SmallFloat.byte315ToFloat (similarity.lisp:39-45)."""
+    if b == 0:
+        return 0.0
+    bits = ((b & 0xFF) << 21) + ((63 - 15) << 24)
+    return float(np.int32(bits).view(np.float32))
+
+
+# *norm-table* (similarity.lisp:90-93): all 256 decoded norm values
+NORM_TABLE = np.array([byte315_to_float(i) for i in range(256)],
+                      dtype=np.float64)
+
+
+def float_to_byte315_np(arr: np.ndarray) -> np.ndarray:
+    """Vectorized floatToByte315 for posting-array norms."""
+    bits = np.ascontiguousarray(arr, dtype=np.float32).view(np.int32)
+    small = (bits >> 21).astype(np.int64)
+    out = small - _B315_ZERO
+    out = np.where(small <= _B315_ZERO, np.where(bits <= 0, 0, 1), out)
+    return np.where(small >= _B315_ZERO + 0x100, 255, out)
+
+
+@dataclass(frozen=True)
+class ClassicQuantizedSimilarity(ClassicSimilarity):
+    """Classic similarity with the reference's byte315-quantized length
+    norm: 1/sqrt(dl) round-trips through the SmallFloat byte before
+    multiplying (write-norms → decode-norm, similarity.lisp:95-99), so
+    scores match a live Montezuma/Lucene-style index byte-for-byte on
+    the length-norm axis. Deviation kept: the reference multiplies
+    doc boost INTO the byte (one composite norm); here boost rides the
+    index's own 1/1024 quantization and multiplies outside — identical
+    when boost == 1 (the common case), documented otherwise.
+
+    WAND-safe: encode∘decode is monotone non-decreasing, so tf_norm
+    keeps the monotone ↑tf / ↓dl contract the block bounds require."""
+
+    name: str = "classic-quantized"
+
+    def tf_norm(self, tfs, dls, avgdl):
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl = np.asarray(dls, dtype=np.float64)
+        raw = 1.0 / np.sqrt(np.maximum(dl, 1.0))
+        norm = NORM_TABLE[float_to_byte315_np(raw)]
+        return np.sqrt(tf) * norm
+
+
 SIMILARITIES: dict[str, type] = {
     "bm25": BM25Similarity,
     "classic": ClassicSimilarity,
+    "classic-quantized": ClassicQuantizedSimilarity,
 }
 
 

@@ -35,10 +35,22 @@ from montezuma_spark.index.config import IndexConfig
 
 class IncrementalIndexer:
     def __init__(self, spark: SparkSession, index_dir: str,
-                 config: IndexConfig):
+                 config: IndexConfig, merge_factor: int = 10,
+                 min_merge_docs: int | None = None,
+                 max_merge_docs: int = 1 << 31):
+        """``min_merge_docs`` enables the reference's log-tier merge
+        policy (maybe-merge-segments, index-writer.lisp:184-199): after
+        every ``add_batch``, runs of ≥``merge_factor``-worth of segments
+        below a size tier are merged, tier growing ×merge_factor up to
+        ``max_merge_docs`` — long-running streams pay log(N) rewrites
+        per doc instead of the full rewrite ``compact()`` costs. Leave
+        None for manual compaction only."""
         self.spark = spark
         self.index_dir = index_dir
         self.config = config
+        self.merge_factor = merge_factor
+        self.min_merge_docs = min_merge_docs
+        self.max_merge_docs = max_merge_docs
         os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
 
     # ------------------------------------------------------------- manifest
@@ -93,6 +105,8 @@ class IncrementalIndexer:
         if batch_id is not None:
             man["applied_batches"].append(batch_id)
         self._commit(man)
+        if self.min_merge_docs is not None:
+            self.maybe_merge()
         return entry
 
     def delete_by_key(self, keys) -> int:
@@ -147,11 +161,18 @@ class IncrementalIndexer:
     def multi_index(self) -> Index:
         """Union all segments into one queryable Index (multi-reader)."""
         man = self.manifest()
-        segs = [Index.load(self.spark, e["dir"]) for e in man["segments"]]
+        return self._union_index(
+            man["segments"], man.get("tombstones", [])
+        )
+
+    def _union_index(self, entries: list, tombstones: list) -> Index:
+        """Multi-reader over a subset of segment entries; ``tombstones``
+        (global docids) apply at query time, never baked into segments."""
+        segs = [Index.load(self.spark, e["dir"]) for e in entries]
         if not segs:
             raise ValueError("no segments yet")
         if len(segs) == 1:
-            tombs = man.get("tombstones", [])
+            tombs = tombstones
             if tombs:
                 import numpy as np
 
@@ -192,12 +213,67 @@ class IncrementalIndexer:
             term_stats, stats, index_dir=None,
             build_report={"segments": len(segs)},
         )
-        tombs = man.get("tombstones", [])
-        if tombs:
+        if tombstones:
             import numpy as np
 
-            idx.tombstones = np.asarray(sorted(tombs), dtype=np.int64)
+            idx.tombstones = np.asarray(sorted(tombstones), dtype=np.int64)
         return idx
+
+    # ------------------------------------------------------- tiered merge
+    def maybe_merge(self) -> list:
+        """The reference's log-tier merge walk (maybe-merge-segments,
+        index-writer.lisp:184-199): for each size tier ``target`` =
+        min_merge_docs × merge_factor^k (k = 0, 1, … while ≤
+        max_merge_docs), find the newest run of segments each smaller
+        than ``target``; if the run totals ≥ ``target`` docs, merge it
+        into one segment. Repeated small batches therefore compact in
+        O(log N) tiers — never the all-at-once rewrite of ``compact()``.
+        Returns the manifest entries of any segments created."""
+        if self.min_merge_docs is None:
+            return []
+        made = []
+        target = self.min_merge_docs
+        while target <= self.max_merge_docs:
+            man = self.manifest()
+            segs = man["segments"]
+            lo = len(segs)
+            merge_docs = 0
+            while lo > 0 and segs[lo - 1]["num_docs"] < target:
+                merge_docs += segs[lo - 1]["num_docs"]
+                lo -= 1
+            if merge_docs >= target and len(segs) - lo >= 2:
+                made.append(self._merge_segments(lo))
+            else:
+                return made
+            target *= self.merge_factor
+        return made
+
+    def _merge_segments(self, lo: int) -> dict:
+        """Merge segments[lo:] into one segment (merge-segments analog,
+        index-writer.lisp:201-236). Docids are already global (bases
+        assigned at build), so the merged cells simply re-encode per
+        (field, term, shard) in docid order; manifest tombstones stay
+        query-time (global ids unchanged — full ``compact()`` is where
+        they get expunged)."""
+        man = self.manifest()
+        entries = man["segments"][lo:]
+        merged = self._union_index(entries, [])
+        seg_id = man["next_seg"]
+        seg_dir = os.path.join(self.index_dir, "segments", f"seg-{seg_id:06d}")
+        compacted = _merge_postings(merged, seg_dir)
+        entry = {
+            "id": seg_id,
+            "dir": seg_dir,
+            "docid_base": entries[0]["docid_base"],
+            "num_docs": sum(e["num_docs"] for e in entries),
+            "stats": compacted.stats,
+        }
+        man["segments"] = man["segments"][:lo] + [entry]
+        man["next_seg"] = seg_id + 1
+        self._commit(man)
+        for e in entries:  # now-obsolete tier members
+            shutil.rmtree(e["dir"], ignore_errors=True)
+        return entry
 
     # -------------------------------------------------------------- compact
     def compact(self) -> Index:

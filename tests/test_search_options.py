@@ -123,3 +123,23 @@ def test_hot_searcher_matches_cold(searcher, hot_searcher):
 
     p = PhraseQuery.of("field", ["quick", "brown"])
     assert hot_searcher.matching_docids(p) == [1]
+
+
+def test_get_document_multivalue_concat(spark):
+    """Multi-valued stored fields concatenate with a single space at
+    fetch time (document-values, src/document/document.lisp:85-91);
+    join_multi=False returns the stored array (document-fields)."""
+    rows = [
+        ("u://0", "alpha beta", ["tag one", "tag two", None]),
+        ("u://1", "gamma", ["solo"]),
+    ]
+    df = spark.createDataFrame(rows, "url string, field string, tags array<string>")
+    cfg = IndexConfig(
+        fields=[FieldConfig("field", "field", "whitespace")],
+        key_col="url", shard_bits=2, block_size=4, store_cols=("tags",),
+    )
+    s = Searcher(build_index(spark, df, cfg))
+    d = s.get_document(0)
+    assert d["tags"] == "tag one tag two "   # None renders empty, like ~A nil-safe join
+    assert s.get_document(0, join_multi=False)["tags"] == ["tag one", "tag two", None]
+    assert s.get_document(1)["tags"] == "solo"

@@ -114,3 +114,64 @@ def test_real_structured_streaming(spark, tmp_path):
     assert man["next_docid"] == 50
     s = Searcher(ix.multi_index())
     assert s.count(TermQuery("text", "spark")) > 0
+
+
+def test_tiered_merge_policy(spark, tmp_path):
+    """Log-tier merge (maybe-merge-segments, index-writer.lisp:184-199):
+    many small batches compact into O(log N) tiers automatically, with
+    results identical to the unmerged multi-reader."""
+    d = str(tmp_path / "tiered_ix")
+    ix = IncrementalIndexer(
+        spark, d, CFG, merge_factor=4, min_merge_docs=20
+    )
+    pdf = synth_web_pages_pdf(160)
+    per = 10
+    for i in range(16):
+        ix.add_batch(
+            spark.createDataFrame(pdf.iloc[i * per : (i + 1) * per]),
+            batch_id=i,
+        )
+    man = ix.manifest()
+    # 16 batches of 10 docs, tiers at 20/80: far fewer than 16 segments
+    assert len(man["segments"]) < 8, man["segments"]
+    assert man["next_docid"] == 160
+    assert sum(e["num_docs"] for e in man["segments"]) == 160
+    # docid_base coverage is contiguous from 0
+    bases = [e["docid_base"] for e in man["segments"]]
+    assert bases[0] == 0 and bases == sorted(bases)
+    # identical results vs a never-merged indexer over the same batches
+    d2 = str(tmp_path / "flat_ix")
+    ix2 = IncrementalIndexer(spark, d2, CFG)
+    for i in range(16):
+        ix2.add_batch(
+            spark.createDataFrame(pdf.iloc[i * per : (i + 1) * per]),
+            batch_id=i,
+        )
+    assert len(ix2.manifest()["segments"]) == 16
+    q = bool_query((TermQuery("text", "spark"), MUST))
+    merged_hits = Searcher(ix.multi_index()).top_docs(q, k=30)
+    flat_hits = Searcher(ix2.multi_index()).top_docs(q, k=30)
+    assert [h[0] for h in merged_hits] == [h[0] for h in flat_hits]
+    for (_, s1), (_, s2) in zip(merged_hits, flat_hits):
+        assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def test_tiered_merge_with_tombstones(spark, tmp_path):
+    """Range merges must NOT expunge manifest tombstones (global docids
+    stay query-time until a full compact)."""
+    d = str(tmp_path / "tiered_tomb")
+    ix = IncrementalIndexer(
+        spark, d, CFG, merge_factor=3, min_merge_docs=15
+    )
+    pdf = synth_web_pages_pdf(90)
+    for i in range(9):
+        ix.add_batch(spark.createDataFrame(pdf.iloc[i * 10: (i + 1) * 10]),
+                     batch_id=i)
+    urls = sorted(pdf["url"])[:5]
+    ix.delete_by_key(urls)
+    assert len(ix.manifest()["tombstones"]) == 5
+    ix.maybe_merge()
+    s = Searcher(ix.multi_index())
+    from montezuma_spark.search import MatchAllQuery
+
+    assert s.count(MatchAllQuery()) == 85
