@@ -1181,13 +1181,31 @@ def make_kernel(plan: CompiledPlan):
     return kernel
 
 
-def make_kernel_postings_only(plan: CompiledPlan):
-    """groupBy(shard).applyInPandas fn — postings cells are self-contained
-    (dl stream in-cell), so ordinary queries never touch doc_lens."""
+def make_kernel_partition(plan: CompiledPlan):
+    """mapInPandas fn: evaluate the plan over a whole scan/exchange
+    partition in ONE ShardEval pass. Cells from any number of shards
+    carry disjoint ascending docid ranges, so they merge through exactly
+    the multi-segment cell path (blk_first ordering) — one vectorized
+    eval per task instead of one per shard, and per-task (not per-shard)
+    top-k, so even fewer rows cross the final stage.
 
-    def kernel(key, postings_pdf: pd.DataFrame):
-        ev = ShardEval(plan, postings_pdf, None)
-        return _finish(plan, *ev.eval_top(plan.query))
+    This replaces ``groupBy("shard").applyInPandas`` on the ordinary
+    query path: the job schedules tasks ~ matched data, not
+    ``spark.sql.shuffle.partitions`` (the round-3 verdict's 0.5 s
+    scheduling floor). The CALLER guarantees per-docid completeness:
+    single-cell plans (one (field, term), unboosted) are complete under
+    any row split — each posting cell is self-contained; multi-term
+    plans must arrive hash-repartitioned by shard."""
+
+    def kernel(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        ev = ShardEval(plan, pdf, None)
+        out = _finish(plan, *ev.eval_top(plan.query))
+        if len(out):
+            yield out
 
     return kernel
 

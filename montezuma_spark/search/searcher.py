@@ -52,10 +52,15 @@ from montezuma_spark.search.kernel import (
     eval_local,
     make_kernel,
     make_kernel_cogrouped_tombstones,
-    make_kernel_postings_only,
+    make_kernel_partition,
 )
 
 RESULT_SCHEMA = "docid long, score double"
+
+# distributed multi-term exchange: postings-per-task target used to size
+# the shard repartition (decode is vectorized — ~½M postings is a
+# few-ms task; smaller estimates collapse to a single task)
+POSTINGS_PER_TASK = 500_000
 
 # matched-postings budget below which the driver evaluates locally
 # (collect a handful of binary cells instead of scheduling a Spark job —
@@ -656,6 +661,21 @@ class Searcher:
             df_est.get((f, t), 0) for f, terms in needed.items() for t in terms
         )
 
+    def _reducer_count(self, needed: dict, df_est: dict) -> int:
+        """Exchange width for the multi-term kernel: sized to the match
+        ESTIMATE (dictionary dfs — already in hand, no extra job), capped
+        by the core count and by the index's shard count. A 2-term query
+        matching 10k postings schedules 1 task; a web-hot conjunction
+        still fans out to every core."""
+        est = self._est_matched_postings(needed, df_est)
+        cap = self.index.spark.sparkContext.defaultParallelism
+        docs = max(
+            (st.get("num_docs", 0) for st in self.index.stats.values()),
+            default=0,
+        )
+        nsh = (max(docs - 1, 0) >> self.index.config.shard_bits) + 1
+        return max(1, min(cap, nsh, -(-est // POSTINGS_PER_TASK)))
+
     def _tombstones_df(self):
         """Tombstones as a (docid, shard) DataFrame — only materialized for
         delete sets too large to broadcast inside the plan. Cached per
@@ -724,8 +744,16 @@ class Searcher:
                 .cogroup(lens.groupBy("shard"))
                 .applyInPandas(kernel, schema=RESULT_SCHEMA)
             )
-        kernel = make_kernel_postings_only(plan)
-        return postings.groupBy("shard").applyInPandas(
+        # shard-pruned scheduling (round-3 verdict #1): never pay a
+        # spark.sql.shuffle.partitions-wide stage for a narrow query
+        kernel = make_kernel_partition(plan)
+        n_cells = sum(len(ts) for ts in needed.values())
+        if n_cells <= 1 and self.index.config.boost_col is None:
+            # one (field, term): every cell row is self-contained →
+            # evaluate on the scan partitions, NO exchange at all
+            return postings.mapInPandas(kernel, schema=RESULT_SCHEMA)
+        n = self._reducer_count(needed, plan.df_est)
+        return postings.repartition(n, "shard").mapInPandas(
             kernel, schema=RESULT_SCHEMA
         )
 

@@ -213,3 +213,47 @@ def test_doc_map_point_lookup_layout(spark, tmp_path, capsys):
         assert h1 < l2, f"overlapping docid ranges: {(l1, h1)} {(l2, h2)}"
     # the lookup still answers correctly
     assert scan.count() == 1
+
+
+def test_single_term_distributed_no_exchange(spark, saved, capsys):
+    """Shard-pruned scheduling (round-3 verdict #1): a distributed
+    single-term query evaluates ON the pruned scan partitions — no
+    shuffle exchange, no spark.sql.shuffle.partitions-wide stage."""
+    from montezuma_spark.search import Searcher, TermQuery
+
+    s = Searcher(saved, distributed=True)
+    df = s._execute(TermQuery("text", "merge"), 10)
+    df.explain("formatted")
+    plan = capsys.readouterr().out
+    assert "Exchange" not in plan, plan
+    got = [(r["docid"], r["score"]) for r in
+           df.orderBy(F.desc("score"), F.asc("docid")).limit(10).collect()]
+    assert got == Searcher(saved).top_docs(TermQuery("text", "merge"), k=10)
+
+
+def test_multi_term_exchange_sized_to_match(spark, saved, capsys):
+    """Multi-term distributed queries repartition by shard with a width
+    from the dictionary match estimate — tiny matches run one task, never
+    the session-wide shuffle width."""
+    from montezuma_spark.search import MUST, Searcher, TermQuery, bool_query
+
+    s = Searcher(saved, distributed=True)
+    q = bool_query((TermQuery("text", "merge"), MUST),
+                   (TermQuery("text", "spark"), MUST))
+    df = s._execute(q, 10)
+    df.explain("formatted")
+    plan = capsys.readouterr().out
+    # the estimate for this 150-doc corpus is far below one task's
+    # budget → width 1, which Spark renders as a SinglePartition
+    # repartition (hashpartitioning-to-1 is folded); either way it must
+    # NOT be the session-wide shuffle width
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert ("SinglePartition, REPARTITION_BY_NUM" in plan
+            or "hashpartitioning(shard" in plan), plan
+    import re
+
+    widths = re.findall(r"hashpartitioning\(shard#\d+L?, (\d+)\)", plan)
+    assert all(w == "1" for w in widths), plan
+    got = [(r["docid"], r["score"]) for r in
+           df.orderBy(F.desc("score"), F.asc("docid")).limit(10).collect()]
+    assert got == Searcher(saved).top_docs(q, k=10)
