@@ -109,12 +109,17 @@ def minhash_band_pairs(sig: DataFrame, num_hashes: int = 4, band_rows: int = 2,
 def ngram_jaccard_pairs(docs_toks: DataFrame, threshold: float = 0.8,
                         n: int = 3, num_hashes: int = 4, band_rows: int = 2,
                         id_col: str = "docid",
-                        toks_col: str = "toks") -> DataFrame:
+                        toks_col: str = "toks",
+                        cand: DataFrame | None = None) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, with MinHash-band
     candidate generation (the scalable path: verify only colliding pairs).
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, computed over
     DISTINCT token n-gram shingles.
+
+    ``cand``: optional precomputed (id_a, id_b) candidate pairs (e.g. a
+    persisted ``minhash_band_pairs`` result the caller also counts) —
+    skips signature recomputation.
 
     Scale: shingle arrays are re-joined per candidate pair — 2 broadcast-or-
     shuffle hash joins keyed by id; the O(n²) verify is avoided entirely.
@@ -123,11 +128,12 @@ def ngram_jaccard_pairs(docs_toks: DataFrame, threshold: float = 0.8,
         F.col(id_col),
         F.expr(_shingles_expr(toks_col, n)).alias("sh"),
     )
-    toks = docs_toks.select(
-        F.col(id_col), F.explode(toks_col).alias("tok")
-    ).distinct()
-    sig = minhash_signature(toks, num_hashes, id_col=id_col)
-    cand = minhash_band_pairs(sig, num_hashes, band_rows, id_col=id_col)
+    if cand is None:
+        toks = docs_toks.select(
+            F.col(id_col), F.explode(toks_col).alias("tok")
+        ).distinct()
+        sig = minhash_signature(toks, num_hashes, id_col=id_col)
+        cand = minhash_band_pairs(sig, num_hashes, band_rows, id_col=id_col)
     j = (
         cand.join(sh.withColumnRenamed(id_col, "id_a")
                     .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -153,33 +159,36 @@ def simhash(tokens_tf: DataFrame, bits: int = 32, id_col: str = "docid",
     Output: (id, simhash long).
 
     Integer weights → no float-order sensitivity; exactly replicable in SQL.
-    Scale: explode ×bits then two groupBys keyed by (id, bit) and id —
-    shuffles bounded by docs × bits, no token-frequency skew (tokens are
-    pre-aggregated to tf before the explode).
+    Scale: ONE groupBy keyed by id with ``bits`` sum columns — partial
+    (map-side) aggregation applies, so shuffle volume is docs × bits
+    *longs*, and no row amplification ever happens (an explode ×bits
+    formulation pushed docs × tokens × bits rows into the shuffle — 2.2B
+    rows at 1M docs — and was this operator's scale ceiling).
     """
     h = F.conv(F.substring(F.md5(F.encode(F.col(tok_col), "UTF-8")), 1, 8),
                16, 10).cast("long")
-    ex = tokens_tf.select(
+    tf = F.col(tf_col).cast("long")
+    per_tok = tokens_tf.select(
         F.col(id_col),
-        F.col(tf_col).cast("long").alias("tf"),
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        *[
+            F.when(h.bitwiseAND(F.lit(1 << b)) != 0, tf)
+            .otherwise(-tf)
+            .alias(f"c{b}")
+            for b in range(bits)
+        ],
     )
-    # shiftleft/shiftright builtins take a literal shift in the Python API;
-    # use SQL expressions so the shift can be the exploded bit column
-    w = ex.withColumn(
-        "contrib",
-        F.when(F.expr("(shiftright(h, b) & 1) = 1", ),
-               F.col("tf")).otherwise(-F.col("tf")),
-    ).groupBy(id_col, "b").agg(F.sum("contrib").alias("w"))
-    sig = w.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("w") > 0,
-                   F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    w = per_tok.groupBy(id_col).agg(
+        *[F.sum(f"c{b}").alias(f"w{b}") for b in range(bits)]
     )
-    return sig
+    bit_terms = [
+        F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc + t
+    return w.select(F.col(id_col), acc.alias("simhash"))
 
 
 def simhash_pairs(sigs: DataFrame, max_distance: int = 3, bits: int = 32,

@@ -120,13 +120,20 @@ _SYNTH_VOCAB_SIZE = 10_000
 
 def synth_corpus_spark(spark, n_docs: int, avg_len: int = 80,
                        vocab_size: int = _SYNTH_VOCAB_SIZE,
-                       parts: int | None = None):
+                       parts: int | None = None,
+                       dup_every: int | None = None):
     """Distributed deterministic synthetic corpus (url, text, lang).
 
     Content is a pure function of the row id (arithmetic hashing, Zipf-ish
     term skew) — identical regardless of partitioning/parallelism, so the
     same corpus feeds both arms of the scaling benchmark without shipping
     data from the driver.
+
+    ``dup_every``: when set (≥2), every id with ``id % dup_every ==
+    dup_every - 1`` carries the TEXT of ``id - 1`` with its first token
+    replaced — a deterministic near-duplicate (one-token edit), giving the
+    corpus ~n/dup_every true near-dup pairs for dedup scale benchmarks.
+    Default None reproduces the historical corpus byte-for-byte.
     """
     import pandas as pd
 
@@ -148,18 +155,28 @@ def synth_corpus_spark(spark, n_docs: int, avg_len: int = 80,
         )
         for pdf in batches:
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            lens = 20 + ((ids * 2654435761) % (2 * avg_len - 40 + 1))
+            if dup_every:
+                dmask = (ids % dup_every) == (dup_every - 1)
+                src = np.where(dmask, ids - 1, ids)
+            else:
+                dmask = None
+                src = ids
+            lens = 20 + ((src * 2654435761) % (2 * avg_len - 40 + 1))
             bounds = np.cumsum(lens)
             total = int(bounds[-1]) if len(bounds) else 0
             row_of = np.repeat(np.arange(len(ids)), lens)
             j = np.arange(total, dtype=np.int64) - np.repeat(
                 bounds - lens, lens
             )
-            h = (ids[row_of] * 1315423911 + j * 2654435761 + 97) & 0x7FFFFFFF
+            h = (src[row_of] * 1315423911 + j * 2654435761 + 97) & 0x7FFFFFFF
             # Zipf-ish skew: square the uniform draw
             u = (h % 1_000_000) / 1_000_000.0
             tok_idx = (u * u * vocab_size).astype(np.int64)
             toks = vocab[tok_idx]
+            if dmask is not None:
+                # the near-dup edit: first token swapped for an
+                # out-of-vocab marker (one-token edit distance)
+                toks[dmask[row_of] & (j == 0)] = "wnearduped"
             texts = [
                 " ".join(toks[bounds[i] - lens[i] : bounds[i]])
                 for i in range(len(ids))
@@ -175,6 +192,45 @@ def synth_corpus_spark(spark, n_docs: int, avg_len: int = 80,
     return (
         spark.range(0, n_docs, 1, parts)
         .mapInPandas(gen, schema="url string, text string, lang string")
+    )
+
+
+def synth_embeddings_spark(spark, n_vecs: int, dim: int = 64,
+                           n_clusters: int = 256, noise: float = 0.35,
+                           parts: int | None = None):
+    """Distributed deterministic clustered embeddings
+    (vec_id long, embedding array<float>) — unit-norm vectors drawn as
+    ``center[id % n_clusters] + noise·hash_noise(id)``, all arithmetic
+    hashing: a pure function of vec_id, identical at any parallelism.
+    The cluster structure makes IVF recall/probe benchmarks meaningful
+    (uniform random vectors have no neighbors to find)."""
+    import pandas as pd
+
+    parts = parts or spark.sparkContext.defaultParallelism * 2
+    d_idx = np.arange(dim, dtype=np.int64)
+
+    def hmat(keys: np.ndarray) -> np.ndarray:
+        """(n,) int64 keys → (n, dim) floats in [-1, 1), hash-derived."""
+        h = (
+            keys[:, None] * 2654435761 + d_idx[None, :] * 97003 + 12345
+        ) & 0x7FFFFFFF
+        return (h % 2000003) / 1000001.5 - 1.0
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            centers = hmat((ids % n_clusters) * 1000003 + 7)
+            centers /= np.maximum(
+                np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+            )
+            v = centers + noise * hmat(ids * 31337 + 11)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(v.astype(np.float32))}
+            )
+
+    return spark.range(0, n_vecs, 1, parts).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>"
     )
 
 
