@@ -276,6 +276,28 @@ def _robustness_subprocess(n_docs: int, cores: int) -> dict | None:
     return None
 
 
+def _dedup_ann_subprocess(n_docs: int, n_vecs: int,
+                          cores: int) -> dict | None:
+    """tools/dedup_ann_arm.py in a fresh process (own JVM) → its JSON,
+    or None on failure."""
+    import json as _json
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = [sys.executable, os.path.join(here, "tools", "dedup_ann_arm.py"),
+           str(n_docs), str(n_vecs), str(cores)]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800, check=True
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("DEDUP_ANN_RESULT "):
+                return _json.loads(line[len("DEDUP_ANN_RESULT "):])
+    except Exception:
+        pass
+    return None
+
+
 def _warm_workers(spark, cores: int):
     """Warm JVM codegen AND the python workers' import of the engine
     package (first pandas-UDF stage otherwise pays ~N simultaneous cold
@@ -322,7 +344,7 @@ _T0 = time.time()
 # overall soft budget: optional tail sections (ann_recall, robustness,
 # hostcap, extra scaling repeats) are skipped once exceeded so the JSON
 # always prints within the per-round driver budget
-TOTAL_BUDGET = int(os.environ.get("BENCH_TOTAL_BUDGET", "1500"))
+TOTAL_BUDGET = int(os.environ.get("BENCH_TOTAL_BUDGET", "2400"))
 _RESULT: dict = {}
 
 
@@ -545,6 +567,28 @@ def main():
         )
         if rb is not None:
             result["robustness"] = rb
+
+    # dedup/ANN scale arm (round-4 verdict #2): candidate-pair growth
+    # exponents at two corpus sizes (sub-quadratic evidence for the LSH
+    # banding joins) + a 1M-vector AnnIndex build/probe; ~8-10 min, so
+    # it runs LAST — a driver kill still emits everything above via the
+    # SIGTERM partial handler. BENCH_DEDUP_ANN=0 disables.
+    if os.environ.get("BENCH_DEDUP_ANN", "1") == "1" and _remaining() > 540:
+        da = _dedup_ann_subprocess(
+            int(os.environ.get("BENCH_DEDUP_DOCS", "1000000")),
+            int(os.environ.get("BENCH_DEDUP_VECS", "1000000")),
+            CPUS,
+        )
+        if da is not None:
+            dd = da.get("dedup") or {}
+            an = da.get("ann") or {}
+            result["dedup_ann_scale"] = {
+                "n_docs": (dd.get("hi") or {}).get("n_docs"),
+                "n_vectors": an.get("n_vectors"),
+                "cand_ratio": dd.get("candidates_per_doc_hi"),
+                "probe_sec": an.get("ivf_probe_median_s"),
+                **da,
+            }
 
     _emit(result)
 

@@ -165,13 +165,38 @@ def simhash(tokens_tf: DataFrame, bits: int = 32, id_col: str = "docid",
     formulation pushed docs × tokens × bits rows into the shuffle — 2.2B
     rows at 1M docs — and was this operator's scale ceiling).
     """
-    h = F.conv(F.substring(F.md5(F.encode(F.col(tok_col), "UTF-8")), 1, 8),
-               16, 10).cast("long")
-    tf = F.col(tf_col).cast("long")
-    per_tok = tokens_tf.select(
+    assert 1 <= bits <= 64
+    md5 = F.md5(F.encode(F.col(tok_col), "UTF-8"))
+    if bits <= 32:
+        h = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    else:
+        # 64-bit fingerprints (Manku/Jain/Sarma, WWW 2007 use 64 bits at
+        # web scale — pigeonhole chunk width bits/(d+1) governs candidate
+        # volume, so wider is the scale knob): assemble from two 32-bit
+        # halves — conv() of 16 hex digits would overflow a signed long
+        h = F.shiftleft(
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("long"), 32
+        ).bitwiseOR(F.conv(F.substring(md5, 9, 8), 16, 10).cast("long"))
+
+    def bit_lit(b: int):
+        # 1<<63 exceeds Long.MAX as a Python literal; its two's-complement
+        # value is Long.MIN
+        return F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+
+    # materialize h (and tf) once before fanning out to ``bits`` columns:
+    # inlining the md5 expression into every conditional would hash each
+    # token ``bits`` times (common-subexpression elimination across
+    # conditional branches is not guaranteed)
+    hashed = tokens_tf.select(
+        F.col(id_col),
+        F.col(tf_col).cast("long").alias("_tf"),
+        h.alias("_h"),
+    )
+    tf = F.col("_tf")
+    per_tok = hashed.select(
         F.col(id_col),
         *[
-            F.when(h.bitwiseAND(F.lit(1 << b)) != 0, tf)
+            F.when(F.col("_h").bitwiseAND(bit_lit(b)) != 0, tf)
             .otherwise(-tf)
             .alias(f"c{b}")
             for b in range(bits)
@@ -181,13 +206,15 @@ def simhash(tokens_tf: DataFrame, bits: int = 32, id_col: str = "docid",
         *[F.sum(f"c{b}").alias(f"w{b}") for b in range(bits)]
     )
     bit_terms = [
-        F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("long"))
+        F.when(F.col(f"w{b}") > 0, bit_lit(b))
         .otherwise(F.lit(0).cast("long"))
         for b in range(bits)
     ]
+    # disjoint bit patterns: bitwise OR assembly (addition would be
+    # equivalent for bits<64 but the sign bit makes OR the honest form)
     acc = bit_terms[0]
     for t in bit_terms[1:]:
-        acc = acc + t
+        acc = acc.bitwiseOR(t)
     return w.select(F.col(id_col), acc.alias("simhash"))
 
 

@@ -845,6 +845,10 @@ class Index:
         # offsets term-vectors sidecar (FieldConfig.offsets fields only);
         # None when no field opted in
         self.tv_offsets = tv_offsets
+        # saved-layout postings path + cached pyarrow dataset (set by
+        # Index.load; None while the index only exists as DataFrames)
+        self.postings_path: str | None = None
+        self._pa_postings = None
         from montezuma_spark.index.deletions import load_tombstones
 
         # sorted tombstoned docids (.del bitset analog — see deletions.py)
@@ -1080,7 +1084,7 @@ class Index:
         with open(f"{index_dir}/meta.json") as fh:
             meta = json.load(fh)
         tv_dir = f"{index_dir}/term_vectors"
-        return Index(
+        idx = Index(
             spark,
             IndexConfig.from_json(meta["config"]),
             spark.read.parquet(f"{index_dir}/doc_map"),
@@ -1094,6 +1098,25 @@ class Index:
                 spark.read.parquet(tv_dir) if os.path.isdir(tv_dir) else None
             ),
         )
+        # the saved-layout marker: self.postings is literally this parquet
+        # directory, so the driver-direct arrow fetch (Searcher's local
+        # tier) may read it without a Spark job. Deliberately NOT set for
+        # in-memory/derived indexes (add_indexes unions, streaming views).
+        idx.postings_path = f"{index_dir}/postings"
+        return idx
+
+    def _postings_dataset(self):
+        """Cached pyarrow dataset over the saved postings directory (None
+        for unsaved indexes). Point-query IO path — see
+        Searcher._fetch_postings_pdf."""
+        path = getattr(self, "postings_path", None)
+        if path is None:
+            return None
+        if self._pa_postings is None:
+            import pyarrow.dataset as ds
+
+            self._pa_postings = ds.dataset(path, format="parquet")
+        return self._pa_postings
 
 
 def build_index(

@@ -1227,7 +1227,11 @@ def make_kernel_cogrouped_tombstones(plan: CompiledPlan):
 
 def eval_local(plan: CompiledPlan, postings) -> pd.DataFrame:
     """Driver-side evaluation over collected postings rows (the fast path
-    for small matched sets): group by shard, evaluate, global top-k.
+    for small matched sets): ONE ShardEval pass over every row — cells
+    from different shards carry disjoint ascending docid ranges, so they
+    merge through the multi-segment cell path (blk_first order), exactly
+    like make_kernel_partition, and WAND pruning sees the GLOBAL top-k
+    threshold instead of 31 per-shard ones (strictly tighter).
     ``postings``: a pandas frame OR a pre-parsed list[CellRow] (the
     preload tier caches parsed rows so repeated queries skip pandas
     entirely)."""
@@ -1236,25 +1240,19 @@ def eval_local(plan: CompiledPlan, postings) -> pd.DataFrame:
         if isinstance(postings, list)
         else rows_from_pandas(postings)
     )
-    by_shard: dict = {}
-    for r in rows:
-        by_shard.setdefault(r.shard, []).append(r)
-    parts = []
-    for shard in sorted(by_shard):
-        ev = ShardEval(plan, by_shard[shard], None)
-        d, s = ev.eval_top(plan.query)
-        if len(d):
-            parts.append((d, s))
-    if not parts:
+    if not rows:
         return pd.DataFrame({"docid": [], "score": []}).astype(
             {"docid": "int64", "score": "float64"}
         )
-    docids = np.concatenate([p[0] for p in parts])
-    scores = np.concatenate([p[1] for p in parts])
+    ev = ShardEval(plan, rows, None)
+    docids, scores = ev.eval_top(plan.query)
+    if len(docids) == 0:
+        return pd.DataFrame({"docid": [], "score": []}).astype(
+            {"docid": "int64", "score": "float64"}
+        )
     if plan.k is not None and len(docids) > plan.k:
         order = np.lexsort((docids, -scores))[: plan.k]
-        docids, scores = docids[order], scores[order]
     else:
         order = np.lexsort((docids, -scores))
-        docids, scores = docids[order], scores[order]
+    docids, scores = docids[order], scores[order]
     return pd.DataFrame({"docid": docids, "score": scores})

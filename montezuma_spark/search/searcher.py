@@ -128,6 +128,7 @@ class Searcher:
         self._preload = preload
         self._preload_max_bytes = preload_max_bytes
         self._force_distributed = distributed
+        self._arrow_fetches = 0                  # driver-direct reads (tests)
 
     def _hot_cells(self) -> dict:
         if self._hot is None:
@@ -782,8 +783,63 @@ class Searcher:
                     rows.extend(self._hot_rows(key))
             plan.hot = True  # enable decode-once row caches (shared rows)
             return eval_local(plan, rows)
-        postings, _ = self._filtered_postings(resolved, need_pos)
-        return eval_local(plan, postings.toPandas())
+        return eval_local(plan, self._fetch_postings_pdf(resolved, need_pos))
+
+    def _fetch_postings_pdf(self, resolved: Query, need_pos: bool):
+        """Matched postings cells as a pandas frame for the local tier.
+
+        Saved indexes read the cells STRAIGHT from the range-sorted
+        parquet files with pyarrow — the postings analog of the term-infos
+        dictionary seek: a point read needs file IO (min/max row-group
+        pruning, which pyarrow applies from the parquet stats the save
+        layout guarantees), not a scheduled Spark job. At 1M docs this is
+        the difference between ~50 ms and ~350 ms per query; on a real
+        cluster the driver fetches the same few MB from object storage.
+        In-memory indexes (no saved layout) keep the pruned Spark scan —
+        identical rows either way."""
+        dset = self.index._postings_dataset()
+        if dset is None:
+            postings, _ = self._filtered_postings(resolved, need_pos)
+            return postings.toPandas()
+        import pyarrow.compute as pc
+
+        from montezuma_spark.codec.postings import BOOST_TERM
+
+        needed = self._needed_terms(resolved)
+        filt = None
+        for f, terms in needed.items():
+            ts = sorted(terms)
+            # pyarrow prunes row groups from parquet min/max stats for
+            # comparison predicates but NOT for isin (set membership), so
+            # a bare isin reads every row group (~30x slower here):
+            # single term → equality; term set → [min,max] BETWEEN (the
+            # pruner) AND isin (the exact filter)
+            if not ts:
+                continue  # e.g. a wildcard that expanded to nothing
+            if len(ts) == 1:
+                tc = pc.field("term") == ts[0]
+            else:
+                tc = (
+                    (pc.field("term") >= ts[0])
+                    & (pc.field("term") <= ts[-1])
+                    & pc.field("term").isin(ts)
+                )
+            c = (pc.field("field") == f) & tc
+            filt = c if filt is None else (filt | c)
+        if filt is None:
+            filt = pc.field("term") == ""  # matches nothing (parity with
+            # _filtered_postings' lit(False) branch)
+        elif self.index.config.boost_col is not None:
+            filt = filt | (pc.field("term") == BOOST_TERM)
+        cols = [
+            "field", "term", "shard", "df", "cf", "postings",
+            "blk_first", "blk_last", "blk_n", "blk_off", "blk_codes_len",
+            "blk_ext_len", "blk_maxtf", "blk_mindl",
+        ]
+        if need_pos:
+            cols += ["positions", "pos_off"]
+        self._arrow_fetches += 1
+        return dset.to_table(columns=cols, filter=filt).to_pandas()
 
     # ------------------------------------------------------------------- API
     def search(self, query: Query, k: int | None = 10,

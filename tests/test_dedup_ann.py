@@ -423,3 +423,66 @@ def test_ann_index_without_by_id_sidecar_falls_back(spark, emb_df,
     want = next(r[1] for r in rows if r[0] == 5)
     assert qv == pytest.approx([float(x) for x in want])
     assert ix.lsh_topk(query_id=5, k=3).count() == 3
+
+
+def test_simhash_64bit_matches_numpy_oracle(spark, toks_df):
+    """bits=64 (the web-scale Manku et al. width): Spark signature equals
+    an independent numpy reconstruction, including the sign bit."""
+    import hashlib
+
+    tf = (
+        toks_df.select("docid", F.explode("toks").alias("tok"))
+        .groupBy("docid", "tok").agg(F.count("*").alias("tf"))
+    )
+    got = dict(simhash(tf, bits=64).collect())
+
+    def h64(tok: str) -> int:
+        d = hashlib.md5(tok.encode()).hexdigest()
+        return (int(d[:8], 16) << 32) | int(d[8:16], 16)
+
+    bags: dict = {}
+    for r in (
+        toks_df.select("docid", F.explode("toks").alias("tok")).collect()
+    ):
+        bags.setdefault(r["docid"], {}).setdefault(r["tok"], 0)
+        bags[r["docid"]][r["tok"]] += 1
+    for docid, bag in bags.items():
+        sig = 0
+        for b in range(64):
+            w = sum(
+                tf if (h64(t) >> b) & 1 else -tf for t, tf in bag.items()
+            )
+            if w > 0:
+                sig |= 1 << b
+        # numpy oracle is unsigned; Spark long is two's complement
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        assert got[docid] == sig, docid
+
+
+def test_simhash_pairs_64bit(spark):
+    """Pigeonhole completeness holds at 64 bits (16-bit chunks), incl.
+    negative (sign-bit-set) fingerprints."""
+    from itertools import combinations
+
+    from montezuma_spark.dedup import simhash_pairs
+
+    rng = np.random.RandomState(11)
+    base = int(rng.randint(0, 2**63 - 1)) | (1 << 63)  # sign bit set
+    sigs = []
+    for i in range(30):
+        s = base
+        for b in rng.choice(64, size=rng.randint(0, 7), replace=False):
+            s ^= 1 << int(b)
+        sigs.append((i, s - (1 << 64) if s >= 1 << 63 else s))
+    df = spark.createDataFrame(sigs, "docid long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, max_distance=3, bits=64).collect()
+    }
+    want = {
+        (a, b): bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+        for (a, sa), (b, sb) in combinations(sigs, 2)
+        if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert got == want

@@ -257,3 +257,38 @@ def test_multi_term_exchange_sized_to_match(spark, saved, capsys):
     got = [(r["docid"], r["score"]) for r in
            df.orderBy(F.desc("score"), F.asc("docid")).limit(10).collect()]
     assert got == Searcher(saved).top_docs(q, k=10)
+
+
+def test_local_tier_arrow_fetch(spark, saved):
+    """Saved indexes serve the local tier with a driver-direct pyarrow
+    read of the range-sorted postings files (no Spark job), and the rows
+    must be identical to the pruned Spark scan's."""
+    from montezuma_spark.search import (MUST, Searcher, TermQuery,
+                                        WildcardQuery, bool_query)
+
+    s = Searcher(saved)
+    for q in (TermQuery("text", "merge"),
+              bool_query((TermQuery("text", "merge"), MUST),
+                         (TermQuery("text", "spark"), MUST)),
+              WildcardQuery("text", "me*")):
+        before = s._arrow_fetches
+        got = s.top_docs(q, k=10)
+        assert s._arrow_fetches == before + 1, "arrow path not taken"
+        # parity vs the Spark scan (force it by nulling the dataset hook)
+        plan, resolved, need_pos = s._compile(q, 10)
+        apdf = s._fetch_postings_pdf(resolved, need_pos)
+        spdf = s._filtered_postings(resolved, need_pos)[0].toPandas()
+        key = ["field", "term", "shard"]
+        a = apdf[key + ["df", "cf"]].sort_values(key).reset_index(drop=True)
+        b = spdf[key + ["df", "cf"]].sort_values(key).reset_index(drop=True)
+        assert a.equals(b), q
+        assert got == Searcher(saved, distributed=True).top_docs(q, k=10)
+    # an unsaved (in-memory) index must keep working through the scan
+    from montezuma_spark.fixtures import synth_web_pages_df
+
+    cfg = saved.config
+    mem = build_index(spark, synth_web_pages_df(spark, 150), cfg)
+    sm = Searcher(mem)
+    assert sm.top_docs(TermQuery("text", "merge"), k=10) == \
+        Searcher(saved).top_docs(TermQuery("text", "merge"), k=10)
+    assert sm._arrow_fetches == 0

@@ -1,0 +1,217 @@
+"""Dedup + ANN scale arm — sub-quadratic-growth evidence at ≥1M docs/vectors
+(round-3 verdict item #2: the full-text build had 1M/2M-doc evidence, the
+dedup/ANN operators had none beyond sf0.1).
+
+Two scale points (n/4 and n) for the LSH dedup pipeline prove the candidate
+set grows ~linearly (growth exponent ≈ 1.0 on a log/log docs→candidates fit;
+an all-pairs O(n²) design would show ≈ 2.0):
+
+* MinHash signatures → band candidate pairs → exact n-gram Jaccard verify
+* SimHash fingerprints → pigeonhole-chunk candidate pairs → hamming verify
+
+plus an AnnIndex build at ``n_vecs`` clustered vectors with IVF/LSH probe
+latencies and recall@10 vs the exact rerank baseline.
+
+Corpus: ``synth_corpus_spark(dup_every=10)`` — deterministic, 10% of docs
+are one-token-edit near-duplicates, so every scale point carries real
+near-dup structure (n/10 true pairs) on top of random band collisions.
+Vectors: ``synth_embeddings_spark`` — 256 hash-derived clusters, unit-norm.
+
+Emits one JSON line:
+
+    DEDUP_ANN_RESULT {"dedup": {...}, "ann": {...}}
+
+Usage: python tools/dedup_ann_arm.py [n_docs] [n_vecs] [cores]
+(defaults 1_000_000 docs, 1_000_000 vectors, all CPUs; 0 skips a section).
+bench.py runs it as a subprocess so BENCH_r{N}.json carries the numbers.
+"""
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# web-scale parameters (NOT the tiny-corpus contract defaults): MinHash
+# over 3-gram SHINGLES (vast feature space → random-pair Jaccard ≈ 0, so
+# band collisions ≈ true near-dups) with 2 bands × 4 rows (collision
+# prob J⁴ per band: J=0.93 one-token-edit dup → 0.94 recall, J=0.2
+# random pair → 3e-3); SimHash at 64 bits (Manku et al., WWW 2007) so the
+# pigeonhole chunks are 16 bits wide — 32-bit chunks of 8 bits collide
+# every n²/2⁸ pairs, which is quadratic blow-up at 1M docs
+MINHASH_HASHES = 8
+MINHASH_BAND_ROWS = 4
+SIMHASH_BITS = 64
+
+
+def _dedup_point(spark, n_docs: int, vocab_size: int) -> dict:
+    """One dedup scale point: candidate/verified pair counts + timings."""
+    from pyspark.sql import functions as F
+
+    from montezuma_spark.dedup import (
+        minhash_band_pairs,
+        minhash_signature,
+        ngram_jaccard_pairs,
+        shingles,
+        simhash,
+        simhash_pairs,
+    )
+    from montezuma_spark.fixtures import synth_corpus_spark
+
+    docs = synth_corpus_spark(spark, n_docs, vocab_size=vocab_size,
+                              dup_every=10)
+    toks = docs.select(
+        F.substring("url", -12, 12).cast("long").alias("docid"),
+        F.split("text", " ").alias("toks"),
+    ).persist()
+    toks.count()
+    tok = toks.select("docid", F.explode("toks").alias("tok"))
+    sh = toks.select(
+        "docid", F.explode(shingles(F.col("toks"), 3)).alias("tok")
+    )
+
+    out = {"n_docs": n_docs}
+
+    t0 = time.time()
+    sig = minhash_signature(sh, num_hashes=MINHASH_HASHES)
+    cand = minhash_band_pairs(
+        sig, num_hashes=MINHASH_HASHES, band_rows=MINHASH_BAND_ROWS
+    ).persist()
+    out["minhash_candidates"] = cand.count()
+    out["minhash_seconds"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    ver = ngram_jaccard_pairs(toks, threshold=0.8, cand=cand)
+    out["jaccard_pairs"] = ver.count()
+    out["jaccard_seconds"] = round(time.time() - t0, 2)
+    cand.unpersist()
+
+    t0 = time.time()
+    tf = tok.groupBy("docid", "tok").agg(F.count("*").alias("tf"))
+    pairs = simhash_pairs(
+        simhash(tf, bits=SIMHASH_BITS), max_distance=3, bits=SIMHASH_BITS
+    )
+    out["simhash_pairs"] = pairs.count()
+    out["simhash_seconds"] = round(time.time() - t0, 2)
+    toks.unpersist()
+    return out
+
+
+def _growth(lo: dict, hi: dict, key: str) -> float | None:
+    """log-log growth exponent of ``key`` between the two scale points
+    (1.0 = linear, 2.0 = quadratic)."""
+    if not lo.get(key) or not hi.get(key):
+        return None
+    return round(
+        math.log(hi[key] / lo[key]) / math.log(hi["n_docs"] / lo["n_docs"]), 3
+    )
+
+
+def _ann_arm(spark, n_vecs: int, work_dir: str) -> dict:
+    """AnnIndex build at n_vecs + probe latency/recall vs exact rerank."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from montezuma_spark.ann import (
+        AnnIndex,
+        IVF_TRAIN_CAP,
+        ivf_train_centroids_local,
+        rerank_topk,
+    )
+    from montezuma_spark.fixtures import synth_embeddings_spark
+
+    emb = synth_embeddings_spark(spark, n_vecs).persist()
+    emb.count()
+    t0 = time.time()
+    sample = (
+        emb.orderBy("vec_id").limit(IVF_TRAIN_CAP).toPandas()["embedding"]
+    )
+    cents = ivf_train_centroids_local(np.stack(sample.map(np.asarray)))
+    train_s = time.time() - t0
+    t0 = time.time()
+    ix = AnnIndex.build(
+        spark, emb, f"{work_dir}/ann_ix", dim=64, centroids=cents
+    )
+    build_s = time.time() - t0
+
+    qids = [7, 123_457, 500_009, 777_781, n_vecs - 3]
+    qids = [q for q in qids if q < n_vecs]
+    lat_ivf, lat_lsh, recall = [], [], []
+    for qid in qids:
+        t0 = time.time()
+        got = [r["vec_id"] for r in ix.ivf_topk(qid, k=10).collect()]
+        lat_ivf.append(time.time() - t0)
+        t0 = time.time()
+        ix.lsh_topk(qid, k=10).collect()
+        lat_lsh.append(time.time() - t0)
+        qvec = ix._query_vec(qid)
+        truth = [
+            r["vec_id"]
+            for r in rerank_topk(
+                emb, qvec, 10, id_col="vec_id", vec_col="embedding"
+            ).collect()
+        ]
+        recall.append(len(set(got) & set(truth)) / 10.0)
+    emb.unpersist()
+
+    def med(xs):
+        return round(sorted(xs)[len(xs) // 2], 4)
+
+    return {
+        "n_vectors": n_vecs,
+        "train_seconds": round(train_s, 2),
+        "build_seconds": round(build_s, 2),
+        "vectors_per_sec": round(n_vecs / build_s, 1),
+        "ivf_probe_median_s": med(lat_ivf),
+        "lsh_probe_median_s": med(lat_lsh),
+        "recall_at_10": round(sum(recall) / len(recall), 3),
+        "n_queries": len(qids),
+    }
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else (os.cpu_count() or 8)
+
+    from bench import _fresh_spark, _warm_workers
+
+    spark = _fresh_spark(cores, f"dedup-ann-{n_docs}")
+    _warm_workers(spark, cores)
+
+    result: dict = {"cores": cores}
+    if n_docs:
+        # Heaps'-law-ish vocabulary for the corpus size (a 10k shared
+        # vocab at 1M docs is unrealistically overlapping and would
+        # charge the banding join for corpus artifacts); SAME vocab at
+        # both points so the exponent isolates the join's growth
+        vocab = max(50_000, n_docs // 5)
+        lo = _dedup_point(spark, n_docs // 4, vocab)
+        hi = _dedup_point(spark, n_docs, vocab)
+        result["dedup"] = {
+            "lo": lo,
+            "hi": hi,
+            # ≈1.0 = linear candidate growth (the sub-quadratic claim);
+            # an O(n²) all-pairs join would show ≈2.0
+            "growth_exponent_minhash": _growth(lo, hi, "minhash_candidates"),
+            "growth_exponent_simhash": _growth(lo, hi, "simhash_pairs"),
+            "candidates_per_doc_hi": round(
+                hi["minhash_candidates"] / hi["n_docs"], 3
+            ),
+        }
+    if n_vecs:
+        work = f"/tmp/dedup_ann_arm_{os.getpid()}"
+        try:
+            result["ann"] = _ann_arm(spark, n_vecs, work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    print("DEDUP_ANN_RESULT " + json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
