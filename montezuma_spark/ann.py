@@ -596,6 +596,7 @@ class AnnIndex:
             self.by_id = spark.read.parquet(f"{index_dir}/by_id")
         else:
             self.by_id = self.vectors
+        self._ds_cache: dict = {}  # arrow datasets for driver-direct probes
 
     # ----------------------------------------------------------------- build
     @staticmethod
@@ -628,19 +629,26 @@ class AnnIndex:
             .join(cids, id_col)
         )
         os.makedirs(index_dir, exist_ok=True)
-        vec.write.mode("overwrite").partitionBy("cid").parquet(
-            f"{index_dir}/vectors"
-        )
+        # repartition ON the partition key before partitionBy: without it
+        # every write task emits a file per cid it holds (tasks × cells
+        # tiny files — 32k at 1M vectors); with it, one file per cell
+        vec.repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{index_dir}/vectors")
         saved_vec = spark.read.parquet(f"{index_dir}/vectors")
+        # bands carry cid so an LSH probe can fetch its candidates'
+        # vectors through the cid-pruned directories (a scattered-id read
+        # of the range-sorted by_id sidecar cannot prune row groups)
         bands = saved_vec.select(
             F.col(id_col),
+            F.col("cid"),
             F.posexplode(
                 _bands(F.col("sig"), num_planes, band_bits)
             ).alias("band_id", "band_val"),
         )
-        bands.write.mode("overwrite").partitionBy(
-            "band_id", "band_val"
-        ).parquet(f"{index_dir}/bands")
+        bands.repartition("band_id", "band_val").write.mode(
+            "overwrite"
+        ).partitionBy("band_id", "band_val").parquet(f"{index_dir}/bands")
         # id-ordered point-lookup sidecar: range-partitioned AND sorted on
         # id, so every file covers a disjoint id interval and an
         # id-equality predicate prunes to ≤1 file via parquet min/max
@@ -673,8 +681,79 @@ class AnnIndex:
             meta = json.load(fh)
         return AnnIndex(spark, index_dir, meta)
 
+    # ------------------------------------------------------- arrow IO layer
+    # Probes are POINT READS (a few pruned directories / one file), so —
+    # like Searcher's local tier — they read the parquet straight from the
+    # driver with pyarrow instead of scheduling a Spark job. The Spark
+    # path remains the fallback for probes estimated too large to
+    # materialize driver-side (and produces identical rows).
+
+    # probed-row budget for the driver-direct path: ~256 B/row at dim=64
+    # → ≤ ~250 MB materialized, well under driver headroom; beyond it the
+    # partition-pruned Spark scan takes over
+    ARROW_PROBE_MAX_ROWS = 1_000_000
+
+    def _dataset(self, name: str, partitioned: bool = False):
+        import os
+
+        if name not in self._ds_cache:
+            path = f"{self.index_dir}/{name}"
+            if not os.path.isdir(path):
+                self._ds_cache[name] = None
+            else:
+                try:
+                    import pyarrow.dataset as ds
+
+                    self._ds_cache[name] = ds.dataset(
+                        path, format="parquet",
+                        partitioning="hive" if partitioned else None,
+                    )
+                except Exception:
+                    self._ds_cache[name] = None
+        return self._ds_cache[name]
+
+    def _topk_result(self, ids: np.ndarray, vecs: np.ndarray,
+                     qvec: np.ndarray, k: int) -> DataFrame:
+        """Exact cosine + (cos desc, id asc) top-k driver-side, returned
+        as a k-row DataFrame with rerank_topk's exact schema/order (the
+        same float64 ops, so scores are bit-identical)."""
+        import pandas as pd
+
+        q = np.ascontiguousarray(qvec, dtype=np.float64)
+        if len(ids):
+            cos = (vecs @ q) / (
+                np.linalg.norm(vecs, axis=1) * float(np.linalg.norm(q))
+            )
+            order = np.lexsort((ids, -cos))[:k]
+            pdf = pd.DataFrame(
+                {self.id_col: ids[order], "cos": cos[order]}
+            )
+        else:
+            pdf = pd.DataFrame(
+                {self.id_col: np.empty(0, dtype=np.int64),
+                 "cos": np.empty(0, dtype=np.float64)}
+            )
+        return self.spark.createDataFrame(
+            pdf, schema=f"{self.id_col} long, cos double"
+        )
+
     # ----------------------------------------------------------------- query
     def _query_vec(self, query_id: int) -> np.ndarray:
+        dset = self._dataset("by_id")
+        if dset is not None:
+            import pyarrow.compute as pc
+
+            # id-equality over the range-sorted sidecar: parquet min/max
+            # stats prune to ≤1 row group — a ~ms footer-guided read
+            tbl = dset.to_table(
+                columns=[self.vec_col],
+                filter=pc.field(self.id_col) == query_id,
+            )
+            if tbl.num_rows == 0:
+                raise ValueError(
+                    f"query {self.id_col}={query_id} not found in index"
+                )
+            return np.asarray(tbl[self.vec_col][0].as_py(), dtype=np.float64)
         head = (
             self.by_id.filter(F.col(self.id_col) == query_id)
             .select(self.vec_col)
@@ -690,14 +769,41 @@ class AnnIndex:
 
     def lsh_topk(self, query_id: int | None = None, k: int = 10,
                  qvec: np.ndarray | None = None) -> DataFrame:
-        """Probe the persisted band buckets (partition-pruned scan of only
-        the query's (band_id, band_val) directories), rerank exactly."""
+        """Probe the persisted band buckets (pruned to the query's
+        (band_id, band_val) directories), rerank exactly. Driver-direct
+        when the bucket row estimate fits ARROW_PROBE_MAX_ROWS."""
         if qvec is None:
             qvec = self._query_vec(query_id)
         qbands = _query_bands(
             _query_signature(qvec, self.planes),
             self.meta["num_planes"], self.meta["band_bits"],
         )
+        bds = self._dataset("bands", partitioned=True)
+        vds = self._dataset("by_id")
+        if bds is not None and vds is not None:
+            import pyarrow.compute as pc
+
+            filt = None
+            for b, v in qbands:
+                c = (pc.field("band_id") == b) & (pc.field("band_val") == v)
+                filt = c if filt is None else (filt | c)
+            if bds.count_rows(filter=filt) <= self.ARROW_PROBE_MAX_ROWS:
+                has_cid = "cid" in bds.schema.names
+                cols = [self.id_col, "cid"] if has_cid else [self.id_col]
+                cand = bds.to_table(columns=cols, filter=filt)
+                ids = np.unique(cand[self.id_col].to_numpy())
+                if query_id is not None:
+                    ids = ids[ids != query_id]
+                vvec = self._dataset("vectors", partitioned=True)
+                if has_cid and vvec is not None:
+                    # candidates are similar vectors → they concentrate
+                    # in few IVF cells; fetch through the cid-pruned
+                    # directories (worst case = the table, same as by_id)
+                    cells = np.unique(cand["cid"].to_numpy())
+                    ids, vecs = self._fetch_vectors_cells(vvec, cells, ids)
+                else:
+                    ids, vecs = self._fetch_vectors_arrow(vds, ids)
+                return self._topk_result(ids, vecs, qvec, k)
         pred = None
         for b, v in qbands:
             c = (F.col("band_id") == b) & (F.col("band_val") == v)
@@ -710,14 +816,67 @@ class AnnIndex:
             self.id_col, self.vec_col,
         )
 
+    def _fetch_vectors_arrow(self, vds, ids: np.ndarray):
+        """Vectors for a sorted id set from the range-sorted by_id files:
+        per-fragment [lo, hi] bracket (prunes row groups via min/max
+        stats — a bare isin prunes nothing) + exact isin."""
+        import pyarrow.compute as pc
+
+        if len(ids) == 0:
+            return ids, np.empty((0, self.meta["dim"]))
+        filt = (
+            (pc.field(self.id_col) >= int(ids[0]))
+            & (pc.field(self.id_col) <= int(ids[-1]))
+            & pc.field(self.id_col).isin(ids.tolist())
+        )
+        tbl = vds.to_table(columns=[self.id_col, self.vec_col], filter=filt)
+        out_ids = tbl[self.id_col].to_numpy()
+        vecs = _stack_vectors(tbl[self.vec_col].to_pandas())
+        return out_ids, vecs
+
+    def _fetch_vectors_cells(self, vds, cells: np.ndarray, ids: np.ndarray):
+        """Vectors for an id set known to live in ``cells``: directory
+        pruning on cid keeps the read to the candidate cells (each a
+        single file of ~n/num_centroids rows), then exact isin on id."""
+        import pyarrow.compute as pc
+
+        if len(ids) == 0:
+            return ids, np.empty((0, self.meta["dim"]))
+        filt = pc.field("cid").isin(
+            [int(c) for c in cells]
+        ) & pc.field(self.id_col).isin(ids.tolist())
+        tbl = vds.to_table(columns=[self.id_col, self.vec_col], filter=filt)
+        out_ids = tbl[self.id_col].to_numpy()
+        vecs = _stack_vectors(tbl[self.vec_col].to_pandas())
+        return out_ids, vecs
+
     def ivf_topk(self, query_id: int | None = None, k: int = 10,
                  nprobe: int = NPROBE,
                  qvec: np.ndarray | None = None) -> DataFrame:
-        """Probe the nprobe nearest cells — the vectors scan is pruned to
-        those cid partitions (assert via .explain: PartitionFilters)."""
+        """Probe the nprobe nearest cells — pruned to those cid
+        partitions. Driver-direct (arrow read of the probed directories +
+        numpy rerank) when the probed rows fit ARROW_PROBE_MAX_ROWS; else
+        the partition-pruned Spark scan (assert via .explain:
+        PartitionFilters)."""
         if qvec is None:
             qvec = self._query_vec(query_id)
         probe = _probe_cells(qvec, self.centroids, nprobe)
+        vds = self._dataset("vectors", partitioned=True)
+        if vds is not None:
+            import pyarrow.compute as pc
+
+            filt = pc.field("cid").isin([int(c) for c in probe])
+            # partition-directory pruning makes this a metadata-only count
+            if vds.count_rows(filter=filt) <= self.ARROW_PROBE_MAX_ROWS:
+                tbl = vds.to_table(
+                    columns=[self.id_col, self.vec_col], filter=filt
+                )
+                ids = tbl[self.id_col].to_numpy()
+                vecs = _stack_vectors(tbl[self.vec_col].to_pandas())
+                if query_id is not None:
+                    keep = ids != query_id
+                    ids, vecs = ids[keep], vecs[keep]
+                return self._topk_result(ids, vecs, qvec, k)
         cand = self.vectors.filter(F.col("cid").isin(probe))
         if query_id is not None:
             cand = cand.filter(F.col(self.id_col) != query_id)

@@ -126,15 +126,22 @@ def _ann_arm(spark, n_vecs: int, work_dir: str) -> dict:
 
     emb = synth_embeddings_spark(spark, n_vecs).persist()
     emb.count()
+    # scale the coarse quantizer with the table (the library default 16
+    # cells is sized for the tiny contract tables; nprobe/ncells is the
+    # fraction of the table every probe reads)
+    n_cent = 256 if n_vecs >= 100_000 else 16
     t0 = time.time()
     sample = (
         emb.orderBy("vec_id").limit(IVF_TRAIN_CAP).toPandas()["embedding"]
     )
-    cents = ivf_train_centroids_local(np.stack(sample.map(np.asarray)))
+    cents = ivf_train_centroids_local(
+        np.stack(sample.map(np.asarray)), n=n_cent
+    )
     train_s = time.time() - t0
     t0 = time.time()
     ix = AnnIndex.build(
-        spark, emb, f"{work_dir}/ann_ix", dim=64, centroids=cents
+        spark, emb, f"{work_dir}/ann_ix", dim=64, centroids=cents,
+        num_centroids=n_cent,
     )
     build_s = time.time() - t0
 
