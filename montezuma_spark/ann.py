@@ -362,6 +362,7 @@ IVF_SEED = 54321
 # count scales with the table (10^9 vectors → ~500 files of ~2M rows,
 # each a few hundred MB) so point lookups stay ≤1 file at any scale
 BY_ID_ROWS_PER_FILE = 2_000_000
+BANDS_ROWS_PER_FILE = 4_000_000
 
 
 def ivf_centroids(dim: int = 64, n: int = NUM_CENTROIDS,
@@ -646,19 +647,37 @@ class AnnIndex:
                 _bands(F.col("sig"), num_planes, band_bits)
             ).alias("band_id", "band_val"),
         )
-        bands.repartition("band_id", "band_val").write.mode(
-            "overwrite"
-        ).partitionBy("band_id", "band_val").parquet(f"{index_dir}/bands")
+        # directories only for band_id (a handful); band_val is range-
+        # sorted WITHIN the files so a bucket probe prunes via parquet
+        # min/max row-group stats — partitioning on band_val itself would
+        # explode into 2^band_bits directories per band, which caps
+        # band_bits at ~8 and forces fat buckets at web scale
+        n_vec = saved_vec.count()
+        n_bands = max(1, num_planes // band_bits)
+        bands_files = max(n_bands, -(-n_vec * n_bands // BANDS_ROWS_PER_FILE))
+        (
+            bands.repartitionByRange(bands_files, "band_id", "band_val")
+            .sortWithinPartitions("band_id", "band_val")
+            .write.mode("overwrite")
+            .partitionBy("band_id")
+            # 2 MB row groups ≈ tight min/max brackets per group: a
+            # bucket equality decodes one small group, not 128 MB
+            .option("parquet.block.size", str(2 * 1024 * 1024))
+            .parquet(f"{index_dir}/bands")
+        )
         # id-ordered point-lookup sidecar: range-partitioned AND sorted on
         # id, so every file covers a disjoint id interval and an
         # id-equality predicate prunes to ≤1 file via parquet min/max
         # stats at any scale; file count follows the table size
-        n_vec = saved_vec.count()
         n_files = max(1, -(-n_vec // BY_ID_ROWS_PER_FILE))
         (
             saved_vec.repartitionByRange(n_files, F.col(id_col))
             .sortWithinPartitions(id_col)
             .write.mode("overwrite")
+            # small row groups: the row group is the pruning unit for a
+            # point lookup — default 128 MB groups make an id-equality
+            # read decode ~500k rows; 4 MB keeps it to ~10k
+            .option("parquet.block.size", str(4 * 1024 * 1024))
             .parquet(f"{index_dir}/by_id")
         )
         meta = {

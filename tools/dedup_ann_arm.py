@@ -126,10 +126,15 @@ def _ann_arm(spark, n_vecs: int, work_dir: str) -> dict:
 
     emb = synth_embeddings_spark(spark, n_vecs).persist()
     emb.count()
-    # scale the coarse quantizer with the table (the library default 16
-    # cells is sized for the tiny contract tables; nprobe/ncells is the
-    # fraction of the table every probe reads)
-    n_cent = 256 if n_vecs >= 100_000 else 16
+    # scale the coarse quantizer AND the LSH bands with the table (the
+    # library defaults — 16 cells, 4 bands x 4 bits — are sized for the
+    # tiny contract tables; nprobe/ncells is the fraction of the table
+    # every IVF probe reads, and ~n/2^band_bits is the bucket size every
+    # LSH probe fetches: 4-bit bands at 1M vectors mean 62k-row buckets,
+    # and clustered data skews buckets several x above uniform)
+    big = n_vecs >= 100_000
+    n_cent = 256 if big else 16
+    n_planes, b_bits = (64, 16) if big else (16, 4)
     t0 = time.time()
     sample = (
         emb.orderBy("vec_id").limit(IVF_TRAIN_CAP).toPandas()["embedding"]
@@ -141,7 +146,7 @@ def _ann_arm(spark, n_vecs: int, work_dir: str) -> dict:
     t0 = time.time()
     ix = AnnIndex.build(
         spark, emb, f"{work_dir}/ann_ix", dim=64, centroids=cents,
-        num_centroids=n_cent,
+        num_centroids=n_cent, num_planes=n_planes, band_bits=b_bits,
     )
     build_s = time.time() - t0
 
