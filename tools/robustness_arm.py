@@ -10,6 +10,10 @@ is refused at this size by design). Emits one JSON line:
 Usage: python tools/robustness_arm.py [n_docs] [cores]
 (defaults 1_000_000 docs, all CPUs). bench.py runs it as a subprocess when
 BENCH_ROBUSTNESS=1 so the per-round driver artifact carries the numbers.
+
+At >=10M docs set SPARK_DRIVER_MEM=48g: the default 8g local-mode heap
+cannot hold the corpus persist and partitions silently recompute inside
+the timed build (MemoryStore warnings), biasing throughput downward.
 """
 
 import json
