@@ -56,7 +56,29 @@ BOOST_FIELD = "\x00doc"
 BOOST_SCALE = 1024
 
 META_FIELDS = ("first", "last", "n", "off", "codes_len", "ext_len",
-               "maxtf", "mindl")
+               "maxtf", "mindl", "imp_n", "imp_tf", "imp_dl")
+
+
+def impact_front(tfs: np.ndarray, dls: np.ndarray):
+    """Pareto front of one block's (tf, dl) pairs — competitive impacts
+    (the Lucene-8 impacts idea): pair A dominates B iff tf_A >= tf_B and
+    dl_A <= dl_B. The block score bound is then max over FRONT pairs of
+    tf_norm(tf, dl) — tight, because every front pair is an actual
+    posting, where the classic (maxtf, mindl) bound pairs the max tf of
+    one doc with the min dl of another and can overestimate by enough to
+    defeat pruning entirely on tie-heavy corpora. Valid for ANY similarity
+    honoring the monotone tf_norm contract (similarity.py).
+
+    Returns (front_tfs desc, front_dls asc-of-min), both np.int64."""
+    order = np.lexsort((dls, -tfs))
+    t = tfs[order]
+    d = dls[order]
+    keep = np.empty(len(t), dtype=bool)
+    if len(t):
+        m = np.minimum.accumulate(d)
+        keep[0] = True
+        keep[1:] = d[1:] < m[:-1]
+    return t[keep], d[keep]
 
 
 def bm25_tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
@@ -292,6 +314,10 @@ def encode_cell(
         meta["ext_len"].append(len(extra_bytes))
         meta["maxtf"].append(int(t.max()))
         meta["mindl"].append(int(dls[s:e].min()))
+        ftf, fdl = impact_front(t, dls[s:e])
+        meta["imp_n"].append(len(ftf))
+        meta["imp_tf"].extend(int(x) for x in ftf)
+        meta["imp_dl"].extend(int(x) for x in fdl)
         chunks.append(code_bytes)
         chunks.append(extra_bytes)
         chunks.append(dl_bytes)
@@ -488,6 +514,7 @@ def encode_cells_batch(
         np.zeros(G, dtype=np.int64),
         "first": [], "last": [], "n": [], "off": [],
         "codes_len": [], "ext_len": [], "maxtf": [], "mindl": [],
+        "imp_n": [], "imp_tf": [], "imp_dl": [],
     }
     if N == 0:
         return out
@@ -545,6 +572,26 @@ def encode_cells_batch(
     blk_last = docids[blk_end - 1]
     blk_maxtf = np.maximum.reduceat(tfs, blk_start)
     blk_mindl = np.minimum.reduceat(dls, blk_start)
+
+    # competitive-impact fronts, ONE vectorized pass over all blocks (the
+    # scalar impact_front per (block, sort, walk) — see impact_front):
+    # sort (block, tf desc, dl asc); a segmented strict running-min of dl
+    # marks the front. Segments reset for free via the descending-offset
+    # trick: later blocks get strictly smaller offsets, so every value of
+    # a new block undercuts the previous blocks' running min.
+    blk_of = np.repeat(np.arange(total_blocks), blk_n)
+    ord2 = np.lexsort((dls, -tfs, blk_of))
+    big_off = np.int64(int(dls.max()) + 1)
+    v = dls[ord2] + (total_blocks - blk_of[ord2]) * big_off
+    m = np.minimum.accumulate(v)
+    keep = np.empty(N, dtype=bool)
+    keep[0] = True
+    keep[1:] = v[1:] < m[:-1]
+    imp_tf_flat = tfs[ord2][keep]
+    imp_dl_flat = dls[ord2][keep]
+    blk_vb = np.cumsum(blk_n) - blk_n  # block starts in ord2 order
+    blk_imp_n = np.add.reduceat(keep.astype(np.int64), blk_vb)
+    imp_cuts = np.concatenate([[0], np.cumsum(blk_imp_n)])
 
     cs = np.concatenate([[0], np.cumsum(blk_code_len)])
     # ext stream offsets per block: cumsum over packed ext lens at block grain
@@ -610,6 +657,9 @@ def encode_cells_batch(
         out["ext_len"].append(blk_ext_len[b0:b1])
         out["maxtf"].append(blk_maxtf[b0:b1])
         out["mindl"].append(blk_mindl[b0:b1])
+        out["imp_n"].append(blk_imp_n[b0:b1])
+        out["imp_tf"].append(imp_tf_flat[imp_cuts[b0] : imp_cuts[b1]])
+        out["imp_dl"].append(imp_dl_flat[imp_cuts[b0] : imp_cuts[b1]])
         if with_pos:
             out["positions"].append(
                 pos_arr[ps[b0] : ps[b1]].tobytes()

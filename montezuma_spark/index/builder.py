@@ -69,7 +69,8 @@ POSTINGS_SCHEMA = (
     "postings binary, positions binary, pos_off array<long>, "
     "blk_first array<long>, blk_last array<long>, blk_n array<int>, "
     "blk_off array<long>, blk_codes_len array<long>, blk_ext_len array<long>, "
-    "blk_maxtf array<long>, blk_mindl array<long>"
+    "blk_maxtf array<long>, blk_mindl array<long>, "
+    "blk_imp_n array<int>, blk_imp_tf array<long>, blk_imp_dl array<long>"
 )
 POSTINGS_COLS = [c.split()[0] for c in POSTINGS_SCHEMA.split(", ")]
 
@@ -167,6 +168,9 @@ def _cell_row(field, term, shard, docids, tfs, dls, pos_lists, block_size,
         "blk_ext_len": np.asarray(meta["ext_len"], dtype=np.int64),
         "blk_maxtf": np.asarray(meta["maxtf"], dtype=np.int64),
         "blk_mindl": np.asarray(meta["mindl"], dtype=np.int64),
+        "blk_imp_n": np.asarray(meta["imp_n"], dtype=np.int32),
+        "blk_imp_tf": np.asarray(meta["imp_tf"], dtype=np.int64),
+        "blk_imp_dl": np.asarray(meta["imp_dl"], dtype=np.int64),
     }
 
 
@@ -313,6 +317,9 @@ class _ShardBuf:
                         "blk_ext_len": enc["ext_len"],
                         "blk_maxtf": enc["maxtf"],
                         "blk_mindl": enc["mindl"],
+                        "blk_imp_n": enc["imp_n"],
+                        "blk_imp_tf": enc["imp_tf"],
+                        "blk_imp_dl": enc["imp_dl"],
                     },
                     columns=POSTINGS_COLS,
                 )
@@ -498,6 +505,9 @@ def _segment_iter(
             "blk_ext_len": np.empty(0, dtype=np.int64),
             "blk_maxtf": np.empty(0, dtype=np.int64),
             "blk_mindl": np.empty(0, dtype=np.int64),
+            "blk_imp_n": np.empty(0, dtype=np.int32),
+            "blk_imp_tf": np.empty(0, dtype=np.int64),
+            "blk_imp_dl": np.empty(0, dtype=np.int64),
         }
         for f in fields
         if ndocs[f.name]

@@ -111,7 +111,8 @@ TOMB_FIELD = "\x00tomb"
 # one-time parse into these tuples makes per-query cell access free.
 CELL_COLS = ("field", "term", "shard", "postings", "positions", "pos_off",
              "blk_first", "blk_last", "blk_n", "blk_off", "blk_codes_len",
-             "blk_ext_len", "blk_maxtf", "blk_mindl")
+             "blk_ext_len", "blk_maxtf", "blk_mindl",
+             "blk_imp_n", "blk_imp_tf", "blk_imp_dl")
 
 
 class CellRow:
@@ -127,7 +128,8 @@ class CellRow:
 
     def __init__(self, field, term, shard, postings, positions, pos_off,
                  blk_first, blk_last, blk_n, blk_off, blk_codes_len,
-                 blk_ext_len, blk_maxtf, blk_mindl):
+                 blk_ext_len, blk_maxtf, blk_mindl,
+                 blk_imp_n=None, blk_imp_tf=None, blk_imp_dl=None):
         self.field = field
         self.term = term
         self.shard = shard
@@ -142,6 +144,9 @@ class CellRow:
         self.blk_ext_len = blk_ext_len
         self.blk_maxtf = blk_maxtf
         self.blk_mindl = blk_mindl
+        self.blk_imp_n = blk_imp_n
+        self.blk_imp_tf = blk_imp_tf
+        self.blk_imp_dl = blk_imp_dl
         self.full = None
         self.full_pos = None
 
@@ -413,9 +418,31 @@ class ShardEval:
             return out
         return None
 
+    def _block_ubs(self, r, avgdl: float) -> np.ndarray:
+        """Per-block tf_norm upper bounds for one cell row. Uses the
+        competitive-impact fronts (max tf_norm over the block's ACTUAL
+        (tf, dl) Pareto pairs — tight) when the cell carries them; falls
+        back to the classic loose (maxtf, mindl) pairing for pre-impact
+        layouts. Valid under the Similarity monotone tf_norm contract."""
+        imp_n = r.blk_imp_n
+        if imp_n is not None and len(imp_n) == len(r.blk_n) and len(imp_n):
+            n = np.asarray(imp_n, dtype=np.int64)
+            norms = self.sim.tf_norm(
+                np.asarray(r.blk_imp_tf, dtype=np.int64),
+                np.asarray(r.blk_imp_dl, dtype=np.int64),
+                avgdl,
+            )
+            return np.maximum.reduceat(norms, np.cumsum(n) - n)
+        return self.sim.tf_norm(
+            np.asarray(r.blk_maxtf, dtype=np.int64),
+            np.asarray(r.blk_mindl, dtype=np.int64),
+            avgdl,
+        )
+
     def _term_ub(self, field: str, term: str, boost: float) -> float:
         """Score upper bound over this shard: idf·boost·max over blocks of
-        tf_norm(maxtf, mindl) — valid because the Similarity contract
+        the per-block bound (impact fronts when present, else
+        tf_norm(maxtf, mindl)) — valid because the Similarity contract
         requires tf_norm monotone ↑ in tf and ↓ in dl (similarity.py)."""
         rows = self.cells.get((field, term))
         if not rows:
@@ -425,11 +452,7 @@ class ShardEval:
         mx = 0.0
         for r in rows:
             if len(r.blk_maxtf):
-                ubs = self.sim.tf_norm(
-                    np.asarray(r.blk_maxtf, dtype=np.int64),
-                    np.asarray(r.blk_mindl, dtype=np.int64),
-                    avgdl,
-                )
+                ubs = self._block_ubs(r, avgdl)
                 mx = max(mx, float(ubs.max()))
         idf = p.idf.get((field, term), 0.0)
         if self.normalize:
@@ -437,6 +460,98 @@ class ShardEval:
         # max_boost keeps the bound valid for boosted docs (exact per-doc
         # boosts are applied when the postings actually decode)
         return idf * boost * mx * self.max_boost
+
+    def _try_pruned_term(self, field: str, term: str, boost: float):
+        """Single-term top-k via block-max pruning — the degenerate (one
+        term) case of block-max WAND: decode blocks in DESCENDING
+        upper-bound order (ub = idf·boost·max_boost·tf_norm(maxtf, mindl),
+        valid under the Similarity monotone-tf_norm contract), keep a
+        running k-th-best score θ, and stop as soon as the next unseen
+        block's bound falls strictly below θ. A hot web term (df ≈ 0.5 M at
+        1 M docs) then decodes a handful of blocks instead of the whole
+        posting list. Ties are safe: a block whose bound EQUALS θ still
+        decodes, so equal-score lower-docid docs are always found, and the
+        decoded set is a superset of the true top-k (callers re-sort with
+        the (score desc, docid asc) tie-break). Returns None when the
+        plan shape can't prune (no k, preload full-decode cache active,
+        non-positive bound scale, or metadata-free cells)."""
+        k = self.plan.k
+        if k is None or self.plan.hot:
+            return None
+        rows = self.cells.get((field, term))
+        if not rows:
+            return _EMPTY
+        p = self.plan
+        avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
+        idf = p.idf.get((field, term), 0.0)
+        if self.normalize:
+            idf = idf * idf
+        scale = idf * boost * self.max_boost
+        if scale <= 0.0:
+            return None  # a non-positive scale inverts the bound ordering
+        row_of, blk_of, ubs, ns = [], [], [], []
+        for ri, r in enumerate(rows):
+            nb = len(r.blk_maxtf)
+            if nb == 0:
+                return None  # metadata-free cell → exact path
+            row_of.append(np.full(nb, ri, dtype=np.int64))
+            blk_of.append(np.arange(nb, dtype=np.int64))
+            ubs.append(self._block_ubs(r, avgdl) * scale)
+            ns.append(np.asarray(r.blk_n, dtype=np.int64))
+        row_of = np.concatenate(row_of)
+        blk_of = np.concatenate(blk_of)
+        # 1e-9 relative headroom: the exact per-doc score multiplies the
+        # same factors in a different association order, so it can exceed
+        # the bound by a few ulps — widen the bound, never narrow it
+        ubs = np.concatenate(ubs) * (1.0 + 1e-9)
+        ns = np.concatenate(ns)
+        order = np.argsort(-ubs, kind="stable")
+        total = len(order)
+        d_parts: list = []
+        s_parts: list = []
+        n_found = 0
+        pos = 0
+        # per-round postings budget DOUBLES: flat bound distributions (all
+        # blocks identical → θ can never prune) then cost O(log) rounds of
+        # amortized-linear work instead of thousands of tiny rounds
+        need = max(k * 4, 256)
+        while pos < total:
+            take, cum = pos, 0
+            while take < total and cum < need:
+                cum += ns[order[take]]
+                take += 1
+            sel = order[pos:take]
+            pos = take
+            need *= 2
+            for ri in np.unique(row_of[sel]):
+                r = rows[ri]
+                bsel = np.sort(blk_of[sel[row_of[sel] == ri]])
+                d, t, dl = decode_cell(
+                    bytes(r.postings), self._meta(r), blocks=bsel,
+                    codec=p.codec,
+                )
+                d, t, dl = self._drop_deleted(d, t, dl)
+                d_parts.append(d)
+                s_parts.append(self._bm25(field, term, d, t, dl, boost))
+                n_found += len(d)
+            if pos >= total:
+                break
+            if n_found >= k:
+                scores = np.concatenate(s_parts)
+                s_parts = [scores]
+                theta = np.partition(scores, len(scores) - k)[
+                    len(scores) - k
+                ]
+                if ubs[order[pos]] < theta:
+                    break
+        docids = np.concatenate(d_parts) if d_parts else _EMPTY[0]
+        scores = (
+            np.concatenate(s_parts)
+            if s_parts
+            else np.empty(0, dtype=np.float64)
+        )
+        by_doc = np.argsort(docids)
+        return docids[by_doc], scores[by_doc]
 
     def _try_pruned_disjunction(self, node: Query):
         """Term-at-a-time disjunction with block-max pruning — the
@@ -458,7 +573,11 @@ class ShardEval:
             return None
         boost = 1.0
         flat = self._flatten_should_terms(node)
-        if flat is None or len(flat) < 2:
+        if flat is None:
+            return None
+        if len(flat) == 1:
+            return self._try_pruned_term(*flat[0])
+        if len(flat) < 2:
             return None
         # dedupe (a term may appear twice) — keep summed boost semantics by
         # falling back to exact eval in that (rare) case

@@ -644,9 +644,16 @@ class Searcher:
             "blk_first", "blk_last", "blk_n", "blk_off", "blk_codes_len",
             "blk_ext_len", "blk_maxtf", "blk_mindl",
         ]
+        postings = self.index.postings
+        # impact-front metadata (tight block bounds): absent on pre-impact
+        # layouts — the kernel falls back to the (maxtf, mindl) bound
+        cols += [
+            c
+            for c in ("blk_imp_n", "blk_imp_tf", "blk_imp_dl")
+            if c in postings.columns
+        ]
         if need_pos:
             cols += ["positions", "pos_off"]
-        postings = self.index.postings
         postings = postings.filter(cond) if cond is not None else postings.filter(
             F.lit(False)
         )
@@ -835,6 +842,13 @@ class Searcher:
             "field", "term", "shard", "df", "cf", "postings",
             "blk_first", "blk_last", "blk_n", "blk_off", "blk_codes_len",
             "blk_ext_len", "blk_maxtf", "blk_mindl",
+        ]
+        # impact-front metadata: absent on pre-impact saved layouts
+        have = set(dset.schema.names)
+        cols += [
+            c
+            for c in ("blk_imp_n", "blk_imp_tf", "blk_imp_dl")
+            if c in have
         ]
         if need_pos:
             cols += ["positions", "pos_off"]

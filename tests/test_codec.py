@@ -104,6 +104,42 @@ def test_blockmax_bound_is_upper_bound():
         assert meta["mindl"][j] == dls[s:e].min()
 
 
+def test_impact_front_bound_is_tight_upper_bound():
+    """The competitive-impact front per block (Pareto pairs of actual
+    postings) yields a bound that (a) dominates every posting's tf_norm
+    and (b) is EXACT — achieved by some real posting in the block
+    (unlike the (maxtf, mindl) cross-doc pairing, which can exceed every
+    actual score and defeat pruning on tie-heavy corpora)."""
+    rng = np.random.RandomState(11)
+    docids = np.sort(
+        rng.choice(10_000, size=600, replace=False)
+    ).astype(np.int64)
+    tfs = rng.randint(1, 6, size=600).astype(np.int64)
+    dls = rng.randint(10, 500, size=600).astype(np.int64)
+    avgdl = 150.0
+    _, meta = encode_cell(docids, tfs, dls=dls, block_size=64)
+    from montezuma_spark.codec import bm25_tf_norm
+
+    cuts = np.concatenate([[0], np.cumsum(meta["imp_n"])])
+    for j in range(len(meta["n"])):
+        s, e = 64 * j, min(64 * (j + 1), 600)
+        ftf = np.asarray(meta["imp_tf"][cuts[j] : cuts[j + 1]])
+        fdl = np.asarray(meta["imp_dl"][cuts[j] : cuts[j + 1]])
+        # strictly decreasing tf, strictly decreasing dl (front ordering)
+        assert (np.diff(ftf) < 0).all() and (np.diff(fdl) < 0).all()
+        # every posting dominated by some front pair
+        for tt, dd in zip(tfs[s:e], dls[s:e]):
+            assert ((ftf >= tt) & (fdl <= dd)).any()
+        # the bound equals the block's true max score (tight)
+        ub = bm25_tf_norm(ftf, fdl, avgdl).max()
+        true_max = bm25_tf_norm(tfs[s:e], dls[s:e], avgdl).max()
+        assert abs(ub - true_max) < 1e-12
+        # every front pair is an actual posting of the block
+        pairs = set(zip(tfs[s:e].tolist(), dls[s:e].tolist()))
+        for tt, dd in zip(ftf.tolist(), fdl.tolist()):
+            assert (tt, dd) in pairs
+
+
 def test_positions_roundtrip():
     rng = np.random.RandomState(3)
     ndocs = 300
@@ -179,7 +215,7 @@ def test_encode_cells_batch_matches_encode_cell(groups, block, with_pos):
         )
         assert enc["postings"][g] == cell, f"postings bytes differ, group {g}"
         for f in ("first", "last", "n", "off", "codes_len", "ext_len",
-                  "maxtf", "mindl"):
+                  "maxtf", "mindl", "imp_n", "imp_tf", "imp_dl"):
             np.testing.assert_array_equal(
                 np.asarray(enc[f][g]), np.asarray(meta[f]),
                 err_msg=f"meta[{f}] differs, group {g}",
@@ -270,7 +306,7 @@ def test_packed_batch_matches_scalar(groups, block):
         )
         assert enc["postings"][g] == cell, g
         for f in ("first", "last", "n", "off", "codes_len", "ext_len",
-                  "maxtf", "mindl"):
+                  "maxtf", "mindl", "imp_n", "imp_tf", "imp_dl"):
             np.testing.assert_array_equal(
                 np.asarray(enc[f][g]), np.asarray(meta[f]), err_msg=f
             )

@@ -50,6 +50,9 @@ def _build_shard(rng, n_docs, terms_df):
                 "blk_ext_len": meta["ext_len"],
                 "blk_maxtf": meta["maxtf"],
                 "blk_mindl": meta["mindl"],
+                "blk_imp_n": meta["imp_n"],
+                "blk_imp_tf": meta["imp_tf"],
+                "blk_imp_dl": meta["imp_dl"],
             }
         )
         idf[("text", term)] = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -78,6 +81,83 @@ def test_pruned_disjunction_identical(seed, k):
     np.testing.assert_allclose(
         pruned["score"].to_numpy(), exact["score"].to_numpy(), rtol=0, atol=1e-12
     )
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_pruned_single_term_identical(seed, k):
+    """The degenerate one-term block-max path (impact-front bounds) must
+    be rank- and score-identical to the exhaustive term eval."""
+    rng = np.random.default_rng(seed)
+    n_docs = 5000
+    terms = {"hot1": 3000, "mid": 400, "rare1": 25}
+    pdf, idf, df_est, stats = _build_shard(rng, n_docs, terms)
+    for t in terms:
+        q = TermQuery("text", t)
+        plan = CompiledPlan(
+            query=q, idf=idf, df_est=df_est, stats=stats,
+            k1=K1, b=B, k=k, need_positions=False,
+        )
+        ev = ShardEval(plan, pdf)
+        pruned = _finish(plan, *ev.eval_top(q))
+        exact = _finish(plan, *ev.eval(q))
+        assert list(pruned["docid"]) == list(exact["docid"]), t
+        np.testing.assert_allclose(
+            pruned["score"].to_numpy(), exact["score"].to_numpy(),
+            rtol=0, atol=1e-12,
+        )
+
+
+def test_pruned_single_term_tie_heavy():
+    """Tie-heavy corpus (every top score identical — the web-hot-term
+    shape that defeats the loose (maxtf, mindl) bound): the pruned path
+    must keep the docid-asc tie-break exactly AND actually skip blocks."""
+    rng = np.random.default_rng(5)
+    n_docs = 20000
+    df = 15000
+    docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(
+        np.int64
+    )
+    # 99% of postings share (tf=1, dl=100); a few high-tf/low-dl outliers
+    tfs = np.ones(df, dtype=np.int64)
+    dls = np.full(df, 100, dtype=np.int64)
+    hot = rng.choice(df, size=50, replace=False)
+    tfs[hot] = rng.integers(2, 6, size=50)
+    dls[hot] = rng.integers(20, 60, size=50)
+    import math
+
+    cell, meta = encode_cell(docs, tfs, dls=dls, block_size=16)
+    pdf = pd.DataFrame(
+        [
+            {
+                "field": "text", "term": "w", "shard": 0, "df": df,
+                "cf": int(tfs.sum()), "postings": cell, "positions": b"",
+                "pos_off": [],
+                **{f"blk_{kk}": meta[kk] for kk in (
+                    "first", "last", "n", "off", "codes_len", "ext_len",
+                    "maxtf", "mindl", "imp_n", "imp_tf", "imp_dl",
+                )},
+            }
+        ]
+    )
+    idf = {("text", "w"): math.log(1 + (n_docs - df + 0.5) / (df + 0.5))}
+    stats = {"text": {"num_docs": n_docs, "avgdl": 100.0}}
+    q = TermQuery("text", "w")
+    plan = CompiledPlan(
+        query=q, idf=idf, df_est={("text", "w"): df}, stats=stats,
+        k1=K1, b=B, k=10, need_positions=False,
+    )
+    ev = ShardEval(plan, pdf)
+    got = ev._try_pruned_term("text", "w", 1.0)
+    assert got is not None
+    pruned = _finish(plan, *got)
+    exact = _finish(plan, *ev.eval(q))
+    assert list(pruned["docid"]) == list(exact["docid"])
+    np.testing.assert_allclose(
+        pruned["score"].to_numpy(), exact["score"].to_numpy(), atol=1e-12
+    )
+    # tight impact bounds must let the one-term path skip most postings
+    assert len(got[0]) < df * 0.2
 
 
 def test_pruned_skips_blocks(monkeypatch):

@@ -66,7 +66,26 @@ def main():
     hot_term = hot[0]["term"]
     second = hot[1]["term"] if len(hot) > 1 else hot_term
 
-    s = Searcher(idx)  # default tier: per-query pushdown + size-gated path
+    # SERVE FROM THE SAVED LAYOUT: a real deployment queries an index on
+    # storage, where the size-gated local tier reads the matched cells
+    # with pyarrow row-group pruning (Searcher._fetch_postings_pdf). An
+    # unsaved in-memory index has no parquet layout to prune, so its
+    # "local" tier degrades to a scheduled Spark collect (~0.5 s floor at
+    # 1M docs) — that number is the fallback, not the serving claim; it
+    # is reported alongside as *_spark for disclosure.
+    import shutil
+    import tempfile
+
+    from montezuma_spark.index import Index
+
+    save_dir = tempfile.mkdtemp(prefix="robustness_ix_")
+    t0 = time.time()
+    idx.save(save_dir)
+    save_s = time.time() - t0
+    served = Index.load(spark, save_dir)
+
+    s = Searcher(served)  # default tier: pushdown + size-gated point read
+    s_dist = Searcher(idx)  # unsaved fallback tier (disclosure)
     queries = {
         "q_hot_term": TermQuery("text", hot_term),
         "q_hot_bool_and": bool_query(
@@ -76,16 +95,23 @@ def main():
     }
     timings = {}
     for name, q in queries.items():
-        s.top_docs(q, k=10)  # warm (codegen, dictionary cache)
+        got = s.top_docs(q, k=10)  # warm (codegen, dictionary cache)
         t1 = time.time()
         s.top_docs(q, k=10)
         timings[name] = round(time.time() - t1, 4)
+        want = s_dist.top_docs(q, k=10)  # warm + serving-tier identity
+        t1 = time.time()
+        s_dist.top_docs(q, k=10)
+        timings[name + "_spark"] = round(time.time() - t1, 4)
+        assert [d for d, _ in got] == [d for d, _ in want], name
+    shutil.rmtree(save_dir, ignore_errors=True)
 
     out = {
         "n_docs": st["num_docs"],
         "total_tokens": st["total_tokens"],
         "total_postings": int(agg["postings"]),
         "build_seconds": round(build_s, 2),
+        "save_seconds": round(save_s, 2),
         "docs_per_sec": round(st["num_docs"] / build_s, 1),
         "tokens_per_sec": round(st["total_tokens"] / build_s, 1),
         "bytes_per_posting": round(
