@@ -93,16 +93,22 @@ def main():
             (TermQuery("text", second), MUST),
         ),
     }
+    import statistics
+
+    def _median_time(searcher, q, reps=3):
+        ts = []
+        for _ in range(reps):
+            t1 = time.time()
+            searcher.top_docs(q, k=10)
+            ts.append(time.time() - t1)
+        return round(statistics.median(ts), 4)
+
     timings = {}
     for name, q in queries.items():
         got = s.top_docs(q, k=10)  # warm (codegen, dictionary cache)
-        t1 = time.time()
-        s.top_docs(q, k=10)
-        timings[name] = round(time.time() - t1, 4)
+        timings[name] = _median_time(s, q)
         want = s_dist.top_docs(q, k=10)  # warm + serving-tier identity
-        t1 = time.time()
-        s_dist.top_docs(q, k=10)
-        timings[name + "_spark"] = round(time.time() - t1, 4)
+        timings[name + "_spark"] = _median_time(s_dist, q)
         assert [d for d, _ in got] == [d for d, _ in want], name
     shutil.rmtree(save_dir, ignore_errors=True)
 
