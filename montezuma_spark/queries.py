@@ -348,6 +348,22 @@ def ft_classic_bool_topk(spark, sf_dir):
     )
 
 
+def ft_classic_quantized_topk(spark, sf_dir):
+    """Opt-in reference-score fidelity through the correctness gate:
+    classic similarity with the byte315-quantized length norm (the
+    SmallFloat one-byte norm of similarity.lisp:40-60, decoded through
+    *norm-table* similarity.lisp:90-99) instead of exact 1/sqrt(dl).
+    The oracle templates the quantizer as a dl-interval lookup — the
+    quantized norm is piecewise-constant and monotone non-increasing in
+    dl, so encode∘decode is exactly a ~50-row BETWEEN join (same
+    constant-templating pattern as the ANN centroid/plane matrices)."""
+    idx, _ = get_index(spark, sf_dir)
+    return _topk(
+        Searcher(idx, similarity="classic-quantized"),
+        TermQuery("text", "spark"),
+    )
+
+
 def ft_boost_topk(spark, sf_dir):
     """Index-time per-doc boosts (field.lisp:104-120, write-norms
     document-writer.lisp:215-227): BM25 top-10 for 'merge' over an index
@@ -551,11 +567,14 @@ def dd_simhash_pairs(spark, sf_dir):
 
 def dd_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs: MinHash-band candidates -> exact 3-gram Jaccard
-    >= 0.8 — montezuma_spark.dedup.ngram_jaccard_pairs."""
+    >= 0.8 — montezuma_spark.dedup.ngram_jaccard_pairs, on the AFFINE
+    hash family (one md5 per token + k universal-hash maps mod 2³¹−1,
+    the k-independent-cost family wide web-scale signatures need; the
+    md5 family stays gated through dd_minhash_bands)."""
     from montezuma_spark.dedup import ngram_jaccard_pairs
 
     t = _tokens_df(spark, sf_dir).select("docid", "toks")
-    return ngram_jaccard_pairs(t, threshold=0.8).select(
+    return ngram_jaccard_pairs(t, threshold=0.8, hash_family="affine").select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -724,6 +743,7 @@ QUERIES = {
     "ft_classic_topk": ft_classic_topk,
     "ft_fuzzy_topk": ft_fuzzy_topk,
     "ft_classic_bool_topk": ft_classic_bool_topk,
+    "ft_classic_quantized_topk": ft_classic_quantized_topk,
     "ta_stop_count": ta_stop_count,
     "ft_range_docs": ft_range_docs,
     "ft_wildcard_docs": ft_wildcard_docs,
@@ -906,6 +926,45 @@ SELECT vec_id, round(cos, 5) AS cos FROM (
 """
 
 
+def _affine_minhash_sql(num_hashes: int = 4) -> str:
+    """``mh`` CTE columns for the affine MinHash family: the SAME
+    deterministic (a, b) constants the Spark plan uses
+    (dedup.minhash_affine_params), templated as exact integer literals.
+    Products stay < 2⁶², so BIGINT arithmetic is exact on both sides."""
+    from montezuma_spark.dedup import MINHASH_P, minhash_affine_params
+
+    return ", ".join(
+        f"min(({a} * hm + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes))
+    )
+
+
+def _byte315_intervals_sql() -> str:
+    """``(lo, hi, qn)`` VALUES rows covering dl ∈ [1, 10⁶]: the byte315
+    quantization of 1/sqrt(dl) (similarity.lisp:40-60) is
+    piecewise-constant and monotone non-increasing in dl, so the whole
+    encode→table-decode round trip is an exact interval lookup. Every
+    qn is a decoded SmallFloat (a small mantissa × a power of two), so
+    ``repr(float(...))`` is exact and DuckDB parses the identical
+    float64 the kernel multiplies by."""
+    import numpy as np
+
+    from montezuma_spark.search.similarity import (
+        NORM_TABLE,
+        float_to_byte315_np,
+    )
+
+    dl = np.arange(1, 1_000_001, dtype=np.float64)
+    qn = NORM_TABLE[float_to_byte315_np(1.0 / np.sqrt(dl))]
+    cut = np.flatnonzero(np.diff(qn)) + 1
+    starts = np.concatenate(([0], cut))
+    ends = np.concatenate((cut, [dl.size]))
+    return ", ".join(
+        f"({int(dl[s])}, {int(dl[e - 1])}, {repr(float(qn[s]))})"
+        for s, e in zip(starts, ends)
+    )
+
+
 _SHINGLE_SQL = (
     "CASE WHEN len(toks) >= 3 THEN list_distinct("
     "[array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) "
@@ -1007,6 +1066,25 @@ scores AS (
          (1 + ln((SELECT n FROM stats)::DOUBLE / (d.df + 1)))
          * sqrt(t.tf) / sqrt(greatest(t.dl, 1)) AS s
   FROM tf t JOIN dfs d USING (tok)
+)
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_classic_quantized_topk": _BASE + f"""
+, qnorm(lo, hi, qn) AS (VALUES {_byte315_intervals_sql()}),
+tf AS (
+  SELECT docid, dl, tok, count(*) AS tf
+  FROM tokens WHERE tok = 'spark'
+  GROUP BY docid, dl, tok
+),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+  SELECT t.docid,
+         (1 + ln((SELECT n FROM stats)::DOUBLE / (d.df + 1)))
+         * (sqrt(t.tf) * q.qn) AS s
+  FROM tf t JOIN dfs d USING (tok)
+  JOIN qnorm q ON greatest(t.dl, 1) BETWEEN q.lo AND q.hi
 )
 SELECT docid, round(score, 6) AS score FROM (
   SELECT docid, sum(s) AS score FROM scores GROUP BY docid
@@ -1195,17 +1273,21 @@ SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """,
     "dd_ngram_jaccard": _BASE + f"""
-, dtok AS (SELECT DISTINCT docid, tok FROM tokens),
-mh AS (
+, shq AS (SELECT docid, {_SHINGLE_SQL} AS sh FROM docs),
+dh AS (
   SELECT docid,
-         min(md5('0:' || tok)) AS m0, min(md5('1:' || tok)) AS m1,
-         min(md5('2:' || tok)) AS m2, min(md5('3:' || tok)) AS m3
-  FROM dtok GROUP BY docid
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS hm
+  FROM (SELECT docid, unnest(sh) AS g FROM shq)
+),
+mh AS (
+  SELECT docid, {_affine_minhash_sql(4)}
+  FROM dh GROUP BY docid
 ),
 mbands AS (
-  SELECT docid, 0 AS band_id, m0 || m1 AS band_val FROM mh
+  SELECT docid, 0 AS band_id, m0::VARCHAR || ':' || m1::VARCHAR AS band_val
+  FROM mh
   UNION ALL
-  SELECT docid, 1, m2 || m3 FROM mh
+  SELECT docid, 1, m2::VARCHAR || ':' || m3::VARCHAR FROM mh
 ),
 cand AS (
   SELECT DISTINCT a.docid AS id_a, b.docid AS id_b
@@ -1213,13 +1295,13 @@ cand AS (
     ON a.band_id = b.band_id AND a.band_val = b.band_val
    AND a.docid < b.docid
 ),
-sh AS (SELECT docid, {_SHINGLE_SQL} AS sh FROM docs)
-SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+v AS (
   SELECT c.id_a, c.id_b,
          len(list_intersect(a.sh, b.sh))::DOUBLE
          / greatest(len(list_distinct(a.sh || b.sh)), 1) AS jac
-  FROM cand c JOIN sh a ON a.docid = c.id_a JOIN sh b ON b.docid = c.id_b
-) WHERE jac >= 0.8
+  FROM cand c JOIN shq a ON a.docid = c.id_a JOIN shq b ON b.docid = c.id_b
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM v WHERE jac >= 0.8
 """,
     "dd_embed_neardup": _lsh_sql_base() + """
 , cand AS (

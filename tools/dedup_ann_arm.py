@@ -37,14 +37,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 # web-scale parameters (NOT the tiny-corpus contract defaults): MinHash
-# over 3-gram SHINGLES (vast feature space → random-pair Jaccard ≈ 0, so
-# band collisions ≈ true near-dups) with 2 bands × 4 rows (collision
-# prob J⁴ per band: J=0.93 one-token-edit dup → 0.94 recall, J=0.2
-# random pair → 3e-3); SimHash at 64 bits (Manku et al., WWW 2007) so the
-# pigeonhole chunks are 16 bits wide — 32-bit chunks of 8 bits collide
-# every n²/2⁸ pairs, which is quadratic blow-up at 1M docs
-MINHASH_HASHES = 8
-MINHASH_BAND_ROWS = 4
+# over 3-gram SHINGLES with the AFFINE hash family (one md5 + k affine
+# maps — k-independent hashing cost, which is what makes a wide
+# signature affordable) at 4 bands × 6 rows. Band depth is the
+# sub-quadratic knob: random band collisions grow ~ E[J^r]·n², and the
+# first run of this arm measured r=4 leaving a quadratic residue
+# (candidate growth exponent 1.57 between 250k and 1M docs: 0.36 →
+# 0.80 candidates/doc); at r=6 a J≈0.03 random pair collides at ~1e-9
+# per band while the J=0.93 one-token-edit dup still hits 0.93⁶=0.65
+# per band → 1−(1−0.65)⁴ = 0.985 recall over 4 bands. SimHash at 64
+# bits (Manku et al., WWW 2007) so the pigeonhole chunks are 16 bits
+# wide — 32-bit chunks of 8 bits collide every n²/2⁸ pairs, which is
+# quadratic blow-up at 1M docs
+MINHASH_HASHES = 24
+MINHASH_BAND_ROWS = 6
 SIMHASH_BITS = 64
 
 
@@ -77,7 +83,8 @@ def _dedup_point(spark, n_docs: int, vocab_size: int) -> dict:
     out = {"n_docs": n_docs}
 
     t0 = time.time()
-    sig = minhash_signature(sh, num_hashes=MINHASH_HASHES)
+    sig = minhash_signature(sh, num_hashes=MINHASH_HASHES,
+                            hash_family="affine")
     cand = minhash_band_pairs(
         sig, num_hashes=MINHASH_HASHES, band_rows=MINHASH_BAND_ROWS
     ).persist()
