@@ -120,9 +120,22 @@ def minhash_signature(tokens_df: DataFrame, num_hashes: int = 4,
 
 
 def minhash_band_pairs(sig: DataFrame, num_hashes: int = 4, band_rows: int = 2,
-                       id_col: str = "docid") -> DataFrame:
+                       id_col: str = "docid",
+                       max_bucket: int | None = None) -> DataFrame:
     """LSH banding: b = num_hashes/band_rows bands of r = band_rows hashes.
     Returns DISTINCT candidate pairs (id_a < id_b) colliding in ≥1 band.
+
+    ``max_bucket``: drop band buckets holding more than this many docs
+    before the self-join. Oversized buckets are boilerplate signatures —
+    docs sharing a common template's min-shingles, not near-duplicates
+    of each other — and each contributes O(size²) candidate pairs, which
+    is where banding quietly re-acquires a quadratic term on redundant
+    web corpora. A true near-dup pair's bucket holds ~2 docs (its band
+    value includes the pair's own content), so a generous cap (e.g. 64)
+    costs ~no recall while pinning candidate growth linear; the
+    verified-pair output of the 1M-doc scale arm is identical with and
+    without it. None (default) disables — the exact-SQL-oracle contract
+    path stays cap-free.
 
     Scale: the band join is an equi-join on (band_id, band_val) — hot
     buckets (boilerplate-heavy shards) are bounded because band_val
@@ -153,6 +166,18 @@ def minhash_band_pairs(sig: DataFrame, num_hashes: int = 4, band_rows: int = 2,
     keyed = sig.select(
         F.col(id_col), F.posexplode(bands).alias("band_id", "band_val")
     )
+    if max_bucket is not None:
+        # hot-bucket list is tiny (boilerplate patterns) → broadcast
+        # anti-join; one extra groupBy over the already-shuffled keys
+        hot = (
+            keyed.groupBy("band_id", "band_val")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band_id", "band_val")
+        )
+        keyed = keyed.join(
+            F.broadcast(hot), ["band_id", "band_val"], "left_anti"
+        )
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (

@@ -133,7 +133,11 @@ def synth_corpus_spark(spark, n_docs: int, avg_len: int = 80,
     dup_every - 1`` carries the TEXT of ``id - 1`` with its first token
     replaced — a deterministic near-duplicate (one-token edit), giving the
     corpus ~n/dup_every true near-dup pairs for dedup scale benchmarks.
-    Default None reproduces the historical corpus byte-for-byte.
+
+    Round-4 note: the token hash gained a nonlinear avalanche (see the
+    comment at the draw site), so content differs from the rounds-1-3
+    corpus; the statistical profile (length distribution, Zipf skew,
+    vocabulary) is unchanged, keeping build-throughput comparisons valid.
     """
     import pandas as pd
 
@@ -168,7 +172,19 @@ def synth_corpus_spark(spark, n_docs: int, avg_len: int = 80,
             j = np.arange(total, dtype=np.int64) - np.repeat(
                 bounds - lens, lens
             )
-            h = (src[row_of] * 1315423911 + j * 2654435761 + 97) & 0x7FFFFFFF
+            x = src[row_of] * 1315423911 + j * 2654435761 + 97
+            # nonlinear avalanche (xorshift-multiply): a PURELY LINEAR
+            # congruential draw aliases — token streams of docs i and
+            # i+d align whenever d·c1·c2⁻¹ mod 2³¹ is smaller than a
+            # doc length, which manufactured an O(n²)-growing family of
+            # genuine shared-run near-dups (~52-shingle runs, J 0.3-0.7;
+            # found by the round-4 dedup scale arm as a candidate growth
+            # exponent of 1.4 that no banding depth could remove)
+            x &= 0x7FFFFFFFFFFFFFFF
+            x ^= x >> 21
+            x = (x * 2685821657736338717) & 0x7FFFFFFFFFFFFFFF
+            x ^= x >> 35
+            h = x & 0x7FFFFFFF
             # Zipf-ish skew: square the uniform draw
             u = (h % 1_000_000) / 1_000_000.0
             tok_idx = (u * u * vocab_size).astype(np.int64)
