@@ -41,6 +41,11 @@ def main() -> None:
                     help="numeric column baked in as per-doc boost")
     ap.add_argument("--offsets", action="store_true",
                     help="write the char-offsets term-vectors sidecar")
+    ap.add_argument("--extract-html", action="store_true",
+                    help="derive the text column from the html binary "
+                         "column via the deterministic extractor (also "
+                         "implied when --text-col is absent from the "
+                         "input but 'html' exists)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--query", default=None)
     args = ap.parse_args()
@@ -62,10 +67,17 @@ def main() -> None:
         similarity=args.similarity,
         boost_col=args.boost_col,
     )
-    from montezuma_spark.sources import read_table
+    from montezuma_spark.sources import extract_text, read_table
 
     t0 = time.time()
     docs = read_table(spark, args.input)
+    extracted = args.extract_html or (
+        args.text_col not in docs.columns and "html" in docs.columns
+    )
+    if extracted:
+        # html → text as JVM-side column expressions inside the same scan:
+        # no extra pass, no Python worker, byte-deterministic per url.
+        docs = extract_text(docs, html_col="html", out_col=args.text_col)
     idx = build_index(
         spark, docs, cfg, index_dir=args.index_dir, resume=args.resume
     )
@@ -76,6 +88,7 @@ def main() -> None:
     if wall > 0 and st:
         rep["docs_per_sec"] = round(st.get("num_docs", 0) / wall, 2)
         rep["tokens_per_sec"] = round(st.get("total_tokens", 0) / wall, 1)
+    rep["extracted_html"] = bool(extracted)
     out = {"build": rep, "stats": idx.stats}
 
     if args.query:
