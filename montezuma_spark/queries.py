@@ -503,6 +503,36 @@ def ta_langid(spark, sf_dir):
     )
 
 
+def ta_extract(spark, sf_dir):
+    """Input-contract invariant (BASELINE.json input_hint): extracted text
+    is byte-identical per document. Synthesizes an html payload from each
+    document's text — XML entity-encode, tag-wrap, plus a script subtree
+    the extractor must drop — and asserts ``extract_text``
+    (sources.py) inverts it exactly, as a distributed column comparison
+    (pure JVM expressions; no Python worker)."""
+    from montezuma_spark.sources import extract_text
+
+    docs = _docs(spark, sf_dir)
+    enc = F.col("text")
+    enc = F.replace(enc, F.lit("&"), F.lit("&amp;"))
+    enc = F.replace(enc, F.lit("<"), F.lit("&lt;"))
+    enc = F.replace(enc, F.lit(">"), F.lit("&gt;"))
+    html = F.concat(
+        F.lit("<html><body><p>"), enc,
+        F.lit("</p><script>var p = '<p>not text</p>';</script></body></html>"),
+    )
+    wrapped = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(html, "UTF-8").alias("html"),
+        "text",
+    )
+    out = extract_text(wrapped, out_col="extracted")
+    return out.select(
+        "doc_id", "extracted",
+        (F.col("extracted") == F.col("text")).alias("identical"),
+    )
+
+
 def dd_exact_groups(spark, sf_dir):
     t = _tokens_df(spark, sf_dir)
     h = F.md5(F.encode(F.array_join(F.slice("toks", 1, 3), " "), "UTF-8"))
@@ -753,6 +783,7 @@ QUERIES = {
     "ta_token_count": ta_token_count,
     "ta_quality": ta_quality,
     "ta_langid": ta_langid,
+    "ta_extract": ta_extract,
     "dd_exact_groups": dd_exact_groups,
     "dd_minhash_bands": dd_minhash_bands,
     "ta_fingerprint": ta_fingerprint,
@@ -1202,6 +1233,13 @@ SELECT d.docid,
             / greatest(l.dl, 1) >= 0.05
        THEN 'en' ELSE 'und' END AS pred_lang
 FROM docs d JOIN lens l USING (docid)
+""",
+    # byte-identity invariant: the expected extraction of the synthesized
+    # html IS the original text, so the oracle returns it verbatim — any
+    # byte the Spark-side extractor adds, drops, or reorders hash-fails.
+    "ta_extract": """
+SELECT doc_id::BIGINT AS doc_id, text AS extracted, true AS identical
+FROM documents
 """,
     "dd_exact_groups": _BASE + """
 SELECT h3, count(*)::BIGINT AS cnt, min(docid) AS first_docid FROM (
