@@ -190,6 +190,33 @@ def ft_bool_or_topk(spark, sf_dir):
     )
 
 
+def ft_batch_topk(spark, sf_dir):
+    """Batch serving: THREE queries (term / boolean-AND / boolean-OR)
+    answered by ONE distributed job (`Searcher.search_batch`) — one
+    pruned postings scan over the union of the queries' terms, one
+    exchange, per-task decode shared across queries. Scores are identical
+    to the single-query entries (same compile + kernel)."""
+    _, s = get_index(spark, sf_dir)
+    out = s.search_batch(
+        {
+            "b_term": TermQuery("text", "spark"),
+            "b_and": bool_query(
+                (TermQuery("text", "spark"), MUST),
+                (TermQuery("text", "merge"), MUST),
+            ),
+            "b_or": bool_query(
+                (TermQuery("text", "spark"), SHOULD),
+                (TermQuery("text", "vector"), SHOULD),
+                (TermQuery("text", "window"), SHOULD),
+            ),
+        },
+        k=10,
+    )
+    return out.select(
+        "qid", "docid", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 def ft_parsed_topk(spark, sf_dir):
     """Query-string parser end-to-end: '+merge spark vector' = MUST merge,
     SHOULD spark/vector (query-parser.lisp:160-234 occur semantics)."""
@@ -760,6 +787,7 @@ QUERIES = {
     "ft_term_topk": ft_term_topk,
     "ft_bool_and_topk": ft_bool_and_topk,
     "ft_bool_or_topk": ft_bool_or_topk,
+    "ft_batch_topk": ft_batch_topk,
     "ft_parsed_topk": ft_parsed_topk,
     "ft_bool_not_docs": ft_bool_not_docs,
     "ft_phrase_docs": ft_phrase_docs,
@@ -1018,6 +1046,31 @@ SELECT docid, round(score, 6) AS score FROM (
 SELECT docid, round(score, 6) AS score FROM (
   SELECT docid, sum(s) AS score FROM scores GROUP BY docid
 ) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_batch_topk": _BASE
+    + _bm25_cte(["merge", "spark", "vector", "window"])
+    + """
+SELECT * FROM (
+  SELECT 'b_and' AS qid, docid, round(score, 6) AS score FROM (
+    SELECT docid, sum(s) AS score FROM scores
+    WHERE tok IN ('spark', 'merge')
+    GROUP BY docid HAVING count(*) = 2
+  ) ORDER BY score DESC, docid ASC LIMIT 10)
+UNION ALL
+SELECT * FROM (
+  SELECT 'b_or' AS qid, docid, round(score, 6) AS score FROM (
+    SELECT docid, sum(s) AS score FROM scores
+    WHERE tok IN ('spark', 'vector', 'window')
+    GROUP BY docid
+  ) ORDER BY score DESC, docid ASC LIMIT 10)
+UNION ALL
+SELECT * FROM (
+  SELECT 'b_term' AS qid, docid, round(score, 6) AS score FROM (
+    SELECT docid, sum(s) AS score FROM scores
+    WHERE tok = 'spark'
+    GROUP BY docid
+  ) ORDER BY score DESC, docid ASC LIMIT 10)
+ORDER BY qid ASC, score DESC, docid ASC
 """,
     "ft_parsed_topk": _BASE + _bm25_cte(["merge", "spark", "vector"]) + """
 SELECT docid, round(score, 6) AS score FROM (

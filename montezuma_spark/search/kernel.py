@@ -1329,6 +1329,38 @@ def make_kernel_partition(plan: CompiledPlan):
     return kernel
 
 
+def make_kernel_multi(plans: list):
+    """mapInPandas fn for BATCH query serving: evaluate MANY compiled
+    plans against each partition in one pass. ``plans`` is a list of
+    (qid, CompiledPlan); output rows are (qid, docid, score), per-plan
+    per-task top-k.
+
+    The batch analog of make_kernel_partition: the caller ships ONE
+    pruned postings scan for the UNION of all plans' terms, so N queries
+    cost one Spark job instead of N. Cell rows are parsed ONCE per task
+    (rows_from_pandas) and shared across every plan's ShardEval — a cell
+    decode is query-independent, so plans touching the same hot term
+    reuse the same CellRow decode memo within the task. Completeness
+    contract matches make_kernel_partition: if ANY plan has more than
+    one cell (or the index carries boosts), the caller must deliver rows
+    hash-partitioned by shard."""
+
+    def kernel(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        rows = rows_from_pandas(pdf)
+        for qid, plan in plans:
+            ev = ShardEval(plan, rows)
+            out = _finish(plan, *ev.eval_top(plan.query))
+            if len(out):
+                out.insert(0, "qid", qid)
+                yield out
+
+    return kernel
+
+
 def make_kernel_cogrouped_tombstones(plan: CompiledPlan):
     """cogroup(postings, tombstones).applyInPandas fn for delete sets too
     large to broadcast inside the plan: each shard kernel receives ONLY

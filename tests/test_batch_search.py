@@ -1,0 +1,168 @@
+"""Batch query serving (Searcher.search_batch): N queries, one job.
+
+Parity contract: for every query in the batch, the (docid, score) rows
+must equal the single-query ``search`` path exactly — same compile, same
+kernel math — including phrase (positions union scan), wildcard
+(dictionary expansion) and the MatchAll fallback union.
+"""
+
+import re
+
+import pytest
+
+from montezuma_spark.fixtures import search_docs_df
+from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+from montezuma_spark.search import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    MatchAllQuery,
+    PhraseQuery,
+    Searcher,
+    TermQuery,
+    WildcardQuery,
+    bool_query,
+)
+
+CFG = IndexConfig(
+    fields=[
+        FieldConfig("field", "field", "whitespace"),
+        FieldConfig("cat", "cat", None, positions=False),
+    ],
+    shard_bits=3,
+    block_size=4,
+)
+
+
+@pytest.fixture(scope="module")
+def searcher(spark):
+    return Searcher(build_index(spark, search_docs_df(spark), CFG))
+
+
+BATCH = {
+    "q_term": TermQuery("field", "word1"),
+    "q_and": bool_query(
+        (TermQuery("field", "word1"), MUST),
+        (TermQuery("field", "word2"), MUST),
+    ),
+    "q_or": bool_query(
+        (TermQuery("field", "word2"), SHOULD),
+        (TermQuery("field", "word3"), SHOULD),
+    ),
+    "q_not": bool_query(
+        (TermQuery("field", "word1"), MUST),
+        (TermQuery("field", "word2"), MUST_NOT),
+    ),
+    "q_phrase": PhraseQuery.of("field", ["word1", "word2"]),
+    "q_wild": WildcardQuery("cat", "cat1*"),
+}
+
+
+def _single(searcher, q, k):
+    return [
+        (r["docid"], round(r["score"], 9))
+        for r in searcher.search(q, k=k).collect()
+    ]
+
+
+def _from_batch(rows, qid):
+    return [
+        (r["docid"], round(r["score"], 9)) for r in rows if r["qid"] == qid
+    ]
+
+
+def test_batch_matches_single_topk(searcher):
+    rows = searcher.search_batch(BATCH, k=5).collect()
+    for qid, q in BATCH.items():
+        assert _from_batch(rows, qid) == _single(searcher, q, 5), qid
+
+
+def test_batch_matches_single_all_matches(searcher):
+    rows = searcher.search_batch(BATCH, k=None).collect()
+    # k=None returns ALL matches; order within qid is not part of the
+    # contract there, so compare as sets
+    for qid, q in BATCH.items():
+        assert set(_from_batch(rows, qid)) == set(_single(searcher, q, None)), qid
+
+
+def test_batch_with_matchall_fallback(searcher):
+    batch = dict(BATCH)
+    batch["q_all"] = MatchAllQuery()
+    rows = searcher.search_batch(batch, k=4).collect()
+    for qid, q in batch.items():
+        assert _from_batch(rows, qid) == _single(searcher, q, 4), qid
+
+
+def test_batch_row_order_and_schema(searcher):
+    df = searcher.search_batch(BATCH, k=3)
+    assert df.columns == ["qid", "docid", "key", "score"]
+    rows = df.collect()
+    keyed = [(r["qid"], -r["score"], r["docid"]) for r in rows]
+    assert keyed == sorted(keyed)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def saved_searcher(spark, tmp_path_factory):
+    """SAVED index: the query plan starts at the parquet scan, so exchange
+    / scan-count assertions see only the serving stage (an in-memory
+    index's plan embeds the whole build lineage)."""
+    from montezuma_spark.fixtures import synth_web_pages_df
+    from montezuma_spark.index import Index
+
+    d = str(tmp_path_factory.mktemp("batch") / "ix")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")], shard_bits=5
+    )
+    build_index(spark, synth_web_pages_df(spark, 150), cfg, index_dir=d)
+    return Searcher(Index.load(spark, d))
+
+
+def test_all_single_term_batch_skips_exchange(saved_searcher):
+    """A batch of pure term queries is one job with NO shard exchange:
+    each cell is self-contained, so the kernel runs on scan partitions."""
+    batch = {
+        "a": TermQuery("text", "merge"),
+        "b": TermQuery("text", "spark"),
+    }
+    plan = _plan(saved_searcher.search_batch(batch, k=3))
+    assert "REPARTITION_BY_NUM" not in plan, plan
+    # ... and a batch containing a multi-term query DOES exchange on
+    # shard, sized to the match estimate (one task at this corpus size,
+    # rendered as SinglePartition), never the session shuffle width
+    batch["c"] = bool_query(
+        (TermQuery("text", "merge"), MUST), (TermQuery("text", "spark"), MUST)
+    )
+    plan2 = _plan(saved_searcher.search_batch(batch, k=3))
+    assert "REPARTITION_BY_NUM" in plan2, plan2
+    widths = re.findall(r"hashpartitioning\(shard#\d+L?, (\d+)\)", plan2)
+    assert all(w == "1" for w in widths), plan2
+
+
+def test_batch_scan_is_union_pruned(saved_searcher):
+    """The single postings scan carries the UNION of the batch's terms as
+    one pushed predicate — ONE MapInPandas over one pruned parquet scan,
+    not one scan per query."""
+    batch = {
+        "a": TermQuery("text", "merge"),
+        "b": TermQuery("text", "spark"),
+    }
+    df = saved_searcher.search_batch(batch, k=3)
+    plan = _plan(df)
+    # one kernel node: "(n) MapInPandas" appears once in the formatted
+    # tree and once in the node-details section
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    # both terms reach the scan as pushed predicates
+    assert "merge" in plan and "spark" in plan, plan
+    # positions sidecar column-pruned away (no phrase in the batch)
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "positions" not in read, read
