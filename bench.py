@@ -163,6 +163,35 @@ def query_suite(searcher, reps: int = 3) -> dict[str, float]:
     t0 = time.time()
     dist.top_docs(q, k=10)
     out["q_term_top10_distributed"] = round(time.time() - t0, 4)
+    # batch serving: the WHOLE headline suite as ONE distributed job
+    # (search_batch) — the query-log throughput path; per-query cost
+    # should amortize the ~0.3-0.5 s distributed scheduling floor away
+    batch = headline_queries()
+    t0 = time.time()
+    n_rows = dist.search_batch(batch, k=10).count()
+    dt = time.time() - t0
+    out["q_batch_total_distributed"] = round(dt, 4)
+    out["q_batch_per_query_distributed"] = round(dt / len(batch), 4)
+    assert n_rows >= len(batch)  # every query matched something
+    # query-log shape: 100 term queries (the 100 highest-df terms,
+    # deterministic) as one job — the throughput number a serving
+    # deployment cares about (queries/sec, not latency of one)
+    from pyspark.sql import functions as F
+
+    terms = [
+        r["term"]
+        for r in dist.index.term_stats.filter(F.col("field") == "text")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+        .collect()
+    ]
+    log100 = {f"t{i:03d}": TermQuery("text", t) for i, t in enumerate(terms)}
+    t0 = time.time()
+    n_rows = dist.search_batch(log100, k=10).count()
+    dt = time.time() - t0
+    assert n_rows >= len(log100)
+    out["q_batch100_total_distributed"] = round(dt, 4)
+    out["q_batch100_qps"] = round(len(log100) / dt, 1)
     return out
 
 

@@ -421,10 +421,10 @@ class Searcher:
         out.sort(key=lambda r: (-r[2], r[0]))
         return tuple(sorted(out[: self.max_expansion]))
 
-    def _resolve(self, q: Query) -> tuple[Query, dict, dict, bool]:
-        """Expand range/wildcard and gather idf/df maps — every dictionary
-        touch is a filtered scan (pushdown), batched across the query."""
-        q = rewrite(q)
+    @staticmethod
+    def _exact_pairs(q: Query) -> tuple[set, bool]:
+        """(field, term) pairs resolvable by exact dictionary seek in a
+        REWRITTEN tree, plus whether positions are needed (phrases)."""
         exact: set = set()
         need_pos = False
 
@@ -447,6 +447,13 @@ class Searcher:
                     gather(c.query)
 
         gather(q)
+        return exact, need_pos
+
+    def _resolve(self, q: Query) -> tuple[Query, dict, dict, bool]:
+        """Expand range/wildcard and gather idf/df maps — every dictionary
+        touch is a filtered scan (pushdown), batched across the query."""
+        q = rewrite(q)
+        exact, need_pos = self._exact_pairs(q)
         dfs = self._lookup_dfs(exact) if exact else {}
         idf: dict = {}
         df_est: dict = {}
@@ -927,14 +934,36 @@ class Searcher:
         paths and are unioned into the same result."""
         items = list(queries.items()) if isinstance(queries, dict) else list(queries)
         tomb_df = self._tombstones_df()
+        # amortize dictionary resolution across the batch: ONE df seek for
+        # every exact (field, term) in ANY query (warms _df_cache), then
+        # compile concurrently — expansion queries (wildcard/range/fuzzy)
+        # each need their own dictionary scan, and Spark schedules
+        # driver-thread-concurrent jobs in parallel, so the batch pays
+        # ~max(expansion latencies), not their sum
+        exact_all: set = set()
+        rewritten = [(qid, rewrite(q)) for qid, q in items]
+        for _, q in rewritten:
+            exact_all |= self._exact_pairs(q)[0]
+        if exact_all and not self._preload:
+            self._lookup_dfs(exact_all)
+        compiled: list = []
+        if len(rewritten) > 1 and not self._preload:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(rewritten))) as pool:
+                compiled = list(
+                    pool.map(lambda it: (it[0], *self._compile(it[1], k)),
+                             rewritten)
+                )
+        else:
+            compiled = [(qid, *self._compile(q, k)) for qid, q in rewritten]
         batch: list = []  # (qid, plan, needed)
         fallback: list = []
         union_needed: dict[str, set] = {}
         need_pos_any = False
-        for qid, q in items:
-            plan, resolved, need_pos = self._compile(q, k)
+        for (qid, plan, resolved, need_pos), (_, orig_q) in zip(compiled, items):
             if self._has_matchall(resolved) or tomb_df is not None:
-                fallback.append((qid, q))
+                fallback.append((qid, orig_q))
                 continue
             needed = self._needed_terms(resolved)
             for f, ts in needed.items():

@@ -110,6 +110,20 @@ def main():
         want = s_dist.top_docs(q, k=10)  # warm + serving-tier identity
         timings[name + "_spark"] = _median_time(s_dist, q)
         assert [d for d, _ in got] == [d for d, _ in want], name
+
+    # batch serving throughput at 1M docs: the 64 highest-df terms as ONE
+    # distributed job (search_batch) — queries/sec, the query-log number
+    top = served.term_stats.orderBy(F.desc("df"), F.asc("term")).limit(64).collect()
+    log_q = {f"t{i:02d}": TermQuery("text", r["term"]) for i, r in enumerate(top)}
+    sd = Searcher(served, distributed=True)
+    sd.search_batch(dict(list(log_q.items())[:2]), k=10).count()  # warm
+    t1 = time.time()
+    n_rows = sd.search_batch(log_q, k=10).count()
+    dt = time.time() - t1
+    assert n_rows >= len(log_q)
+    timings["q_batch_n"] = len(log_q)
+    timings["q_batch_total"] = round(dt, 4)
+    timings["q_batch_qps"] = round(len(log_q) / dt, 1)
     shutil.rmtree(save_dir, ignore_errors=True)
 
     out = {
