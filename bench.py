@@ -406,6 +406,8 @@ def _compact(result: dict) -> dict:
             "n_docs": r.get("n_docs"),
             "docs_per_sec": round(r["docs_per_sec"], 1),
         }
+        if "q_batch_qps" in r:
+            out["robustness"]["q_batch_qps"] = r["q_batch_qps"]
     c = result.get("codec_ab") or {}
     if "ratio_other_over_default" in c:
         out["codec_ab_ratio"] = c["ratio_other_over_default"]

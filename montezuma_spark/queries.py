@@ -255,6 +255,27 @@ def ft_multi_phrase_docs(spark, sf_dir):
 _MULTI_CACHE: dict = {}
 
 
+def _multi_searcher(spark, sf_dir):
+    """Shared multi-field index: analyzed text + untokenized lang, with
+    lang also STORED in doc_map (fields-io.lisp analog) for faceting."""
+    key = _skey(spark, sf_dir)
+    if key not in _MULTI_CACHE:
+        docs = documents_as_web_pages(spark, sf_dir)
+        cfg = IndexConfig(
+            fields=[
+                FieldConfig("text", "text", "simple"),
+                FieldConfig("lang", "lang", None, positions=False),
+            ],
+            key_col="url",
+            store_cols=("lang",),
+            shard_bits=8,
+        )
+        idx = build_index(spark, docs, cfg)
+        idx.postings = idx.postings.persist()
+        _MULTI_CACHE[key] = Searcher(idx)
+    return _MULTI_CACHE[key]
+
+
 def ft_lang_filter_topk(spark, sf_dir):
     """Multi-field index (analyzed text + untokenized lang, the
     per-field-analyzer surface, analyzers.lisp:68-75): BM25 top-10 for
@@ -266,27 +287,22 @@ def ft_lang_filter_topk(spark, sf_dir):
         BooleanQuery,
     )
 
-    key = _skey(spark, sf_dir)
-    if key not in _MULTI_CACHE:
-        docs = documents_as_web_pages(spark, sf_dir)
-        cfg = IndexConfig(
-            fields=[
-                FieldConfig("text", "text", "simple"),
-                FieldConfig("lang", "lang", None, positions=False),
-            ],
-            key_col="url",
-            shard_bits=8,
-        )
-        idx = build_index(spark, docs, cfg)
-        idx.postings = idx.postings.persist()
-        _MULTI_CACHE[key] = Searcher(idx)
+    s = _multi_searcher(spark, sf_dir)
     q = BooleanQuery(
         (
             BooleanClause(TermQuery("text", "merge"), MUST),
             BooleanClause(TermQuery("lang", "de"), FILTER),
         )
     )
-    return _topk(_MULTI_CACHE[key], q)
+    return _topk(s, q)
+
+
+def ft_facet_counts(spark, sf_dir):
+    """Facet counts (beyond-reference, labeled): per-lang match counts of
+    the docs matching text:merge — matched docids joined to the stored
+    doc_map column, map-side-partial groupBy (Searcher.facet_counts)."""
+    s = _multi_searcher(spark, sf_dir)
+    return s.facet_counts(TermQuery("text", "merge"), "lang")
 
 
 _EXPUNGE_CACHE: dict = {}
@@ -796,6 +812,7 @@ QUERIES = {
     "ft_matchall": ft_matchall,
     "ft_expunge_topk": ft_expunge_topk,
     "ft_lang_filter_topk": ft_lang_filter_topk,
+    "ft_facet_counts": ft_facet_counts,
     "ft_boost_topk": ft_boost_topk,
     "ft_std_term_topk": ft_std_term_topk,
     "ft_classic_topk": ft_classic_topk,
@@ -1132,6 +1149,11 @@ SELECT docid, round(score, 6) AS score FROM (
   WHERE docid IN (SELECT docid FROM docs WHERE lang = 'de')
   GROUP BY docid
 ) ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    "ft_facet_counts": _BASE + """
+SELECT lang, count(*) AS count FROM docs
+WHERE list_contains(toks, 'merge')
+GROUP BY lang ORDER BY lang ASC
 """,
     "ft_std_term_topk": _std_base() + _bm25_cte(["merge"]) + """
 SELECT docid, round(score, 6) AS score FROM (

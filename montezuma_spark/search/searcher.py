@@ -1091,6 +1091,33 @@ class Searcher:
             return len(local)
         return self._execute(query, None).count()
 
+    def facet_counts(self, query: Query, cols) -> DataFrame:
+        """Value counts of stored doc_map columns over the query's matches
+        (the Lucene-faceting analog — a labeled beyond-reference
+        extension). Returns DataFrame(*cols, count), ordered by cols.
+
+        Scale shape: the match side carries docid only (no top-k
+        truncation); the doc_map join is a docid-key sort-merge over the
+        docid-range-sorted stored table, and the groupBy reduces to one
+        row per distinct facet value — partial aggregation map-side, so
+        the shuffle is ~|distinct values| × partitions, never ~|matches|."""
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        local = self._execute_local(query, None)
+        if local is not None:
+            matched = self.index.spark.createDataFrame(
+                local, schema=RESULT_SCHEMA
+            )
+        else:
+            matched = self._execute(query, None)
+        out = matched.select("docid").join(
+            self.index.doc_map, "docid", "inner"
+        )
+        return (
+            out.groupBy(*cols)
+            .agg(F.count("*").alias("count"))
+            .orderBy(*cols)
+        )
+
     def search_sorted(self, query: Query, k: int = 10,
                       sort_by: list[tuple[str, bool]] | None = None) -> DataFrame:
         """Sort hits by stored fields / score / docid (the reference's sort

@@ -103,6 +103,31 @@ def test_get_document(searcher):
     assert d["cat"] == "cat2/sub1"
 
 
+def test_facet_counts(searcher):
+    """Per-value match counts over a stored column: counts must equal a
+    brute-force count over the golden corpus, on both serving tiers."""
+    from collections import Counter
+
+    q = TermQuery("field", "word3")
+    matched = searcher.matching_docids(q)
+    want = Counter(SEARCH_DOCS[d][2] for d in matched)
+    got = {
+        (r["cat"],): r["count"]
+        for r in searcher.facet_counts(q, "cat").collect()
+    }
+    assert got == {(c,): n for c, n in want.items()}
+    # multi-column facet + distributed tier parity
+    dist = Searcher(searcher.index, distributed=True)
+    got2 = {
+        (r["cat"], r["date"]): r["count"]
+        for r in dist.facet_counts(q, ["cat", "date"]).collect()
+    }
+    want2 = Counter(
+        (SEARCH_DOCS[d][2], SEARCH_DOCS[d][0]) for d in matched
+    )
+    assert got2 == dict(want2)
+
+
 def test_each_hit(searcher):
     hits = dict(searcher.each_hit(TermQuery("field", "word2")))
     assert sorted(hits) == [1, 4, 8]
