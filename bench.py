@@ -461,7 +461,11 @@ def main():
     searcher = Searcher(idx, preload=True)
     queries = query_suite(searcher)
     result["queries"] = queries
-    result["value"] = round(sum(queries.values()), 4)
+    # headline value = per-query latency suite (comparable across rounds);
+    # batch-serving totals/qps are throughput metrics, not suite latency
+    result["value"] = round(
+        sum(v for k, v in queries.items() if not k.startswith("q_batch")), 4
+    )
     result["build"] = build_rep
 
     # ---- per-codec serving tripwire (round-2 verdict item: the packed

@@ -934,6 +934,24 @@ class Searcher:
         paths and are unioned into the same result."""
         items = list(queries.items()) if isinstance(queries, dict) else list(queries)
         tomb_df = self._tombstones_df()
+        local_parts: list = []
+        if self._preload and not self._force_distributed:
+            # hot tier: every cell is parsed/decoded in driver memory —
+            # a per-query local eval (~1 ms each) beats any Spark job;
+            # queries the local tier refuses (MatchAll, oversized
+            # matches) stay in `items` for the distributed machinery
+            import pandas as pd
+
+            rest = []
+            for qid, q in items:
+                local = self._execute_local(q, k)
+                if local is None:
+                    rest.append((qid, q))
+                    continue
+                pdf = (local.iloc[:k] if k is not None else local).copy()
+                pdf.insert(0, "qid", qid)
+                local_parts.append(pdf)
+            items = rest
         # amortize dictionary resolution across the batch: ONE df seek for
         # every exact (field, term) in ANY query (warms _df_cache), then
         # compile concurrently — expansion queries (wildcard/range/fuzzy)
@@ -1006,6 +1024,14 @@ class Searcher:
                 res = res.orderBy(F.desc("score"), F.asc("docid")).limit(k)
             res = res.select(F.lit(qid).alias("qid"), "docid", "score")
             out = res if out is None else out.unionByName(res)
+        if local_parts:
+            import pandas as pd
+
+            loc = self.index.spark.createDataFrame(
+                pd.concat(local_parts, ignore_index=True),
+                schema=BATCH_RESULT_SCHEMA,
+            )
+            out = loc if out is None else out.unionByName(loc)
         if out is None:
             return self.index.spark.createDataFrame(
                 [], schema=BATCH_RESULT_SCHEMA + ", key string"
