@@ -217,6 +217,17 @@ def ft_batch_topk(spark, sf_dir):
     )
 
 
+def ft_suggest(spark, sf_dir):
+    """Prefix autocomplete (beyond-reference, labeled): top-5 dictionary
+    terms starting with 's' by (df desc, term asc) — a startswith
+    pushdown into the range-sorted term_stats, k rows to the driver."""
+    _, s = get_index(spark, sf_dir)
+    rows = s.suggest("text", "s", n=5)
+    return spark.createDataFrame(
+        [(t, d) for t, d in rows], schema="term string, df long"
+    )
+
+
 def ft_parsed_topk(spark, sf_dir):
     """Query-string parser end-to-end: '+merge spark vector' = MUST merge,
     SHOULD spark/vector (query-parser.lisp:160-234 occur semantics)."""
@@ -804,6 +815,7 @@ QUERIES = {
     "ft_bool_and_topk": ft_bool_and_topk,
     "ft_bool_or_topk": ft_bool_or_topk,
     "ft_batch_topk": ft_batch_topk,
+    "ft_suggest": ft_suggest,
     "ft_parsed_topk": ft_parsed_topk,
     "ft_bool_not_docs": ft_bool_not_docs,
     "ft_phrase_docs": ft_phrase_docs,
@@ -1088,6 +1100,12 @@ SELECT * FROM (
     GROUP BY docid
   ) ORDER BY score DESC, docid ASC LIMIT 10)
 ORDER BY qid ASC, score DESC, docid ASC
+""",
+    "ft_suggest": _BASE + """
+SELECT term, df FROM (
+  SELECT tok AS term, count(DISTINCT docid) AS df FROM tokens
+  WHERE tok LIKE 's%' GROUP BY tok
+) ORDER BY df DESC, term ASC LIMIT 5
 """,
     "ft_parsed_topk": _BASE + _bm25_cte(["merge", "spark", "vector"]) + """
 SELECT docid, round(score, 6) AS score FROM (

@@ -1117,6 +1117,40 @@ class Searcher:
             return len(local)
         return self._execute(query, None).count()
 
+    def suggest(self, field: str, prefix: str, n: int = 10) -> list:
+        """Prefix autocomplete over the term dictionary (beyond-reference,
+        labeled): the ``n`` highest-df terms starting with ``prefix``, as
+        (term, df) tuples ordered (df desc, term asc).
+
+        The predicate is a ``startswith`` pushdown into the range-sorted
+        term_stats parquet (min/max file pruning — the .tii seek analog);
+        only the k result rows reach the driver, never the vocabulary."""
+        if self._preload:
+            import bisect
+
+            ts = self._terms_sorted(field)
+            lo = bisect.bisect_left(ts, prefix)
+            if prefix and ord(prefix[-1]) != 0x10FFFF:
+                hi = bisect.bisect_left(
+                    ts, prefix[:-1] + chr(ord(prefix[-1]) + 1)
+                )
+            else:
+                hi = len(ts)
+            d = self._dictionary()
+            cand = [(t, d.get((field, t), 0)) for t in ts[lo:hi]]
+            cand.sort(key=lambda r: (-r[1], r[0]))
+            return cand[:n]
+        scan = self.index.term_stats.filter(F.col("field") == field)
+        if prefix:
+            scan = scan.filter(F.col("term").startswith(prefix))
+        rows = (
+            scan.select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+            .collect()
+        )
+        return [(r["term"], int(r["df"])) for r in rows]
+
     def facet_counts(self, query: Query, cols) -> DataFrame:
         """Value counts of stored doc_map columns over the query's matches
         (the Lucene-faceting analog — a labeled beyond-reference

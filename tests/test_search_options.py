@@ -128,6 +128,25 @@ def test_facet_counts(searcher):
     assert got2 == dict(want2)
 
 
+def test_suggest_prefix_topn(searcher):
+    """Prefix autocomplete: (df desc, term asc) over dictionary pushdown;
+    hot and cold tiers must agree."""
+    from collections import Counter
+
+    want = Counter()
+    for _, field, _ in SEARCH_DOCS:
+        for t in set(field.split()):
+            if t.startswith("word"):
+                want[t] += 1
+    expect = sorted(want.items(), key=lambda r: (-r[1], r[0]))
+    got = searcher.suggest("field", "word", n=10)
+    assert got == expect
+    hot = Searcher(searcher.index, preload=True)
+    assert hot.suggest("field", "word", n=10) == expect
+    assert searcher.suggest("field", "zzz", n=3) == []
+    assert searcher.suggest("field", "word", n=1) == expect[:1]
+
+
 def test_each_hit(searcher):
     hits = dict(searcher.each_hit(TermQuery("field", "word2")))
     assert sorted(hits) == [1, 4, 8]
