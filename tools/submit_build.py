@@ -48,6 +48,10 @@ def main() -> None:
                          "input but 'html' exists)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--query", default=None)
+    ap.add_argument("--query-file", default=None,
+                    help="text file of parsed queries (one per line): the "
+                         "whole log is answered as ONE distributed job "
+                         "(Searcher.search_batch) and reported as qps")
     args = ap.parse_args()
 
     # on spark-submit the session already exists; getOrCreate attaches
@@ -104,6 +108,26 @@ def main() -> None:
             "q": args.query,
             "latency_sec": round(time.time() - t0, 4),
             "top10": [[int(d), round(s, 6)] for d, s in hits],
+        }
+
+    if args.query_file:
+        from montezuma_spark.search import Searcher
+        from montezuma_spark.search.parser import QueryParser
+
+        parser = QueryParser(default_field="text", analyzer=args.analyzer)
+        with open(args.query_file) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        batch = {f"q{i:04d}": parser.parse(ln) for i, ln in enumerate(lines)}
+        t0 = time.time()
+        n_rows = Searcher(idx, distributed=True).search_batch(
+            batch, k=10
+        ).count()
+        dt = time.time() - t0
+        out["query_log"] = {
+            "n_queries": len(batch),
+            "result_rows": int(n_rows),
+            "total_sec": round(dt, 4),
+            "qps": round(len(batch) / dt, 1) if dt > 0 else None,
         }
 
     print("SUBMIT_BUILD_RESULT " + json.dumps(out))
