@@ -228,6 +228,18 @@ def ft_suggest(spark, sf_dir):
     )
 
 
+def ft_mlt_topk(spark, sf_dir):
+    """More-like-this (beyond-reference, labeled): the source doc's term
+    vector (uninverted, shard-pruned) becomes a SHOULD disjunction; the
+    source doc is excluded. max_terms=50 covers every distinct term of
+    doc 7 on this corpus, so the oracle reproduces the exact query."""
+    _, s = get_index(spark, sf_dir)
+    out = s.more_like_this(7, max_terms=50, k=10)
+    return out.select(
+        "docid", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 def ft_parsed_topk(spark, sf_dir):
     """Query-string parser end-to-end: '+merge spark vector' = MUST merge,
     SHOULD spark/vector (query-parser.lisp:160-234 occur semantics)."""
@@ -816,6 +828,7 @@ QUERIES = {
     "ft_bool_or_topk": ft_bool_or_topk,
     "ft_batch_topk": ft_batch_topk,
     "ft_suggest": ft_suggest,
+    "ft_mlt_topk": ft_mlt_topk,
     "ft_parsed_topk": ft_parsed_topk,
     "ft_bool_not_docs": ft_bool_not_docs,
     "ft_phrase_docs": ft_phrase_docs,
@@ -1100,6 +1113,28 @@ SELECT * FROM (
     GROUP BY docid
   ) ORDER BY score DESC, docid ASC LIMIT 10)
 ORDER BY qid ASC, score DESC, docid ASC
+""",
+    "ft_mlt_topk": _BASE + f"""
+, dfs AS (
+  SELECT tok, count(DISTINCT docid) AS df FROM tokens GROUP BY tok
+),
+mlt AS (SELECT DISTINCT tok FROM tokens WHERE docid = 7),
+tf AS (
+  SELECT docid, dl, tok, count(*) AS tf FROM tokens
+  WHERE tok IN (SELECT tok FROM mlt)
+  GROUP BY docid, dl, tok
+),
+scores AS (
+  SELECT t.docid,
+         ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+         * t.tf * ({K1} + 1)
+         / (t.tf + {K1} * (1 - {B} + {B} * t.dl / (SELECT avgdl FROM stats)))
+         AS s
+  FROM tf t JOIN dfs d USING (tok)
+)
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores WHERE docid <> 7 GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
 """,
     "ft_suggest": _BASE + """
 SELECT term, df FROM (

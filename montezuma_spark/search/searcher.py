@@ -1117,6 +1117,51 @@ class Searcher:
             return len(local)
         return self._execute(query, None).count()
 
+    def more_like_this(self, docid: int, field: str | None = None,
+                       max_terms: int = 25, min_tf: int = 1,
+                       min_df: int = 1, k: int | None = 10) -> DataFrame:
+        """Similar-document search (the Lucene MoreLikeThis analog —
+        beyond-reference, labeled): uninvert the source doc's term vector
+        (shard-pruned postings scan), keep its ``max_terms`` terms with
+        the highest tf·idf (ties: term asc), and run them as a SHOULD
+        disjunction — WAND-prunable like any OR tree. The source doc is
+        excluded from the hits. Returns the ``search`` DataFrame shape
+        (docid, key, score)."""
+        field = field or self.index.config.fields[0].name
+        tv = self.index.term_vectors(docids=[int(docid)]).filter(
+            F.col("field") == field
+        )
+        pairs = [
+            (r["term"], int(r["tf"]))
+            for r in tv.select("term", "tf").collect()
+            if int(r["tf"]) >= min_tf
+        ]
+        dfs = self._lookup_dfs({(field, t) for t, _ in pairs})
+        n = self.index.stats.get(field, {}).get("num_docs", 0)
+        scored = []
+        for t, tf in pairs:
+            df = dfs.get((field, t), 0)
+            if df < min_df or df <= 0:
+                continue
+            scored.append((tf * self.similarity.idf(df, n), t))
+        scored.sort(key=lambda r: (-r[0], r[1]))
+        terms = [t for _, t in scored[:max_terms]]
+        if not terms:
+            return self.index.spark.createDataFrame(
+                [], schema="docid long, key string, score double"
+            )
+        from montezuma_spark.search.ast import SHOULD, BooleanClause
+
+        q = BooleanQuery(
+            tuple(BooleanClause(TermQuery(field, t), SHOULD) for t in terms)
+        )
+        # fetch k+1: the source doc almost always ranks first
+        out = self.search(q, k=None if k is None else k + 1)
+        out = out.filter(F.col("docid") != int(docid))
+        if k is not None:
+            out = out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        return out
+
     def suggest(self, field: str, prefix: str, n: int = 10) -> list:
         """Prefix autocomplete over the term dictionary (beyond-reference,
         labeled): the ``n`` highest-df terms starting with ``prefix``, as

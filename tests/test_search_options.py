@@ -128,6 +128,46 @@ def test_facet_counts(searcher):
     assert got2 == dict(want2)
 
 
+def test_more_like_this(searcher):
+    """MLT == a hand-built SHOULD tree over the doc's top tf·idf terms,
+    with the source doc excluded."""
+    import math
+    from collections import Counter
+
+    src = 4
+    toks = SEARCH_DOCS[src][1].split()
+    tfs = Counter(toks)
+    n = len(SEARCH_DOCS)
+    dfs = {
+        t: sum(1 for _, f, _ in SEARCH_DOCS if t in f.split())
+        for t in tfs
+    }
+    idf = lambda df: math.log(1.0 + (n - df + 0.5) / (df + 0.5))  # noqa: E731
+    ranked = sorted(tfs, key=lambda t: (-tfs[t] * idf(dfs[t]), t))
+    for m in (2, 10):
+        q = BooleanQuery(
+            tuple(
+                BooleanClause(TermQuery("field", t), SHOULD)
+                for t in ranked[:m]
+            )
+        )
+        all_rows = sorted(
+            (
+                (r["docid"], round(r["score"], 9))
+                for r in searcher.search(q, k=None).collect()
+                if r["docid"] != src
+            ),
+            key=lambda r: (-r[1], r[0]),
+        )
+        want = all_rows[:5]
+        got = [
+            (r["docid"], round(r["score"], 9))
+            for r in searcher.more_like_this(src, max_terms=m, k=5).collect()
+        ]
+        assert got == want, m
+        assert all(d != src for d, _ in got)
+
+
 def test_suggest_prefix_topn(searcher):
     """Prefix autocomplete: (df desc, term asc) over dictionary pushdown;
     hot and cold tiers must agree."""
