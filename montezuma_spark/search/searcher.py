@@ -912,8 +912,10 @@ class Searcher:
         ``queries``: dict[qid, Query] or iterable of (qid, Query) pairs.
         Returns DataFrame(qid, docid, key, score): per-query top-k with
         the standard (score desc, docid asc) tie-break, rows ordered
-        (qid asc, score desc, docid asc). Scores are identical to
-        ``search(q, k)`` per query — same compile, same kernel math.
+        (qid asc, score desc, docid asc); with ``k=None`` ALL matches,
+        unordered (no global sort of a corpus-sized result). Scores are
+        identical to ``search(q, k)`` per query — same compile, same
+        kernel math.
 
         Scale design (why this beats N ``search`` calls):
         * ONE pruned postings scan for the UNION of all queries' terms —
@@ -1036,10 +1038,17 @@ class Searcher:
             return self.index.spark.createDataFrame(
                 [], schema=BATCH_RESULT_SCHEMA + ", key string"
             ).select("qid", "docid", "key", "score")
-        joined = F.broadcast(out).join(self.index.doc_map, "docid", "inner")
-        return joined.select("qid", "docid", "key", "score").orderBy(
-            "qid", F.desc("score"), F.asc("docid")
-        )
+        # k-bounded results broadcast against doc_map (≤ |batch|·k rows);
+        # k=None returns ALL matches — potentially corpus-sized, so the
+        # docid join must stay a plain (sort-merge) join, never broadcast
+        side = F.broadcast(out) if k is not None else out
+        joined = side.join(self.index.doc_map, "docid", "inner")
+        joined = joined.select("qid", "docid", "key", "score")
+        if k is None:
+            # ALL matches: no global sort of a potentially corpus-sized
+            # result — callers aggregate or sort per-query downstream
+            return joined
+        return joined.orderBy("qid", F.desc("score"), F.asc("docid"))
 
     def top_docs(self, query: Query, k: int | None = 10,
                  first_doc: int = 0) -> list[tuple[int, float]]:
