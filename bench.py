@@ -168,11 +168,14 @@ def query_suite(searcher, reps: int = 3) -> dict[str, float]:
     # should amortize the ~0.3-0.5 s distributed scheduling floor away
     batch = headline_queries()
     t0 = time.time()
-    n_rows = dist.search_batch(batch, k=10).count()
+    n_qids = (
+        dist.search_batch(batch, k=10)
+        .select("qid").distinct().count()
+    )
     dt = time.time() - t0
     out["q_batch_total_distributed"] = round(dt, 4)
     out["q_batch_per_query_distributed"] = round(dt / len(batch), 4)
-    assert n_rows >= len(batch)  # every query matched something
+    assert n_qids == len(batch)  # EVERY query matched something
     # query-log shape: 100 term queries (the 100 highest-df terms,
     # deterministic) as one job — the throughput number a serving
     # deployment cares about (queries/sec, not latency of one)
@@ -187,9 +190,11 @@ def query_suite(searcher, reps: int = 3) -> dict[str, float]:
     ]
     log100 = {f"t{i:03d}": TermQuery("text", t) for i, t in enumerate(terms)}
     t0 = time.time()
-    n_rows = dist.search_batch(log100, k=10).count()
+    n_qids = (
+        dist.search_batch(log100, k=10).select("qid").distinct().count()
+    )
     dt = time.time() - t0
-    assert n_rows >= len(log100)
+    assert n_qids == len(log100)  # EVERY query matched something
     out["q_batch100_total_distributed"] = round(dt, 4)
     out["q_batch100_qps"] = round(len(log100) / dt, 1)
     return out

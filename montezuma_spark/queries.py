@@ -231,10 +231,13 @@ def ft_suggest(spark, sf_dir):
 def ft_mlt_topk(spark, sf_dir):
     """More-like-this (beyond-reference, labeled): the source doc's term
     vector (uninverted, shard-pruned) becomes a SHOULD disjunction; the
-    source doc is excluded. max_terms=50 covers every distinct term of
-    doc 7 on this corpus, so the oracle reproduces the exact query."""
+    source doc is excluded. max_terms=500 exceeds any per-doc distinct
+    term count this synthetic family can produce (~80 tokens/doc), so
+    NO tf·idf truncation happens and the oracle reproduces the exact
+    query at any scale factor (selection-order float ties can never
+    change the term set)."""
     _, s = get_index(spark, sf_dir)
-    out = s.more_like_this(7, max_terms=50, k=10)
+    out = s.more_like_this(7, max_terms=500, k=10)
     return out.select(
         "docid", F.round(F.col("score"), 6).alias("score")
     )

@@ -264,6 +264,28 @@ class ShardEval:
         out = np.where(d[idx] == docids, out, 1)
         return out
 
+    def rebind(self, plan: CompiledPlan) -> "ShardEval":
+        """Cheap per-plan view sharing the parsed cell buckets, boost
+        arrays and lens map — bucketing rows into the (field, term) →
+        cells dict is plan-independent, so the batch kernel builds it
+        ONCE per task and rebinds per query instead of re-walking every
+        CellRow |batch| times. Shared CellRow decode memos stay valid:
+        a cell decode is query-independent and callers never mutate the
+        returned arrays."""
+        from montezuma_spark.search.similarity import BM25Similarity
+
+        ev = object.__new__(ShardEval)
+        ev.plan = plan
+        ev.sim = plan.similarity or BM25Similarity(k1=plan.k1, b=plan.b)
+        ev.normalize = bool(getattr(ev.sim, "normalize_query", False))
+        ev.deleted = plan.deleted
+        ev.cells = self.cells
+        ev.boost_d = self.boost_d
+        ev.boost_v = self.boost_v
+        ev.max_boost = self.max_boost
+        ev.lens = self.lens
+        return ev
+
     def _meta(self, row):
         return {
             "first": list(row.blk_first),
@@ -1351,8 +1373,11 @@ def make_kernel_multi(plans: list):
             return
         pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
         rows = rows_from_pandas(pdf)
+        base = None
         for qid, plan in plans:
-            ev = ShardEval(plan, rows)
+            # bucket rows once per task; per-plan evals share the buckets
+            ev = ShardEval(plan, rows) if base is None else base.rebind(plan)
+            base = base or ev
             out = _finish(plan, *ev.eval_top(plan.query))
             if len(out):
                 out.insert(0, "qid", qid)

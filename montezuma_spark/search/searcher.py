@@ -935,7 +935,23 @@ class Searcher:
         runs with massive delete sets take the dedicated single-query
         paths and are unioned into the same result."""
         items = list(queries.items()) if isinstance(queries, dict) else list(queries)
+        items = [(str(qid), q) for qid, q in items]  # qid schema is string
         tomb_df = self._tombstones_df()
+        if tomb_df is not None:
+            # massive delete set: every query needs the cogrouped
+            # tombstone path — skip the batch machinery entirely rather
+            # than compiling twice (the per-query paths stay correct;
+            # batch amortization is n/a when tombstones must cogroup)
+            out = None
+            for qid, q in items:
+                res = self._execute(q, k)
+                if k is not None:
+                    res = res.orderBy(
+                        F.desc("score"), F.asc("docid")
+                    ).limit(k)
+                res = res.select(F.lit(qid).alias("qid"), "docid", "score")
+                out = res if out is None else out.unionByName(res)
+            return self._finish_batch(out, k)
         local_parts: list = []
         if self._preload and not self._force_distributed:
             # hot tier: every cell is parsed/decoded in driver memory —
@@ -982,7 +998,7 @@ class Searcher:
         union_needed: dict[str, set] = {}
         need_pos_any = False
         for (qid, plan, resolved, need_pos), (_, orig_q) in zip(compiled, items):
-            if self._has_matchall(resolved) or tomb_df is not None:
+            if self._has_matchall(resolved):
                 fallback.append((qid, orig_q))
                 continue
             needed = self._needed_terms(resolved)
@@ -1034,6 +1050,10 @@ class Searcher:
                 schema=BATCH_RESULT_SCHEMA,
             )
             out = loc if out is None else out.unionByName(loc)
+        return self._finish_batch(out, k)
+
+    def _finish_batch(self, out, k: int | None) -> DataFrame:
+        """doc_map key join + deterministic ordering for batch results."""
         if out is None:
             return self.index.spark.createDataFrame(
                 [], schema=BATCH_RESULT_SCHEMA + ", key string"
@@ -1189,9 +1209,15 @@ class Searcher:
                     ts, prefix[:-1] + chr(ord(prefix[-1]) + 1)
                 )
             else:
+                # no successor code point: the range is unbounded above,
+                # so keep only true prefix matches (cold-tier parity)
                 hi = len(ts)
             d = self._dictionary()
-            cand = [(t, d.get((field, t), 0)) for t in ts[lo:hi]]
+            cand = [
+                (t, d.get((field, t), 0))
+                for t in ts[lo:hi]
+                if t.startswith(prefix)
+            ]
             cand.sort(key=lambda r: (-r[1], r[0]))
             return cand[:n]
         scan = self.index.term_stats.filter(F.col("field") == field)

@@ -120,6 +120,68 @@ def test_batch_row_order_and_schema(searcher):
     assert keyed == sorted(keyed)
 
 
+def test_batch_with_tombstones_both_paths(spark, tmp_path, monkeypatch):
+    """Deleted docs never surface from search_batch — via the broadcast
+    delete array AND the massive-set cogroup fallback (forced by zeroing
+    the broadcast cap), each compared against per-query search."""
+    from montezuma_spark.fixtures import synth_web_pages_df
+    from montezuma_spark.search import MUST, bool_query
+    import montezuma_spark.search.searcher as searcher_mod
+
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")],
+        shard_bits=5, block_size=16,
+    )
+    idx = build_index(
+        spark, synth_web_pages_df(spark, 100), cfg,
+        index_dir=str(tmp_path / "ix"),
+    )
+    s = Searcher(idx)
+    victims = s.matching_docids(TermQuery("text", "merge"))[:3]
+    idx.delete_docs(victims)
+    batch = {
+        "t": TermQuery("text", "merge"),
+        "and": bool_query(
+            (TermQuery("text", "merge"), MUST),
+            (TermQuery("text", "spark"), MUST),
+        ),
+        "all": MatchAllQuery(),
+    }
+    for cap in (None, 0):  # broadcast path, then forced cogroup path
+        if cap is not None:
+            monkeypatch.setattr(searcher_mod, "TOMBSTONE_BROADCAST_MAX", cap)
+            s = Searcher(idx)
+        rows = s.search_batch(batch, k=20).collect()
+        assert not set(victims) & {r["docid"] for r in rows}, cap
+        for qid, q in batch.items():
+            assert _from_batch(rows, qid) == _single(s, q, 20), (qid, cap)
+
+
+def test_batch_on_boosted_index(spark):
+    """An index with per-doc boosts forces the shard exchange even for
+    single-term batches (boost marker cells must co-locate), and batch
+    rows equal per-query search on every query shape."""
+    from pyspark.sql import functions as F
+
+    from montezuma_spark.fixtures import search_docs_df
+
+    docs = search_docs_df(spark).withColumn(
+        "boost", (F.col("docid_expected") + 1).cast("double")
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("field", "field", "whitespace")],
+        key_col="url", shard_bits=2, boost_col="boost",
+    )
+    s = Searcher(build_index(spark, docs, cfg))
+    batch = {
+        "a": TermQuery("field", "word1"),
+        "b": TermQuery("field", "word2"),
+    }
+    rows = s.search_batch(batch, k=6).collect()
+    for qid, q in batch.items():
+        assert _from_batch(rows, qid) == _single(s, q, 6), qid
+
+
 def _plan(df) -> str:
     import contextlib
     import io
