@@ -136,6 +136,35 @@ def test_random_query_doc_sets(engine, data):
     assert s.matching_docids(q) == o.matching(q), q
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_batch_matches_oracle(engine, data):
+    """search_batch over random query trees (the distributed union-scan
+    kernel, NOT the preload tier) returns each query's exact oracle
+    top-k — the generative analog of the batch parity suite."""
+    s, o, vocab = engine
+    cold = Searcher(s.index)
+    qs = data.draw(
+        st.lists(_query_strategy(vocab), min_size=2, max_size=4)
+    )
+    batch = {f"q{i}": q for i, q in enumerate(qs)}
+    rows = cold.search_batch(batch, k=10).collect()
+    for qid, q in batch.items():
+        got = [
+            (r["docid"], r["score"]) for r in rows if r["qid"] == qid
+        ]
+        want = o.top_k(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], (qid, q)
+        np.testing.assert_allclose(
+            [x for _, x in got], [x for _, x in want],
+            rtol=1e-9, atol=1e-12,
+        )
+
+
 @pytest.fixture(scope="module")
 def engine_r2(spark):
     """Round-2 scoring surface: index-time per-doc boosts + classic
