@@ -779,6 +779,32 @@ def st_event_windows(spark, sf_dir):
     )
 
 
+def st_sessions(spark, sf_dir):
+    """Gap-based sessionization of the events table per user — the BATCH
+    semantics of streaming/windows.sessionized (built-in session_window;
+    identical plan minus the watermark). Oracle: gaps-and-islands with a
+    STRICT break (ts > prev + gap) — an event exactly on the boundary
+    extends the session (measured Spark behavior)."""
+    from montezuma_spark.streaming.windows import sessionized
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionized(
+        ev, ts_col="ts", key_col="user_id", gap="6 hours",
+        value_col="value",
+    )
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def mm_features(spark, sf_dir):
     """Multimodal plumbing over the documents table: texts become opaque
     binary payloads (the image/audio stand-in — no media libs in this
@@ -869,6 +895,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "mm_features": mm_features,
     "st_event_windows": st_event_windows,
+    "st_sessions": st_sessions,
 }
 
 # ===========================================================================
@@ -1521,6 +1548,27 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    "st_sessions": """
+WITH ord AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   + INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ord
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       user_id::BIGINT AS user_id,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
 """,
     "ann_ivf_topk": _ivf_sql(),
     "ann_cosine_topk": """

@@ -56,6 +56,42 @@ def windowed_doc_counts(
     )
 
 
+def sessionized(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via the built-in ``session_window``: events
+    of a key share a session while each arrives within ``gap`` of the
+    session's current end (start = first event ts, end = last event ts +
+    gap; an event landing exactly ON the boundary still extends the
+    session — measured, so the oracle's break condition must be strict
+    ``ts > prev + gap``). Watermarked when streaming so closed sessions
+    are finalized and their state dropped — bounded state at web scale.
+    Batch and streaming share the identical plan, which the
+    ``st_sessions`` contract entry exploits (gaps-and-islands oracle)."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = [F.count("*").cast("long").alias("n_events")]
+    out_cols = ["n_events"]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        out_cols.append("sum_value")
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            *out_cols,
+        )
+    )
+
+
 def _totals_fn(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
