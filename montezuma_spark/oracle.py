@@ -22,6 +22,7 @@ from montezuma_spark.search.ast import (
     PhraseQuery,
     Query,
     RangeQuery,
+    SpanNearQuery,
     TermQuery,
     WildcardQuery,
     rewrite,
@@ -174,9 +175,42 @@ class OracleIndex:
             return dict(out)
         if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
             return self._eval_phrase(q)
+        if isinstance(q, SpanNearQuery):
+            return self._eval_span_near(q)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q)
         raise TypeError(type(q))
+
+    def _eval_span_near(self, q) -> dict[int, float]:
+        """Brute-force span-near: enumerate every distinct-position
+        selection (one per listed term instance) — deliberately a
+        DIFFERENT algorithm from the engine's anchored-window /
+        greedy-chain kernels so the tests compare independent
+        derivations. Constant score = boost."""
+        from itertools import product
+
+        cand: set | None = None
+        for t in set(q.terms):
+            docs = set(self.postings.get((q.field, t), {}))
+            cand = docs if cand is None else (cand & docs)
+        n = len(q.terms)
+        out: dict[int, float] = {}
+        for d in sorted(cand or ()):
+            plists = [
+                self.postings.get((q.field, t), {}).get(d, [])
+                for t in q.terms
+            ]
+            for sel in product(*plists):
+                if len(set(sel)) != n:
+                    continue  # duplicate terms need distinct tokens
+                if q.in_order and any(
+                    sel[i + 1] <= sel[i] for i in range(n - 1)
+                ):
+                    continue
+                if (max(sel) - min(sel)) - (n - 1) <= q.slop:
+                    out[d] = q.boost
+                    break
+        return out
 
     def _eval_phrase(self, q) -> dict[int, float]:
         alts = (

@@ -32,6 +32,7 @@ from montezuma_spark.search import (
     PhraseQuery,
     RangeQuery,
     Searcher,
+    SpanNearQuery,
     TermQuery,
     WildcardQuery,
     bool_query,
@@ -275,6 +276,24 @@ def ft_multi_phrase_docs(spark, sf_dir):
     'window' — one positions-intersection pass over the slot unions."""
     _, s = get_index(spark, sf_dir)
     q = MultiPhraseQuery.of("text", ["batch", ("batch", "window")])
+    return s._execute(q, None).select("docid")
+
+
+def ft_span_near_docs(spark, sf_dir):
+    """Unordered span-near (beyond-reference extension, Lucene lineage):
+    docs where 'spark', 'merge' and 'vector' occur at distinct positions
+    within a window of slop+n-1 = 8 — anchored-window kernel, constant
+    score."""
+    _, s = get_index(spark, sf_dir)
+    q = SpanNearQuery.of("text", ["spark", "merge", "vector"], slop=6)
+    return s._execute(q, None).select("docid")
+
+
+def ft_span_ordered_docs(spark, sf_dir):
+    """Ordered span-near: 'spark' before 'merge', window width <= slop+1
+    — greedy earliest-next chain kernel."""
+    _, s = get_index(spark, sf_dir)
+    q = SpanNearQuery.of("text", ["spark", "merge"], slop=3, in_order=True)
     return s._execute(q, None).select("docid")
 
 
@@ -861,6 +880,8 @@ QUERIES = {
     "ft_parsed_topk": ft_parsed_topk,
     "ft_bool_not_docs": ft_bool_not_docs,
     "ft_phrase_docs": ft_phrase_docs,
+    "ft_span_near_docs": ft_span_near_docs,
+    "ft_span_ordered_docs": ft_span_ordered_docs,
     "ft_multi_phrase_docs": ft_multi_phrase_docs,
     "ft_sloppy_phrase_docs": ft_sloppy_phrase_docs,
     "ft_matchall": ft_matchall,
@@ -919,6 +940,21 @@ tokens AS (
 """
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
+
+# positions CTE for span-near oracles (parallel unnest zips toks with
+# their 0-based offsets in DuckDB)
+_SPAN_BASE = """
+WITH docs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS docid,
+         list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+pos AS (
+  SELECT docid, unnest(range(len(toks))) AS p, unnest(toks) AS tok
+  FROM docs
+)
+"""
 
 
 def _std_base() -> str:
@@ -1194,6 +1230,19 @@ WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% batch batch %'
 SELECT docid FROM docs
 WHERE ' ' || array_to_string(toks, ' ') || ' ' LIKE '% batch batch %'
    OR ' ' || array_to_string(toks, ' ') || ' ' LIKE '% batch window %'
+""",
+    "ft_span_near_docs": _SPAN_BASE + """
+SELECT DISTINCT a.docid
+FROM pos a JOIN pos b USING (docid) JOIN pos c USING (docid)
+WHERE a.tok = 'spark' AND b.tok = 'merge' AND c.tok = 'vector'
+  AND a.p <> b.p AND a.p <> c.p AND b.p <> c.p
+  AND greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) <= 8
+""",
+    "ft_span_ordered_docs": _SPAN_BASE + """
+SELECT DISTINCT a.docid
+FROM pos a JOIN pos b USING (docid)
+WHERE a.tok = 'spark' AND b.tok = 'merge'
+  AND b.p > a.p AND b.p - a.p <= 4
 """,
     "ft_expunge_topk": f"""
 WITH docs0 AS (

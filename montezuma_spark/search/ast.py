@@ -145,6 +145,41 @@ class FuzzyQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Positional proximity over unit-length term spans — a
+    beyond-reference EXTENSION from the reference's Lucene lineage (the
+    reference has NO span queries anywhere: montezuma.asd's exhaustive
+    file list carries no span-* components). Semantics follow Lucene's
+    SpanNearQuery over single-term spans:
+
+    a doc matches when one position can be chosen per listed term
+    instance, all positions DISTINCT, with
+    ``(max - min) - (n - 1) <= slop`` (n = len(terms); equivalently the
+    covering window is at most ``slop + n - 1`` positions wide). With
+    ``in_order=True`` the chosen positions must additionally be strictly
+    increasing in the listed term order. Duplicate terms are allowed and
+    must map to distinct positions (two "a"s can't share one token).
+
+    CONSTANT-SCORE: matching docs score exactly ``boost`` — the
+    ConstantScoreQuery composition Lucene users wrap spans in — so the
+    node composes in boolean trees as a structural predicate; tf/idf/
+    norms don't apply and its sum-of-squared-weights contribution is 0
+    (under classic normalize_query the constant is still scaled by the
+    tree's query_norm, like every clause)."""
+
+    field: str
+    terms: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = False
+    boost: float = 1.0
+
+    @staticmethod
+    def of(field: str, terms, slop: int = 0, in_order: bool = False,
+           boost: float = 1.0) -> "SpanNearQuery":
+        return SpanNearQuery(field, tuple(terms), slop, in_order, boost)
+
+
+@dataclass(frozen=True)
 class MatchAllQuery(Query):
     boost: float = 1.0
 

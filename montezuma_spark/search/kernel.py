@@ -49,6 +49,7 @@ from montezuma_spark.search.ast import (
     MultiPhraseQuery,
     PhraseQuery,
     Query,
+    SpanNearQuery,
     TermQuery,
 )
 
@@ -668,6 +669,8 @@ class ShardEval:
             return docs, np.full(len(docs), float(node.boost))
         if isinstance(node, (PhraseQuery, MultiPhraseQuery)):
             return self._eval_phrase(node, candidates)
+        if isinstance(node, SpanNearQuery):
+            return self._eval_span_near(node, candidates)
         if isinstance(node, BooleanQuery):
             return self._eval_bool(node, candidates)
         raise TypeError(f"unknown query node {type(node)}")
@@ -779,6 +782,10 @@ class ShardEval:
                     for slot in q.alternatives
                 ),
                 default=0,
+            )
+        if isinstance(q, SpanNearQuery):
+            return min(
+                (dfm.get((q.field, t), 0) for t in q.terms), default=0
             )
         if isinstance(q, BooleanQuery):
             ests = [
@@ -1035,6 +1042,78 @@ class ShardEval:
         return docs, score
 
 
+    def _eval_span_near(self, node: SpanNearQuery, candidates):
+        """SpanNearQuery: constant-score positional proximity, fully
+        vectorized over flat (doc-index, position) composite keys — no
+        per-doc python anywhere, mirroring the phrase path.
+
+        Unordered: a match exists iff some occurrence anchors a window
+        ``[p, p + W]`` (W = slop + n - 1) holding >= multiplicity(t)
+        occurrences of every term t — the window anchored at the
+        selection's MIN position always qualifies, and any qualifying
+        window yields a distinct-position selection (one token carries
+        one term, and >= mult(t) in-window occurrences cover duplicate
+        listed terms). Presence counts are two searchsorted calls per
+        term over the anchor array.
+
+        Ordered: greedy earliest-next chaining from every first-term
+        occurrence — taking the smallest next position > previous
+        minimizes the chain's end, so the greedy chain matches iff ANY
+        ordered selection does; one searchsorted per subsequent term."""
+        field = node.field
+        from collections import Counter
+
+        mult = Counter(node.terms)
+        dfm = self.plan.df_est
+        # 1. intersect doc sets (rarest term first); tf >= multiplicity
+        # prunes docs that can't seat duplicate listed terms
+        docs = candidates
+        for term in sorted(mult, key=lambda t: dfm.get((field, t), 0)):
+            d, tf, _dl = self._decode(field, term, docs)
+            if mult[term] > 1:
+                d = d[tf >= mult[term]]
+            d, _ = self._restrict(
+                d, np.zeros(len(d), dtype=np.float64), docs
+            )
+            docs = d
+            if len(docs) == 0:
+                return _EMPTY
+        # 2. flat (doc-index * M + position) keys per unique term —
+        # doc-major ascending positions, so each array is sorted
+        nd = len(docs)
+        M = np.int64(1) << np.int64(33)
+        keys: dict[str, np.ndarray] = {}
+        for term in mult:
+            f, ln = self._positions_flat(field, term, docs)
+            di = np.repeat(np.arange(nd, dtype=np.int64), ln)
+            keys[term] = di * M + f
+        W = np.int64(node.slop + len(node.terms) - 1)
+        if node.in_order:
+            anchors = keys[node.terms[0]]
+            cur = anchors
+            ok = np.ones(len(anchors), dtype=bool)
+            for term in node.terms[1:]:
+                kt = keys[term]
+                j = np.searchsorted(kt, cur + 1, side="left")
+                valid = j < len(kt)
+                ok &= valid
+                j = np.minimum(j, max(len(kt) - 1, 0))
+                nxt = kt[j] if len(kt) else cur
+                # poisoned lanes keep cur; they're already dead via ok
+                cur = np.where(valid, nxt, cur)
+            ok &= (cur - anchors) <= W  # same doc too: cross-doc diff >= M
+        else:
+            anchors = np.concatenate(list(keys.values()))
+            ok = np.ones(len(anchors), dtype=bool)
+            for term, kt in keys.items():
+                lo = np.searchsorted(kt, anchors, side="left")
+                hi = np.searchsorted(kt, anchors + W + 1, side="left")
+                ok &= (hi - lo) >= mult[term]
+        hit_docs = np.unique(anchors[ok] // M).astype(np.int64)
+        match = docs[hit_docs]
+        return match, np.full(len(match), float(node.boost))
+
+
 def _sloppy_freq(shifted: list[np.ndarray], slop: int,
                  weight: str = "count") -> float:
     """Reference oracle: k-pointer sweep over the shifted position lists
@@ -1259,6 +1338,20 @@ def explain_doc(plan: CompiledPlan, rows, docid: int,
                 ) + (f" slop={n.slop}" if n.slop else ""),
                 "value": node_value(n),
                 "idf_sum": idf,
+                "boost": n.boost,
+                "matched": bool(len(dd)),
+            }
+        if isinstance(n, SpanNearQuery):
+            dd, _ss = ev.eval(n, d1)
+            return {
+                "type": "span_near",
+                "description": (
+                    " ".join(n.terms)
+                    + f" slop={n.slop}"
+                    + (" in_order" if n.in_order else "")
+                    + " [constant-score]"
+                ),
+                "value": node_value(n),
                 "boost": n.boost,
                 "matched": bool(len(dd)),
             }

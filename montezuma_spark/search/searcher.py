@@ -43,6 +43,7 @@ from montezuma_spark.search.ast import (
     TermQuery,
     FuzzyQuery,
     MultiPhraseQuery,
+    SpanNearQuery,
     WildcardQuery,
     rewrite,
 )
@@ -442,6 +443,9 @@ class Searcher:
                     for slot in node.alternatives
                     for t in slot
                 )
+            elif isinstance(node, SpanNearQuery):
+                need_pos = True
+                exact.update((node.field, t) for t in node.terms)
             elif isinstance(node, BooleanQuery):
                 for c in node.clauses:
                     gather(c.query)
@@ -464,10 +468,13 @@ class Searcher:
             df_est[(field, term)] = df
 
         def walk(node: Query) -> Query:
-            if isinstance(node, (TermQuery, PhraseQuery, MultiPhraseQuery)):
+            if isinstance(
+                node,
+                (TermQuery, PhraseQuery, MultiPhraseQuery, SpanNearQuery),
+            ):
                 if isinstance(node, TermQuery):
                     terms = [node.term]
-                elif isinstance(node, PhraseQuery):
+                elif isinstance(node, (PhraseQuery, SpanNearQuery)):
                     terms = list(node.terms)
                 else:
                     terms = [t for slot in node.alternatives for t in slot]
@@ -541,7 +548,7 @@ class Searcher:
                 out.setdefault(node.field, set()).add(node.term)
             elif isinstance(node, MultiTermGroup):
                 out.setdefault(node.field, set()).update(node.terms)
-            elif isinstance(node, PhraseQuery):
+            elif isinstance(node, (PhraseQuery, SpanNearQuery)):
                 out.setdefault(node.field, set()).update(node.terms)
             elif isinstance(node, MultiPhraseQuery):
                 out.setdefault(node.field, set()).update(
@@ -603,6 +610,8 @@ class Searcher:
             return (pidf * node.boost) ** 2
         if isinstance(node, MatchAllQuery):
             return 1.0
+        if isinstance(node, SpanNearQuery):
+            return 0.0  # constant-score: carries no idf weight
         if isinstance(node, BooleanQuery):
             return node.boost ** 2 * sum(
                 self._sum_squared_weights(c.query, idf) for c in node.clauses

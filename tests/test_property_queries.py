@@ -30,6 +30,7 @@ from montezuma_spark.search import (
     PhraseQuery,
     RangeQuery,
     Searcher,
+    SpanNearQuery,
     TermQuery,
     WildcardQuery,
 )
@@ -84,6 +85,15 @@ def _query_strategy(vocab, slop_weights=("count",)):
         ).map(
             lambda x: MultiPhraseQuery.of(
                 "text", [x[0], (x[1], x[2])], slop=x[3], weight=x[4]
+            )
+        ),
+        st.tuples(
+            st.lists(terms, min_size=1, max_size=3),
+            st.integers(0, 4),
+            st.booleans(),
+        ).map(
+            lambda x: SpanNearQuery.of(
+                "text", x[0], slop=x[1], in_order=x[2]
             )
         ),
         st.just(MatchAllQuery()),
