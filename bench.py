@@ -92,6 +92,7 @@ def headline_queries() -> dict:
         MultiPhraseQuery,
         PhraseQuery,
         RangeQuery,
+        SpanNearQuery,
         TermQuery,
         WildcardQuery,
         bool_query,
@@ -118,6 +119,9 @@ def headline_queries() -> dict:
             (TermQuery("text", "spark"), MUST_NOT),
         ),
         "q_phrase_top10": PhraseQuery.of("text", ["batch", "batch"]),
+        "q_span_near_top10": SpanNearQuery.of(
+            "text", ["spark", "merge", "vector"], slop=6
+        ),
         "q_range_top10": RangeQuery("text", "key", "merge", True, True),
         "q_wildcard_top10": WildcardQuery("text", "s*"),
         "q_parsed_top10": p.parse("+spark merge vector"),
