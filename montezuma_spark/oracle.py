@@ -200,6 +200,8 @@ class OracleIndex:
                 self.postings.get((q.field, t), {}).get(d, [])
                 for t in q.terms
             ]
+            if q.first is not None:
+                plists = [[p for p in ps if p < q.first] for ps in plists]
             for sel in product(*plists):
                 if len(set(sel)) != n:
                     continue  # duplicate terms need distinct tokens

@@ -297,6 +297,17 @@ def ft_span_ordered_docs(spark, sf_dir):
     return s._execute(q, None).select("docid")
 
 
+def ft_span_first_docs(spark, sf_dir):
+    """Span-first (Lucene SpanFirstQuery analog): the ordered
+    'spark'..'merge' span confined to each doc's first 12 tokens —
+    position-prefix restriction composed with the greedy chain kernel."""
+    _, s = get_index(spark, sf_dir)
+    q = SpanNearQuery.of(
+        "text", ["spark", "merge"], slop=3, in_order=True, first=12
+    )
+    return s._execute(q, None).select("docid")
+
+
 _MULTI_CACHE: dict = {}
 
 
@@ -882,6 +893,7 @@ QUERIES = {
     "ft_phrase_docs": ft_phrase_docs,
     "ft_span_near_docs": ft_span_near_docs,
     "ft_span_ordered_docs": ft_span_ordered_docs,
+    "ft_span_first_docs": ft_span_first_docs,
     "ft_multi_phrase_docs": ft_multi_phrase_docs,
     "ft_sloppy_phrase_docs": ft_sloppy_phrase_docs,
     "ft_matchall": ft_matchall,
@@ -1243,6 +1255,13 @@ SELECT DISTINCT a.docid
 FROM pos a JOIN pos b USING (docid)
 WHERE a.tok = 'spark' AND b.tok = 'merge'
   AND b.p > a.p AND b.p - a.p <= 4
+""",
+    "ft_span_first_docs": _SPAN_BASE + """
+SELECT DISTINCT a.docid
+FROM pos a JOIN pos b USING (docid)
+WHERE a.tok = 'spark' AND b.tok = 'merge'
+  AND b.p > a.p AND b.p - a.p <= 4
+  AND a.p < 12 AND b.p < 12
 """,
     "ft_expunge_topk": f"""
 WITH docs0 AS (

@@ -160,6 +160,13 @@ class SpanNearQuery(Query):
     increasing in the listed term order. Duplicate terms are allowed and
     must map to distinct positions (two "a"s can't share one token).
 
+    ``first`` (Lucene SpanFirstQuery analog): when set, every chosen
+    position must lie in the document's first ``first`` tokens
+    (position < first) — e.g. ``terms=["x"], first=3`` matches docs
+    opening with "x" in their first three tokens. It composes with
+    slop/in_order unchanged: the kernels simply restrict each term's
+    position stream to the prefix before matching.
+
     CONSTANT-SCORE: matching docs score exactly ``boost`` — the
     ConstantScoreQuery composition Lucene users wrap spans in — so the
     node composes in boolean trees as a structural predicate; tf/idf/
@@ -172,11 +179,14 @@ class SpanNearQuery(Query):
     slop: int = 0
     in_order: bool = False
     boost: float = 1.0
+    first: int | None = None
 
     @staticmethod
     def of(field: str, terms, slop: int = 0, in_order: bool = False,
-           boost: float = 1.0) -> "SpanNearQuery":
-        return SpanNearQuery(field, tuple(terms), slop, in_order, boost)
+           boost: float = 1.0, first: int | None = None) -> "SpanNearQuery":
+        return SpanNearQuery(
+            field, tuple(terms), slop, in_order, boost, first
+        )
 
 
 @dataclass(frozen=True)

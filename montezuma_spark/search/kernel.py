@@ -1086,7 +1086,11 @@ class ShardEval:
         for term in mult:
             f, ln = self._positions_flat(field, term, docs)
             di = np.repeat(np.arange(nd, dtype=np.int64), ln)
-            keys[term] = di * M + f
+            k = di * M + f
+            if node.first is not None:
+                # span-first: only positions inside the doc prefix play
+                k = k[f < node.first]
+            keys[term] = k
         W = np.int64(node.slop + len(node.terms) - 1)
         if node.in_order:
             anchors = keys[node.terms[0]]
@@ -1349,6 +1353,7 @@ def explain_doc(plan: CompiledPlan, rows, docid: int,
                     " ".join(n.terms)
                     + f" slop={n.slop}"
                     + (" in_order" if n.in_order else "")
+                    + (f" first<{n.first}" if n.first is not None else "")
                     + " [constant-score]"
                 ),
                 "value": node_value(n),

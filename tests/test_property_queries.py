@@ -91,9 +91,10 @@ def _query_strategy(vocab, slop_weights=("count",)):
             st.lists(terms, min_size=1, max_size=3),
             st.integers(0, 4),
             st.booleans(),
+            st.sampled_from([None, 3, 10]),
         ).map(
             lambda x: SpanNearQuery.of(
-                "text", x[0], slop=x[1], in_order=x[2]
+                "text", x[0], slop=x[1], in_order=x[2], first=x[3]
             )
         ),
         st.just(MatchAllQuery()),

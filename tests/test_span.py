@@ -56,6 +56,11 @@ def test_span_near_matches_oracle_both_tiers(spark, corpus):
         # duplicate listed term: needs two DISTINCT tokens
         SpanNearQuery.of("field", ["word1", "word1"], slop=5),
         SpanNearQuery.of("field", ["word1"], slop=0),
+        # span-first: all positions inside the doc prefix
+        SpanNearQuery.of("field", ["word1"], first=1),
+        SpanNearQuery.of("field", ["word1", "word2"], slop=3, first=3),
+        SpanNearQuery.of("field", ["word1", "word2"], slop=3,
+                         in_order=True, first=4),
     ]
     for q in queries:
         want = o.matching(q)
@@ -132,5 +137,6 @@ def test_span_property_random_corpora(spark):
                 [rng.choice(vocab) for _ in range(n)],
                 slop=rng.randint(0, 4),
                 in_order=rng.random() < 0.5,
+                first=rng.choice([None, 2, 5, 9]),
             )
             assert _matching(s, q) == o.matching(q), (trial, q)
