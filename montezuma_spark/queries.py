@@ -569,6 +569,42 @@ def ta_token_count(spark, sf_dir):
     )
 
 
+# GPT-2-style pre-tokenizer (public Radford et al. 2019 pattern, reduced
+# to the RE2/Java-common subset: non-capturing groups only, no lookahead
+# — both engines use leftmost-first alternation so the token splits are
+# identical). The BPE-ish count a token-budgeted training pipeline uses.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[a-zA-Z]+"
+    r"| ?[0-9]+"
+    r"| ?[^a-zA-Z0-9\s]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(col):
+    """Column expr: number of GPT-2-style pre-tokens in a text column —
+    the per-doc token-budget estimate (whitespace token counts live in
+    ta_token_count / ta_quality alongside)."""
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "\\'")
+    return F.expr(f"size(regexp_extract_all({col}, '{pat}', 0))")
+
+
+def ta_bpe_tokens(spark, sf_dir):
+    """Per-doc BPE-ish pre-token counts + bytes-per-token ratio over the
+    documents table — pure JVM regexp (no Python worker); the oracle runs
+    the identical pattern through DuckDB's RE2."""
+    d = _docs(spark, sf_dir)
+    n = bpe_token_count("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.length("text") / F.greatest(n, F.lit(1)), 6
+        ).alias("chars_per_bpe_token"),
+    )
+
+
 def ta_quality(spark, sf_dir):
     t = _tokens_df(spark, sf_dir)
     stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
@@ -914,6 +950,7 @@ QUERIES = {
     "ft_doclens": ft_doclens,
     "ta_token_count": ta_token_count,
     "ta_quality": ta_quality,
+    "ta_bpe_tokens": ta_bpe_tokens,
     "ta_langid": ta_langid,
     "ta_extract": ta_extract,
     "dd_exact_groups": dd_exact_groups,
@@ -1459,6 +1496,17 @@ SELECT d.docid,
             / greatest(l.dl, 1) >= 0.05
        THEN 'en' ELSE 'und' END AS pred_lang
 FROM docs d JOIN lens l USING (docid)
+""",
+    "ta_bpe_tokens": f"""
+SELECT doc_id::BIGINT AS doc_id,
+  len(regexp_extract_all(text,
+      '{BPE_PRETOKEN_PATTERN.replace("'", "''")}'))::BIGINT
+    AS n_bpe_tokens,
+  round(length(text)::DOUBLE
+        / greatest(len(regexp_extract_all(text,
+              '{BPE_PRETOKEN_PATTERN.replace("'", "''")}')), 1), 6)
+    AS chars_per_bpe_token
+FROM documents
 """,
     # byte-identity invariant: the expected extraction of the synthesized
     # html IS the original text, so the oracle returns it verbatim — any

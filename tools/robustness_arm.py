@@ -35,7 +35,9 @@ def main():
     from montezuma_spark.index import FieldConfig, IndexConfig, build_index
     from montezuma_spark.search import (
         MUST,
+        PhraseQuery,
         Searcher,
+        SpanNearQuery,
         TermQuery,
         bool_query,
     )
@@ -91,6 +93,15 @@ def main():
         "q_hot_bool_and": bool_query(
             (TermQuery("text", hot_term), MUST),
             (TermQuery("text", second), MUST),
+        ),
+        # positions path at scale: the two hottest terms through the
+        # sloppy-phrase and span-near kernels (positions column fetch +
+        # flat-decode dominate — the worst positional case)
+        "q_hot_phrase": PhraseQuery.of(
+            "text", [hot_term, second], slop=4
+        ),
+        "q_hot_span": SpanNearQuery.of(
+            "text", [hot_term, second], slop=4
         ),
     }
     import statistics
