@@ -167,6 +167,32 @@ def query_suite(searcher, reps: int = 3) -> dict[str, float]:
     t0 = time.time()
     dist.top_docs(q, k=10)
     out["q_term_top10_distributed"] = round(time.time() - t0, 4)
+    # the same query against the SAVED layout — what a deployment serves
+    # (parquet range-sorted dictionary + shard-pruned scheduling; the
+    # in-memory number above is the no-layout fallback, disclosed both)
+    import shutil
+    import statistics as _stats
+    import tempfile
+
+    from montezuma_spark.index import Index as _Ix
+
+    _sd = tempfile.mkdtemp(prefix="bench_saved_ix_")
+    try:
+        searcher.index.save(_sd)
+        saved = _S(
+            _Ix.load(searcher.index.spark, _sd), distributed=True
+        )
+        saved.top_docs(TermQuery("text", "merge"), k=10)  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            saved.top_docs(q, k=10)
+            ts.append(time.time() - t0)
+        out["q_term_top10_distributed_saved"] = round(
+            _stats.median(ts), 4
+        )
+    finally:
+        shutil.rmtree(_sd, ignore_errors=True)
     # batch serving: the WHOLE headline suite as ONE distributed job
     # (search_batch) — the query-log throughput path; per-query cost
     # should amortize the ~0.3-0.5 s distributed scheduling floor away
