@@ -585,9 +585,15 @@ BPE_PRETOKEN_PATTERN = (
 def bpe_token_count(col):
     """Column expr: number of GPT-2-style pre-tokens in a text column —
     the per-doc token-budget estimate (whitespace token counts live in
-    ta_token_count / ta_quality alongside)."""
-    pat = BPE_PRETOKEN_PATTERN.replace("'", "\\'")
-    return F.expr(f"size(regexp_extract_all({col}, '{pat}', 0))")
+    ta_token_count / ta_quality alongside). The pattern rides a lit()
+    column, NEVER an F.expr SQL literal: Spark's SQL parser strips
+    unknown backslash escapes, silently turning \\s into s (caught by
+    tests/test_analysis.py::test_bpe_pretoken_count_matches_re)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.col(col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)
+        )
+    )
 
 
 def ta_bpe_tokens(spark, sf_dir):

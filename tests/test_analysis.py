@@ -231,3 +231,29 @@ def test_ascii_folding_filter_and_analyzer(spark):
     idx = build_index(spark, docs, cfg)
     s = Searcher(idx)
     assert [d for d, _ in s.top_docs(TermQuery("text", "cafe"), k=5)] == [0]
+
+
+def test_bpe_pretoken_count_matches_re(spark):
+    """Engine's JVM regexp_extract_all count == Python re.findall on the
+    same public GPT-2-style pattern (RE2/Java-common subset), including
+    contractions, digit runs, punctuation runs and whitespace tails."""
+    import re
+
+    from montezuma_spark.queries import BPE_PRETOKEN_PATTERN, bpe_token_count
+
+    texts = [
+        "He'll she's we've I'd don't 123 45.6 foo-bar  baz!!",
+        "",
+        "   ",
+        "a",
+        "'s 'unquoted' end'",
+        "tabs\tand\nnewlines  mixed   spaces",
+        "CamelCase UPPER lower 0xDEADBEEF ... --- ??!",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["n"]
+        for r in df.select(bpe_token_count("text").alias("n")).collect()
+    ]
+    want = [len(re.findall(BPE_PRETOKEN_PATTERN, t)) for t in texts]
+    assert got == want
