@@ -174,14 +174,10 @@ def query_suite(searcher, reps: int = 3) -> dict[str, float]:
     import statistics as _stats
     import tempfile
 
-    from montezuma_spark.index import Index as _Ix
-
     _sd = tempfile.mkdtemp(prefix="bench_saved_ix_")
     try:
-        searcher.index.save(_sd)
-        saved = _S(
-            _Ix.load(searcher.index.spark, _sd), distributed=True
-        )
+        # Index.save returns the re-loaded index over the saved layout
+        saved = _S(searcher.index.save(_sd), distributed=True)
         saved.top_docs(TermQuery("text", "merge"), k=10)  # warm
         ts = []
         for _ in range(3):

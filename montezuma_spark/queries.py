@@ -573,12 +573,17 @@ def ta_token_count(spark, sf_dir):
 # to the RE2/Java-common subset: non-capturing groups only, no lookahead
 # — both engines use leftmost-first alternation so the token splits are
 # identical). The BPE-ish count a token-budgeted training pipeline uses.
+# Whitespace is an EXPLICIT class, never \s: Java's \s includes vertical
+# tab \x0B, RE2's does not — the explicit class (== Java's \s exactly)
+# keeps the Spark engine and the DuckDB oracle character-for-character
+# aligned (review finding, round 4).
+_BPE_WS = " \\t\\n\\x0B\\f\\r"
 BPE_PRETOKEN_PATTERN = (
     r"'(?:s|t|re|ve|m|ll|d)"
     r"| ?[a-zA-Z]+"
     r"| ?[0-9]+"
-    r"| ?[^a-zA-Z0-9\s]+"
-    r"|\s+"
+    rf"| ?[^a-zA-Z0-9{_BPE_WS}]+"
+    rf"|[{_BPE_WS}]+"
 )
 
 
@@ -873,7 +878,9 @@ def st_sessions(spark, sf_dir):
         ),
         F.col("user_id").cast("long").alias("user_id"),
         "n_events",
-        "sum_value",
+        # inputs have 2 decimals; rounding the sum to 2 is stable under
+        # any summation order (contract-layer, the operator is lossless)
+        F.round("sum_value", 2).alias("sum_value"),
     )
 
 

@@ -1061,6 +1061,8 @@ class ShardEval:
         minimizes the chain's end, so the greedy chain matches iff ANY
         ordered selection does; one searchsorted per subsequent term."""
         field = node.field
+        if not node.terms:
+            return _EMPTY  # matches the oracle's graceful empty result
         from collections import Counter
 
         mult = Counter(node.terms)

@@ -78,7 +78,9 @@ def sessionized(
     aggs = [F.count("*").cast("long").alias("n_events")]
     out_cols = ["n_events"]
     if value_col is not None:
-        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        # lossless: contract-layer rounding lives in the st_sessions
+        # wrapper, like windowed_doc_counts' raw aggregates
+        aggs.append(F.sum(value_col).alias("sum_value"))
         out_cols.append("sum_value")
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
