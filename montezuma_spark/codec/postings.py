@@ -211,6 +211,21 @@ def _unpack_segment(buf: np.ndarray, n: int) -> np.ndarray:
     return unpack_values(buf[1:], n, w)
 
 
+def _gather_segments(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Concatenate byte segments at (starts, lens) with one fancy-index
+    gather — no per-segment python slicing."""
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    idx = np.repeat(np.ascontiguousarray(starts, dtype=np.int64), lens) + (
+        np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    )
+    return buf[idx]
+
+
 def unpack_blocks(
     stream: np.ndarray, seg_starts: np.ndarray, n_i: np.ndarray
 ) -> np.ndarray:
@@ -445,21 +460,38 @@ def decode_positions(
     total = len(buf)
     out: dict[int, np.ndarray] = {}
     nblocks = len(pos_off)
-    if codec == "packed" and len(block_tfs) > 1:
-        # one vectorized unpack across all requested blocks
+    if len(block_tfs) > 1:
+        # one vectorized pass across all requested blocks: unpack/gather the
+        # selected byte segments, ONE grouped delta decode over the whole
+        # stream (cumsum restarts at every doc boundary regardless of which
+        # block the doc lives in), then hand back per-block views. The
+        # per-block grouped_delta_decode loop this replaces was ~22 numpy
+        # round-trips per cell on 128-block hot terms.
         js = sorted(block_tfs)
+        tf_parts = [
+            np.ascontiguousarray(block_tfs[j], dtype=np.int64) for j in js
+        ]
         starts = np.asarray([pos_off[j] for j in js], dtype=np.int64)
         counts = np.asarray(
-            [int(np.asarray(block_tfs[j], dtype=np.int64).sum()) for j in js],
-            dtype=np.int64,
+            [int(t.sum()) for t in tf_parts], dtype=np.int64
         )
-        flat = unpack_blocks(buf, starts, counts).astype(np.int64)
+        if codec == "packed":
+            flat = unpack_blocks(buf, starts, counts).astype(np.int64)
+        else:
+            ends = np.asarray(
+                [
+                    pos_off[j + 1] if j + 1 < nblocks else total
+                    for j in js
+                ],
+                dtype=np.int64,
+            )
+            flat = decode_varints(
+                _gather_segments(buf, starts, ends - starts)
+            ).astype(np.int64)
+        dec = grouped_delta_decode(flat, np.concatenate(tf_parts))
         bounds = np.cumsum(counts)
         for i, j in enumerate(js):
-            seg = flat[bounds[i] - counts[i] : bounds[i]]
-            out[j] = grouped_delta_decode(
-                seg, np.asarray(block_tfs[j], dtype=np.int64)
-            )
+            out[j] = dec[bounds[i] - counts[i] : bounds[i]]
         return out
     for j, tfs in block_tfs.items():
         s = pos_off[j]
@@ -473,6 +505,150 @@ def decode_positions(
             deltas = decode_varints(buf[s:e]).astype(np.int64)
         out[j] = grouped_delta_decode(deltas, tfs_arr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# batched reader: many cells in one vectorized pass per stream
+# ---------------------------------------------------------------------------
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def decode_cell_rows(
+    rows: list, codec: str = "varint"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched ``decode_cell`` across many cells: value-identical to
+    concatenating per-row ``decode_cell(cell, meta, blocks)`` results in
+    list order, but with ONE vectorized pass per stream over the whole
+    batch. The read-path sibling of ``encode_cells_batch``: a hot web
+    term is split across ~hundreds of docid-range shard cells, and the
+    per-cell python overhead (numpy dispatch on tiny arrays, ~8 calls per
+    stream per cell) dominated the serving decode long before memory
+    bandwidth did.
+
+    ``rows``: list of (cell_bytes, meta, blocks) — meta as in
+    ``decode_cell`` (array-likes fine), blocks None = all blocks.
+
+    Returns (docids, tfs, dls, row_n) with row_n[i] = postings decoded
+    for row i (zero for rows whose block selection was empty) — callers
+    split the flat streams with cumsum(row_n).
+    """
+    R = len(rows)
+    row_n = np.zeros(R, dtype=np.int64)
+    bufs: list[np.ndarray] = []
+    starts_l, clen_l, elen_l, dlen_l, ns_l, firsts_l = [], [], [], [], [], []
+    base = 0
+    for i, (cell, meta, blocks) in enumerate(rows):
+        off = np.asarray(meta["off"], dtype=np.int64)
+        if len(off) == 0:
+            continue
+        buf = np.frombuffer(cell, dtype=np.uint8)
+        clen = np.asarray(meta["codes_len"], dtype=np.int64)
+        elen = np.asarray(meta["ext_len"], dtype=np.int64)
+        ns = np.asarray(meta["n"], dtype=np.int64)
+        firsts = np.asarray(meta["first"], dtype=np.int64)
+        ends = np.append(off[1:], len(buf))
+        if blocks is not None:
+            blks = np.asarray(blocks, dtype=np.int64)
+            if len(blks) == 0:
+                continue
+            off, clen, elen, ns, firsts, ends = (
+                off[blks], clen[blks], elen[blks], ns[blks],
+                firsts[blks], ends[blks],
+            )
+        bufs.append(buf)
+        starts_l.append(off + base)
+        clen_l.append(clen)
+        elen_l.append(elen)
+        dlen_l.append(ends - off - clen - elen)
+        ns_l.append(ns)
+        firsts_l.append(firsts)
+        row_n[i] = int(ns.sum())
+        base += len(buf)
+    if not bufs:
+        return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64, row_n
+    big = np.concatenate(bufs)
+    starts = np.concatenate(starts_l)
+    clen = np.concatenate(clen_l)
+    elen = np.concatenate(elen_l)
+    ns = np.concatenate(ns_l)
+    firsts = np.concatenate(firsts_l)
+    if codec == "packed":
+        codes = unpack_blocks(big, starts, ns)
+        vb = np.cumsum(ns) - ns
+        n_extra = np.add.reduceat(
+            ((codes & np.uint64(1)) == 0).astype(np.int64), vb
+        )
+        extras = unpack_blocks(big, starts + clen, n_extra)
+        dls = unpack_blocks(big, starts + clen + elen, ns).astype(np.int64)
+    else:
+        dlen = np.concatenate(dlen_l)
+        codes = decode_varints(_gather_segments(big, starts, clen))
+        ext_bytes = _gather_segments(big, starts + clen, elen)
+        extras = (
+            decode_varints(ext_bytes)
+            if len(ext_bytes)
+            else np.empty(0, dtype=np.uint64)
+        )
+        dls = decode_varints(
+            _gather_segments(big, starts + clen + elen, dlen)
+        ).astype(np.int64)
+    deltas = (codes >> np.uint64(1)).astype(np.int64)
+    docids = grouped_delta_decode(deltas, ns) + np.repeat(firsts, ns)
+    tfs = np.ones(len(codes), dtype=np.int64)
+    multi = (codes & np.uint64(1)) == 0
+    tfs[multi] = extras.astype(np.int64)
+    return docids, tfs, dls, row_n
+
+
+def decode_positions_rows(rows: list, codec: str = "varint") -> np.ndarray:
+    """Batched positions decode across many cells → ONE flat position
+    stream aligned with the concatenation of each row's tf runs.
+    Value-identical to per-row ``decode_positions`` + per-block
+    concatenation in (row, block, doc) order.
+
+    ``rows``: list of (pos_cell, pos_off, blocks, tfs_flat, ns) — blocks
+    None = all blocks; ``tfs_flat`` = the row's decoded tf stream for
+    exactly those blocks (from ``decode_cell_rows`` on the same
+    selection), whose per-doc runs delimit the delta groups; ``ns`` =
+    the per-SELECTED-block posting counts (meta n at the same selection),
+    so per-block position counts fall out of one reduceat.
+    """
+    bufs: list[np.ndarray] = []
+    starts_l, lens_l, cnt_l, tf_l = [], [], [], []
+    base = 0
+    for (cell, pos_off, blocks, tfs_flat, ns) in rows:
+        po = np.asarray(pos_off, dtype=np.int64)
+        tfs_flat = np.ascontiguousarray(tfs_flat, dtype=np.int64)
+        if len(po) == 0 or len(tfs_flat) == 0:
+            continue
+        buf = np.frombuffer(cell, dtype=np.uint8)
+        ends = np.append(po[1:], len(buf))
+        ns_arr = np.asarray(ns, dtype=np.int64)
+        vb = np.cumsum(ns_arr) - ns_arr
+        cnts = np.add.reduceat(tfs_flat, vb)
+        if blocks is not None:
+            blks = np.asarray(blocks, dtype=np.int64)
+            po, ends = po[blks], ends[blks]
+        bufs.append(buf)
+        starts_l.append(po + base)
+        lens_l.append(ends - po)
+        cnt_l.append(cnts)
+        tf_l.append(tfs_flat)
+        base += len(buf)
+    if not bufs:
+        return _EMPTY_I64
+    big = np.concatenate(bufs)
+    starts = np.concatenate(starts_l)
+    cnts = np.concatenate(cnt_l)
+    if codec == "packed":
+        deltas = unpack_blocks(big, starts, cnts).astype(np.int64)
+    else:
+        lens = np.concatenate(lens_l)
+        deltas = decode_varints(_gather_segments(big, starts, lens)).astype(
+            np.int64
+        )
+    return grouped_delta_decode(deltas, np.concatenate(tf_l))
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,9 @@ from montezuma_spark.codec.postings import (
     BOOST_SCALE,
     BOOST_TERM,
     decode_cell,
+    decode_cell_rows,
     decode_positions,
+    decode_positions_rows,
 )
 from montezuma_spark.search.ast import (
     FILTER,
@@ -352,12 +354,120 @@ class ShardEval:
             return _EMPTY[0], _EMPTY[0], _EMPTY[0]
         if len(rows) == 1:
             return self._drop_deleted(*self._decode_row(rows[0], candidates))
-        parts = [self._decode_row(r, candidates) for r in rows]
-        return self._drop_deleted(
+        # multi-cell term (one cell per docid-range shard / segment):
+        # batch every uncached row into ONE vectorized decode pass per
+        # stream (decode_cell_rows) — per-cell python overhead across
+        # hundreds of shard cells dominated hot-term serving otherwise.
+        d, t, dl, _handles = self._decode_with_handles(
+            field, term, candidates
+        )
+        return d, t, dl
+
+    def _decode_with_handles(self, field, term, candidates=None):
+        """``_decode`` that also returns the per-row decode handles so a
+        positional pass can reuse the doc streams instead of re-decoding
+        them (the phrase/span paths decode each term's cells exactly
+        ONCE). Returns (docids, tfs, dls, handles); handles are raw
+        (pre-tombstone) per-row tuples (row, sel, d, t, ns_sel) in row
+        order — sel = selected block indices (None = all), ns_sel = the
+        per-selected-block posting counts. Rows are sorted by blk_first
+        with disjoint docid ranges, so list-order concatenation stays
+        globally docid-sorted."""
+        rows = self.cells.get((field, term))
+        if not rows:
+            return _EMPTY[0], _EMPTY[0], _EMPTY[0], []
+        parts: list = [None] * len(rows)
+        handles: list = [None] * len(rows)
+        batch, batch_idx, batch_sel, batch_ns = [], [], [], []
+        for i, r in enumerate(rows):
+            full = getattr(r, "full", None)
+            meta = self._meta(r)
+            ns = np.asarray(meta["n"], dtype=np.int64)
+            if full is not None:
+                parts[i] = full
+                handles[i] = (r, None, full[0], full[1], ns)
+                continue
+            sel = self._blocks_for(meta, candidates)
+            batch.append((bytes(r.postings), meta, sel))
+            batch_idx.append(i)
+            batch_sel.append(sel)
+            batch_ns.append(ns if sel is None else ns[sel])
+        if batch:
+            d, t, dl, row_n = decode_cell_rows(batch, codec=self.plan.codec)
+            ends = np.cumsum(row_n)
+            for k, i in enumerate(batch_idx):
+                s, e = ends[k] - row_n[k], ends[k]
+                parts[i] = (d[s:e], t[s:e], dl[s:e])
+                handles[i] = (
+                    rows[i], batch_sel[k], d[s:e], t[s:e], batch_ns[k]
+                )
+                if batch_sel[k] is None and hasattr(rows[i], "full"):
+                    rows[i].full = parts[i]
+        out = self._drop_deleted(
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]),
         )
+        return (*out, handles)
+
+    def _positions_flat_handles(self, wanted: np.ndarray, handles: list):
+        """Positions of ``wanted`` docids using the decode handles from
+        ``_decode_with_handles`` — the doc streams are NOT re-decoded.
+        Narrows each row's block selection to blocks actually containing
+        a wanted docid before touching position bytes, then decodes all
+        surviving (row, block) position segments in one batched pass."""
+        W = len(wanted)
+        pos_rows, d_parts, t_parts = [], [], []
+        for (row, sel, d, t, ns_sel) in handles:
+            if len(d) == 0:
+                continue
+            lo = np.searchsorted(wanted, d[0])
+            hi = np.searchsorted(wanted, d[-1], side="right")
+            if lo == hi:
+                continue
+            w_row = wanted[lo:hi]
+            # per-selected-block [first, last] from the decoded stream
+            bb = np.cumsum(ns_sel)
+            firsts, lasts = d[bb - ns_sel], d[bb - 1]
+            kidx_lo = np.searchsorted(w_row, firsts, side="left")
+            needed = (kidx_lo < len(w_row)) & (
+                w_row[np.clip(kidx_lo, 0, len(w_row) - 1)] <= lasts
+            )
+            kidx = np.flatnonzero(needed)
+            if len(kidx) == 0:
+                continue
+            if len(kidx) == len(ns_sel):
+                d_k, t_k, ns_k = d, t, ns_sel
+                blocks = sel
+            else:
+                # gather the surviving blocks' decoded runs (one fancy
+                # gather, no per-block python slicing)
+                ns_k = ns_sel[kidx]
+                starts = (bb - ns_sel)[kidx]
+                total = int(ns_k.sum())
+                gidx = np.repeat(starts, ns_k) + (
+                    np.arange(total) - np.repeat(np.cumsum(ns_k) - ns_k, ns_k)
+                )
+                d_k, t_k = d[gidx], t[gidx]
+                blocks = (
+                    kidx if sel is None else np.asarray(sel, dtype=np.int64)[kidx]
+                )
+            pos_rows.append(
+                (bytes(row.positions), list(row.pos_off), blocks, t_k, ns_k)
+            )
+            d_parts.append(d_k)
+            t_parts.append(t_k)
+        if not pos_rows:
+            return np.empty(0, dtype=np.int64), np.zeros(W, dtype=np.int64)
+        flat = decode_positions_rows(pos_rows, codec=self.plan.codec)
+        d_all = np.concatenate(d_parts)
+        t_all = np.concatenate(t_parts)
+        pb = np.concatenate([[0], np.cumsum(t_all)])
+        idx = np.searchsorted(d_all, wanted)
+        idx_c = np.clip(idx, 0, len(d_all) - 1)
+        found = d_all[idx_c] == wanted
+        lens = np.where(found, pb[idx_c + 1] - pb[idx_c], 0)
+        return self._gather_runs(flat, pb[idx_c], lens), lens
 
     def _doc_boost(self, docids: np.ndarray) -> np.ndarray | float:
         """Per-doc index-time boost multipliers (1.0 when unboosted)."""
@@ -824,31 +934,73 @@ class ShardEval:
             return np.empty(0, dtype=np.int64), np.zeros(W, dtype=np.int64)
         if len(rows) == 1:
             return self._positions_flat_row(rows[0], wanted)
-        # multi-segment: each wanted docid lives in exactly one segment
-        # row (disjoint docid ranges); stitch per-row results back into
-        # wanted order with one gather
-        lens_full = np.zeros(W, dtype=np.int64)
-        parts = []  # (wanted-index array, flat, lens)
+        if self.plan.hot:
+            # hot tier: per-row full_pos memos are shared across queries —
+            # stitch per-row results back into wanted order with one gather
+            lens_full = np.zeros(W, dtype=np.int64)
+            parts = []  # (wanted-index array, flat, lens)
+            for row in rows:
+                if not len(row.blk_first):
+                    continue
+                lo, hi = row.blk_first[0], row.blk_last[-1]
+                mask = (wanted >= lo) & (wanted <= hi)
+                if not mask.any():
+                    continue
+                widx = np.flatnonzero(mask)
+                f, ln = self._positions_flat_row(row, wanted[mask])
+                lens_full[widx] = ln
+                parts.append((widx, f, ln))
+            bounds = np.cumsum(lens_full) - lens_full
+            out = np.empty(int(lens_full.sum()), dtype=np.int64)
+            for widx, f, ln in parts:
+                tgt = np.repeat(bounds[widx], ln) + (
+                    np.arange(len(f))
+                    - np.repeat(np.cumsum(ln) - ln, ln)
+                )
+                out[tgt] = f
+            return out, lens_full
+        # cold multi-cell path: batch BOTH decodes (doc streams for block
+        # tf runs, then positions) across every row in one vectorized pass
+        # each. Rows hold disjoint ascending docid ranges, so the
+        # concatenated d_all stays sorted and ONE searchsorted maps all
+        # wanted docids — no per-row stitch at all.
+        cell_rows, pos_rows_pending = [], []
         for row in rows:
             if not len(row.blk_first):
                 continue
-            lo, hi = row.blk_first[0], row.blk_last[-1]
-            mask = (wanted >= lo) & (wanted <= hi)
-            if not mask.any():
+            lo = np.searchsorted(wanted, row.blk_first[0])
+            hi = np.searchsorted(wanted, row.blk_last[-1], side="right")
+            if lo == hi:
                 continue
-            widx = np.flatnonzero(mask)
-            f, ln = self._positions_flat_row(row, wanted[mask])
-            lens_full[widx] = ln
-            parts.append((widx, f, ln))
-        bounds = np.cumsum(lens_full) - lens_full
-        out = np.empty(int(lens_full.sum()), dtype=np.int64)
-        for widx, f, ln in parts:
-            tgt = np.repeat(bounds[widx], ln) + (
-                np.arange(len(f))
-                - np.repeat(np.cumsum(ln) - ln, ln)
+            meta = self._meta(row)
+            sel = self._blocks_for(meta, wanted[lo:hi])
+            ns = np.asarray(meta["n"], dtype=np.int64)
+            cell_rows.append((bytes(row.postings), meta, sel))
+            pos_rows_pending.append(
+                (row, sel, ns[sel] if sel is not None else ns)
             )
-            out[tgt] = f
-        return out, lens_full
+        if not cell_rows:
+            return np.empty(0, dtype=np.int64), np.zeros(W, dtype=np.int64)
+        d_all, t_all, _dls, row_n = decode_cell_rows(
+            cell_rows, codec=self.plan.codec
+        )
+        if len(d_all) == 0:
+            return np.empty(0, dtype=np.int64), np.zeros(W, dtype=np.int64)
+        ends_n = np.cumsum(row_n)
+        pos_rows = [
+            (
+                bytes(row.positions), list(row.pos_off), sel,
+                t_all[ends_n[k] - row_n[k] : ends_n[k]], ns_sel,
+            )
+            for k, (row, sel, ns_sel) in enumerate(pos_rows_pending)
+        ]
+        flat = decode_positions_rows(pos_rows, codec=self.plan.codec)
+        pb = np.concatenate([[0], np.cumsum(t_all)])
+        idx = np.searchsorted(d_all, wanted)
+        idx_c = np.clip(idx, 0, len(d_all) - 1)
+        found = d_all[idx_c] == wanted
+        lens = np.where(found, pb[idx_c + 1] - pb[idx_c], 0)
+        return self._gather_runs(flat, pb[idx_c], lens), lens
 
     def _positions_flat_row(self, row, wanted: np.ndarray):
         cached = getattr(row, "full_pos", None)
@@ -944,13 +1096,17 @@ class ShardEval:
         def slot_df(i):
             return sum(dfm.get((field, t), 0) for t in alts[i])
 
-        # 1. intersect slot doc-sets (rarest slot first)
+        # 1. intersect slot doc-sets (rarest slot first), keeping each
+        # slot's decode handles so step 2 never re-decodes doc streams
         order = sorted(range(len(alts)), key=slot_df)
         docs = candidates
         doc_dls = None
+        slot_handles: dict[int, list] = {}
         for i in order:
             if len(alts[i]) == 1:
-                d, _, dl = self._decode(field, alts[i][0], docs)
+                d, _, dl, slot_handles[i] = self._decode_with_handles(
+                    field, alts[i][0], docs
+                )
                 d, dl = self._restrict(d, dl.astype(np.float64), docs)
             else:
                 parts = [self._decode(field, t, docs) for t in alts[i]]
@@ -968,7 +1124,14 @@ class ShardEval:
         nd = len(docs)
         for i in range(len(alts)):
             if len(alts[i]) == 1:
-                f, ln = self._positions_flat(field, alts[i][0], docs)
+                # hot tier: route through the cross-query full_pos memo;
+                # cold tiers: reuse this query's decode handles (doc
+                # streams decode exactly once per phrase)
+                f, ln = (
+                    self._positions_flat(field, alts[i][0], docs)
+                    if self.plan.hot
+                    else self._positions_flat_handles(docs, slot_handles[i])
+                )
             else:
                 # sorted-unique union of the slot's alternatives: one
                 # lexsort + dedupe over all docs
@@ -1068,10 +1231,14 @@ class ShardEval:
         mult = Counter(node.terms)
         dfm = self.plan.df_est
         # 1. intersect doc sets (rarest term first); tf >= multiplicity
-        # prunes docs that can't seat duplicate listed terms
+        # prunes docs that can't seat duplicate listed terms. Decode
+        # handles carry over so step 2 never re-decodes doc streams.
         docs = candidates
+        term_handles: dict[str, list] = {}
         for term in sorted(mult, key=lambda t: dfm.get((field, t), 0)):
-            d, tf, _dl = self._decode(field, term, docs)
+            d, tf, _dl, term_handles[term] = self._decode_with_handles(
+                field, term, docs
+            )
             if mult[term] > 1:
                 d = d[tf >= mult[term]]
             d, _ = self._restrict(
@@ -1086,7 +1253,11 @@ class ShardEval:
         M = np.int64(1) << np.int64(33)
         keys: dict[str, np.ndarray] = {}
         for term in mult:
-            f, ln = self._positions_flat(field, term, docs)
+            f, ln = (
+                self._positions_flat(field, term, docs)
+                if self.plan.hot
+                else self._positions_flat_handles(docs, term_handles[term])
+            )
             di = np.repeat(np.arange(nd, dtype=np.int64), ln)
             k = di * M + f
             if node.first is not None:

@@ -335,3 +335,92 @@ def test_empty_cell():
     assert cell == b""
     d, t, dl = decode_cell(cell, meta)
     assert len(d) == 0 and len(t) == 0 and len(dl) == 0
+
+
+@given(
+    st.lists(  # rows: (n_postings, seed, block_mode)
+        st.tuples(
+            st.integers(min_value=0, max_value=300),
+            st.integers(min_value=0, max_value=2**31),
+            st.integers(min_value=0, max_value=2),  # 0=all, 1=subset, 2=empty
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=4, max_value=64),
+    st.sampled_from(["varint", "packed"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_cell_rows_matches_scalar(rows_spec, block, codec):
+    """Batch-reader invariant (the read-path sibling of the
+    encode_cells_batch byte-identity rule): decode_cell_rows must be
+    VALUE-identical to concatenating per-row decode_cell results, for
+    both codecs, under any per-row block selection (None / subset /
+    empty). The serving kernel decodes a hot term's hundreds of shard
+    cells through this path."""
+    from montezuma_spark.codec.postings import (
+        decode_cell_rows,
+        decode_positions_rows,
+    )
+
+    base = 0
+    rows, expect_d, expect_t, expect_dl, expect_n = [], [], [], [], []
+    pos_rows, expect_pos = [], []
+    for n, seed, mode in rows_spec:
+        rng = np.random.RandomState(seed % (2**31))
+        docids = base + np.cumsum(rng.randint(1, 9, size=n)).astype(np.int64)
+        base = int(docids[-1]) + 1 if n else base
+        tfs = rng.randint(1, 5, size=n).astype(np.int64)
+        dls = rng.randint(5, 200, size=n).astype(np.int64)
+        flat_pos = np.sort(
+            rng.randint(0, 10_000, size=int(tfs.sum()))
+        ).astype(np.int64)
+        cell, meta = encode_cell(
+            docids, tfs, dls=dls, block_size=block, codec=codec
+        )
+        pos_cell, pos_off = encode_positions(
+            tfs, flat_pos, block_size=block, codec=codec
+        )
+        nb = len(meta["n"])
+        if mode == 0 or nb == 0:
+            blocks = None
+        elif mode == 1:
+            blocks = np.arange(0, nb, 2, dtype=np.int64)
+        else:
+            blocks = np.empty(0, dtype=np.int64)
+        rows.append((cell, meta, blocks))
+        d, t, dl = decode_cell(cell, meta, blocks=blocks, codec=codec)
+        expect_d.append(d)
+        expect_t.append(t)
+        expect_dl.append(dl)
+        expect_n.append(len(d))
+        if len(t):
+            sel = (
+                blocks
+                if blocks is not None
+                else np.arange(nb, dtype=np.int64)
+            )
+            ns_sel = np.asarray(meta["n"], dtype=np.int64)[sel]
+            pos_rows.append((pos_cell, pos_off, blocks, t, ns_sel))
+            pos = decode_positions(
+                pos_cell, pos_off, meta,
+                {int(j): t_ for j, t_ in zip(
+                    sel, np.split(t, np.cumsum(ns_sel))[:-1]
+                )},
+                codec=codec,
+            )
+            expect_pos.append(
+                np.concatenate([pos[int(j)] for j in sel])
+                if len(sel)
+                else np.empty(0, dtype=np.int64)
+            )
+    got_d, got_t, got_dl, row_n = decode_cell_rows(rows, codec=codec)
+    np.testing.assert_array_equal(got_d, np.concatenate(expect_d) if expect_d else [])
+    np.testing.assert_array_equal(got_t, np.concatenate(expect_t) if expect_t else [])
+    np.testing.assert_array_equal(got_dl, np.concatenate(expect_dl) if expect_dl else [])
+    np.testing.assert_array_equal(row_n, np.asarray(expect_n, dtype=np.int64))
+    got_pos = decode_positions_rows(pos_rows, codec=codec)
+    np.testing.assert_array_equal(
+        got_pos,
+        np.concatenate(expect_pos) if expect_pos else np.empty(0, np.int64),
+    )
