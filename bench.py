@@ -415,22 +415,36 @@ def scaling_run(cores: int, n_docs: int) -> dict:
         served = Searcher(Index.load(spark, save_dir), distributed=True)
         top = (
             served.index.term_stats.orderBy(F.desc("df"), F.asc("term"))
-            .limit(64).collect()
+            .limit(512).collect()
         )
-        batch = {
-            f"t{i:02d}": TermQuery("text", r["term"])
-            for i, r in enumerate(top)
-        }
-        served.search_batch(dict(list(batch.items())[:2]), k=10).count()
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            served.search_batch(batch, k=10).select("qid").distinct().count()
-            ts.append(time.time() - t0)
-        dt = statistics.median(ts)
-        rep["batch_n"] = len(batch)
-        rep["batch_seconds"] = round(dt, 4)
-        rep["batch_qps"] = round(len(batch) / dt, 1)
+        served.search_batch(
+            {"w0": TermQuery("text", top[0]["term"]),
+             "w1": TermQuery("text", top[1]["term"])}, k=10
+        ).count()
+        # two batch sizes per arm: the small batch approximates the
+        # per-JOB floor (driver + scheduling — constant in executor
+        # count), the large one exposes the per-QUERY marginal rate
+        # (the part that actually scales with executors). Reporting the
+        # whole-job qps ratio alone would smear the two (Amdahl).
+        for n in (64, 512):
+            batch = {
+                f"t{i:03d}": TermQuery("text", r["term"])
+                for i, r in enumerate(top[:n])
+            }
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                served.search_batch(
+                    batch, k=10
+                ).select("qid").distinct().count()
+                ts.append(time.time() - t0)
+            dt = statistics.median(ts)
+            rep[f"batch{n}_seconds"] = round(dt, 4)
+            rep[f"batch{n}_qps"] = round(n / dt, 1)
+        rep["batch_marginal_ms_per_query"] = round(
+            (rep["batch512_seconds"] - rep["batch64_seconds"]) / 448 * 1e3,
+            3,
+        )
         shutil.rmtree(save_dir, ignore_errors=True)
     except Exception as exc:  # never fail the build arm on the query probe
         rep["batch_qps_error"] = repr(exc)[:200]
@@ -469,8 +483,9 @@ def _compact(result: dict) -> dict:
     if "efficiency" in s:
         out["scaling_efficiency"] = s["efficiency"]
         out["scaling_cores"] = [s.get("cores_lo"), s.get("cores_hi")]
-        if "query_efficiency" in s:
-            out["query_scaling_efficiency"] = s["query_efficiency"]
+        if "query_marginal_efficiency" in s:
+            out["query_marginal_efficiency"] = s["query_marginal_efficiency"]
+            out["query_job_speedup"] = s.get("query_job_speedup")
     r = result.get("robustness") or {}
     if "docs_per_sec" in r:
         out["robustness"] = {
@@ -647,20 +662,49 @@ def main():
             "build_seconds_hi": hi["build_seconds"],
             "efficiency": round(eff, 3),
         }
-        # query-side pair: best batch-serving qps per arm (same 64-term
-        # batch job on the same saved layout at both widths)
+        # query-side pair (same 64/512-term batch jobs, same saved
+        # layout at both widths). Whole-job qps mixes the constant
+        # per-job driver floor with the scalable per-query work, so the
+        # headline is the MARGINAL rate efficiency — the floor is
+        # disclosed separately (it is executor-count-independent and
+        # amortizes with batch size on a real serving tier).
         q_lo = max(
-            (r.get("batch_qps") or 0.0 for r in lo_runs), default=0.0
+            (r.get("batch512_qps") or 0.0 for r in lo_runs), default=0.0
         )
         q_hi = max(
-            (r.get("batch_qps") or 0.0 for r in hi_runs), default=0.0
+            (r.get("batch512_qps") or 0.0 for r in hi_runs), default=0.0
+        )
+        m_lo = min(
+            (
+                r["batch_marginal_ms_per_query"]
+                for r in lo_runs
+                if r.get("batch_marginal_ms_per_query")
+            ),
+            default=0.0,
+        )
+        m_hi = min(
+            (
+                r["batch_marginal_ms_per_query"]
+                for r in hi_runs
+                if r.get("batch_marginal_ms_per_query")
+            ),
+            default=0.0,
         )
         if q_lo > 0 and q_hi > 0:
-            result["scaling"]["batch_qps_lo"] = q_lo
-            result["scaling"]["batch_qps_hi"] = q_hi
-            result["scaling"]["query_efficiency"] = round(
-                q_hi / (q_lo * ratio), 3
-            )
+            result["scaling"]["batch512_qps_lo"] = q_lo
+            result["scaling"]["batch512_qps_hi"] = q_hi
+            result["scaling"]["batch_floor_seconds"] = {
+                "lo": lo.get("batch64_seconds"),
+                "hi": hi.get("batch64_seconds"),
+            }
+            result["scaling"]["query_job_speedup"] = round(q_hi / q_lo, 2)
+            if m_lo > 0 and m_hi > 0:
+                result["scaling"]["marginal_ms_per_query"] = {
+                    "lo": m_lo, "hi": m_hi,
+                }
+                result["scaling"]["query_marginal_efficiency"] = round(
+                    m_lo / (m_hi * ratio), 3
+                )
         if (
             CPUS > hi_cores
             and os.environ.get("BENCH_SCALE_HOSTCAP", "1") == "1"

@@ -1399,7 +1399,14 @@ def _sloppy_freqs_flat(term_flats: list[np.ndarray],
         arr[np.cumsum(lens[t][active]) - 1] = True
         last_parts.append(arr)
     is_last = np.concatenate(last_parts)
-    order = np.lexsort((all_lid, all_key))  # (doc, value, lid) retirement order
+    # (doc, value, lid) retirement order. Keys within one list are
+    # strictly increasing (doc-major, per-doc runs strictly ascending), so
+    # key*k+lid is unique → one flat argsort replaces the two-key lexsort
+    # when it cannot overflow.
+    if int(all_key.max()) < (2**62) // max(k, 1):
+        order = np.argsort(all_key * k + all_lid)
+    else:
+        order = np.lexsort((all_lid, all_key))
     s_key = all_key[order]
     s_val = all_val[order]
     s_doc = all_doc[order]
@@ -1415,19 +1422,23 @@ def _sloppy_freqs_flat(term_flats: list[np.ndarray],
     rank_or_inf = np.where(s_last, rank, np.iinfo(np.int64).max)
     stop_rank = np.minimum.reduceat(rank_or_inf, doc_starts)
     in_range = rank <= stop_rank[s_doc]
-    # next-element value per other list t at each retirement
+    # next-element value per other list t at each retirement. The m-th
+    # retired element of list t IS flat[t][m-1] (list keys are strictly
+    # increasing), so each list's pointer is a running retired-count:
+    # cumsum(s_lid == t) — O(k·n) total, no O(k·n log n) searchsorted.
+    # Ties fall out of the retirement order itself: an equal-key element
+    # of list t < j is already counted (it sorted earlier on lid), one of
+    # list t > j is not (pointer sits at == v), and for t == j the
+    # pointer is the element itself (count - 1) → value v.
     nxt = np.full((k, n), np.inf)
     for t in range(k):
-        idx = np.searchsorted(key[t], s_key, side="left")
-        idxc = np.clip(idx, 0, len(key[t]) - 1)
-        # ties (== v): lists with id < j already retired theirs → bump
-        bump = (key[t][idxc] == s_key) & (t < s_lid)
-        idx = idx + bump
-        valid = idx < len(key[t])
-        idxc = np.clip(idx, 0, len(key[t]) - 1)
+        is_t = s_lid == t
+        c_t = np.cumsum(is_t)
+        idx = np.where(is_t, c_t - 1, c_t)
+        valid = idx < len(flat[t])
+        idxc = np.minimum(idx, len(flat[t]) - 1)
         valid &= doc_of[t][idxc] == s_doc
         nxt[t] = np.where(valid, flat[t][idxc], np.inf)
-        nxt[t][s_lid == t] = s_val[s_lid == t]  # own list: pointer at v
     span = nxt.max(axis=0) - s_val
     contrib = np.where(
         in_range & (span <= slop),

@@ -29,6 +29,7 @@ Query lifecycle (the Spark-first re-expression of SURVEY.md §3):
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
@@ -80,6 +81,32 @@ DF_CACHE_MAX = 1_000_000
 # TABLE cogrouped with the postings by shard, so each task receives only
 # its own docid-range slice (deletions.py scale note made real)
 TOMBSTONE_BROADCAST_MAX = 1_000_000
+
+
+# batch dictionary/postings pushdown: Column.isin builds one JVM literal
+# per element — a py4j round trip each, which at 512-query batches is
+# ~2.3 ms x terms of SERIAL driver time (the measured marginal cost of
+# search_batch). At or above this list size, an all-safe term list is
+# rendered as a single SQL IN list through ONE F.expr parse instead —
+# the same Catalyst In expression, same parquet pushdown.
+ISIN_EXPR_MIN = 32
+# terms that may NOT ride an F.expr literal: quotes, backslashes,
+# control chars (the SQL parser strips unknown escapes SILENTLY — see
+# the CLAUDE.md invariant; never escape inside F.expr, fall back)
+_SQL_LITERAL_SAFE = re.compile(r"^[^'\\\x00-\x1f\x7f]*$")
+
+
+def _terms_predicate(col: str, terms) -> F.Column:
+    """``col IN (terms)`` with O(1) driver-side py4j calls for large safe
+    lists; literal ``isin`` otherwise (small lists, or any term containing
+    a quote/backslash/control char)."""
+    ts = sorted(terms)
+    if len(ts) >= ISIN_EXPR_MIN and all(
+        isinstance(t, str) and _SQL_LITERAL_SAFE.match(t) for t in ts
+    ):
+        quoted = ",".join("'" + t + "'" for t in ts)
+        return F.expr(f"`{col}` IN ({quoted})")
+    return F.col(col).isin(ts)
 
 
 def bm25_idf(df: int, n: int) -> float:
@@ -204,7 +231,7 @@ class Searcher:
                 by_field.setdefault(f, []).append(t)
             cond = None
             for f, ts in sorted(by_field.items()):
-                c = (F.col("field") == f) & F.col("term").isin(sorted(ts))
+                c = (F.col("field") == f) & _terms_predicate("term", ts)
                 cond = c if cond is None else (cond | c)
             rows = (
                 self.index.term_stats.filter(cond)
@@ -658,7 +685,7 @@ class Searcher:
 
         cond = None
         for f, terms in needed.items():
-            c = (F.col("field") == f) & F.col("term").isin(sorted(terms))
+            c = (F.col("field") == f) & _terms_predicate("term", terms)
             cond = c if cond is None else (cond | c)
         if cond is not None and self.index.config.boost_col is not None:
             cond = cond | (F.col("term") == BOOST_TERM)

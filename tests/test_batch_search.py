@@ -247,3 +247,37 @@ def test_batch_scan_is_union_pruned(saved_searcher):
     # positions sidecar column-pruned away (no phrase in the batch)
     read = plan.split("ReadSchema")[1].splitlines()[0]
     assert "positions" not in read, read
+
+
+def test_large_term_list_expr_pushdown(searcher, monkeypatch):
+    """Large all-safe term lists render the dictionary/postings pushdown
+    as ONE SQL IN expr (O(1) py4j calls) — results must be identical to
+    the literal isin path, and any quote/backslash term must force the
+    fallback (never escaped inside F.expr: the SQL parser strips unknown
+    escapes silently)."""
+    import montezuma_spark.search.searcher as S
+
+    terms = [f"word{i}" for i in range(1, 4)] + [
+        f"zzz{i:03d}" for i in range(40)
+    ]
+    # literal path (threshold above list size)
+    monkeypatch.setattr(S, "ISIN_EXPR_MIN", 10_000)
+    dfs_lit = searcher._lookup_dfs([("field", t) for t in terms])
+    searcher._df_cache.clear()
+    # expr path (threshold 1 → always)
+    monkeypatch.setattr(S, "ISIN_EXPR_MIN", 1)
+    dfs_expr = searcher._lookup_dfs([("field", t) for t in terms])
+    searcher._df_cache.clear()
+    assert dfs_lit == dfs_expr
+    assert dfs_lit[("field", "word1")] > 0  # present terms resolve
+    assert dfs_lit[("field", "zzz000")] == 0  # absent terms resolve to 0
+
+    # unsafe terms (quote / backslash / control) go through literal isin
+    unsafe = ["o'brien", "back\\slash", "ctrl\x01char"] + terms
+    pred = S._terms_predicate("term", unsafe)
+    # literal-isin Column: its JVM repr mentions IN but was built via
+    # Column.isin — the point is it must not raise and must resolve
+    dfs_unsafe = searcher._lookup_dfs([("field", t) for t in unsafe])
+    searcher._df_cache.clear()
+    assert dfs_unsafe[("field", "o'brien")] == 0
+    assert dfs_unsafe[("field", "word1")] == dfs_lit[("field", "word1")]
