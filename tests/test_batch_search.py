@@ -259,7 +259,7 @@ def test_large_term_list_expr_pushdown(searcher, monkeypatch):
 
     terms = [f"word{i}" for i in range(1, 4)] + [
         f"zzz{i:03d}" for i in range(40)
-    ]
+    ] + ["café", "中文", "naïve"]  # unicode rides expr too
     # literal path (threshold above list size)
     monkeypatch.setattr(S, "ISIN_EXPR_MIN", 10_000)
     dfs_lit = searcher._lookup_dfs([("field", t) for t in terms])
