@@ -483,9 +483,12 @@ def _compact(result: dict) -> dict:
     if "efficiency" in s:
         out["scaling_efficiency"] = s["efficiency"]
         out["scaling_cores"] = [s.get("cores_lo"), s.get("cores_hi")]
-        if "query_marginal_efficiency" in s:
-            out["query_marginal_efficiency"] = s["query_marginal_efficiency"]
+        if "query_job_speedup" in s:
             out["query_job_speedup"] = s.get("query_job_speedup")
+            if "query_marginal_efficiency" in s:
+                out["query_marginal_efficiency"] = s[
+                    "query_marginal_efficiency"
+                ]
     r = result.get("robustness") or {}
     if "docs_per_sec" in r:
         out["robustness"] = {
@@ -702,9 +705,17 @@ def main():
                 result["scaling"]["marginal_ms_per_query"] = {
                     "lo": m_lo, "hi": m_hi,
                 }
-                result["scaling"]["query_marginal_efficiency"] = round(
-                    m_lo / (m_hi * ratio), 3
-                )
+                if m_hi >= 1.5:
+                    result["scaling"]["query_marginal_efficiency"] = round(
+                        m_lo / (m_hi * ratio), 3
+                    )
+                else:
+                    # at this corpus size the wide arm's per-query
+                    # marginal cost is sub-1.5ms — below the timing
+                    # noise floor, so a ratio against it is meaningless
+                    # (draws above 1.0 are artifacts). The carefully
+                    # pinned 1M-doc pair lives in BASELINE.md (0.75).
+                    result["scaling"]["query_marginal_noise_limited"] = True
         if (
             CPUS > hi_cores
             and os.environ.get("BENCH_SCALE_HOSTCAP", "1") == "1"
