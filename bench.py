@@ -426,11 +426,14 @@ def scaling_run(cores: int, n_docs: int) -> dict:
         # count), the large one exposes the per-QUERY marginal rate
         # (the part that actually scales with executors). Reporting the
         # whole-job qps ratio alone would smear the two (Amdahl).
+        sizes = []
         for n in (64, 512):
             batch = {
                 f"t{i:03d}": TermQuery("text", r["term"])
                 for i, r in enumerate(top[:n])
             }
+            n = len(batch)  # vocab may be smaller than the target size
+            sizes.append(n)
             ts = []
             for _ in range(3):
                 t0 = time.time()
@@ -441,13 +444,22 @@ def scaling_run(cores: int, n_docs: int) -> dict:
             dt = statistics.median(ts)
             rep[f"batch{n}_seconds"] = round(dt, 4)
             rep[f"batch{n}_qps"] = round(n / dt, 1)
-        rep["batch_marginal_ms_per_query"] = round(
-            (rep["batch512_seconds"] - rep["batch64_seconds"]) / 448 * 1e3,
-            3,
-        )
-        shutil.rmtree(save_dir, ignore_errors=True)
+        lo_n, hi_n = sizes
+        if hi_n > lo_n:
+            rep["batch_marginal_ms_per_query"] = round(
+                (rep[f"batch{hi_n}_seconds"] - rep[f"batch{lo_n}_seconds"])
+                / (hi_n - lo_n) * 1e3,
+                3,
+            )
     except Exception as exc:  # never fail the build arm on the query probe
         rep["batch_qps_error"] = repr(exc)[:200]
+    finally:
+        try:
+            import shutil
+
+            shutil.rmtree(save_dir, ignore_errors=True)
+        except NameError:
+            pass
     spark.stop()
     return rep
 

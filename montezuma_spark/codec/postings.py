@@ -278,7 +278,7 @@ def unpack_blocks(
         base = np.repeat((seg_starts + 1) * 8, n_i) + (
             np.arange(N) - np.repeat(val_starts, n_i)
         ) * wrep
-        if len(stream) < (int(base[-1]) >> 3) + 9:
+        if len(stream) < (int(base.max()) >> 3) + 9:
             stream = np.concatenate(
                 [stream, np.zeros(8, dtype=np.uint8)]
             )
@@ -594,6 +594,14 @@ def decode_cell_rows(
                 off[blks], clen[blks], elen[blks], ns[blks],
                 firsts[blks], ends[blks],
             )
+            # gather ONLY the selected blocks' byte ranges ([off, end)
+            # holds all three streams of a block contiguously): a
+            # candidate-narrowed decode of a huge term must not memcpy
+            # the whole cell payload for a few blocks
+            seg_len = ends - off
+            buf = _gather_segments(buf, off, seg_len)
+            off = np.cumsum(seg_len) - seg_len
+            ends = off + seg_len
         bufs.append(buf)
         starts_l.append(off + base)
         clen_l.append(clen)
@@ -605,7 +613,7 @@ def decode_cell_rows(
         base += len(buf)
     if not bufs:
         return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64, row_n
-    big = np.concatenate(bufs)
+    big = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
     starts = np.concatenate(starts_l)
     clen = np.concatenate(clen_l)
     elen = np.concatenate(elen_l)
@@ -668,6 +676,12 @@ def decode_positions_rows(rows: list, codec: str = "varint") -> np.ndarray:
         if blocks is not None:
             blks = np.asarray(blocks, dtype=np.int64)
             po, ends = po[blks], ends[blks]
+            # selected-segment gather — never memcpy the whole positions
+            # sidecar (the largest stream) for a narrow block selection
+            seg_len = ends - po
+            buf = _gather_segments(buf, po, seg_len)
+            po = np.cumsum(seg_len) - seg_len
+            ends = po + seg_len
         bufs.append(buf)
         starts_l.append(po + base)
         lens_l.append(ends - po)
@@ -676,7 +690,7 @@ def decode_positions_rows(rows: list, codec: str = "varint") -> np.ndarray:
         base += len(buf)
     if not bufs:
         return _EMPTY_I64
-    big = np.concatenate(bufs)
+    big = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
     starts = np.concatenate(starts_l)
     cnts = np.concatenate(cnt_l)
     if codec == "packed":

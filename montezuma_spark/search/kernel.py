@@ -290,15 +290,19 @@ class ShardEval:
         return ev
 
     def _meta(self, row):
+        # int64 array views, never list(): boxing every per-block value
+        # to PyObjects cost ~316 rows × 8 fields × O(blocks) per hot
+        # multi-cell query; every consumer (decode_cell/_rows,
+        # block_upper_bounds, _blocks_for) np.asarray()s these anyway
         return {
-            "first": list(row.blk_first),
-            "last": list(row.blk_last),
-            "n": list(row.blk_n),
-            "off": list(row.blk_off),
-            "codes_len": list(row.blk_codes_len),
-            "ext_len": list(row.blk_ext_len),
-            "maxtf": list(row.blk_maxtf),
-            "mindl": list(row.blk_mindl),
+            "first": np.asarray(row.blk_first, dtype=np.int64),
+            "last": np.asarray(row.blk_last, dtype=np.int64),
+            "n": np.asarray(row.blk_n, dtype=np.int64),
+            "off": np.asarray(row.blk_off, dtype=np.int64),
+            "codes_len": np.asarray(row.blk_codes_len, dtype=np.int64),
+            "ext_len": np.asarray(row.blk_ext_len, dtype=np.int64),
+            "maxtf": np.asarray(row.blk_maxtf, dtype=np.int64),
+            "mindl": np.asarray(row.blk_mindl, dtype=np.int64),
         }
 
     def _blocks_for(self, meta, candidates: np.ndarray | None):
@@ -381,12 +385,17 @@ class ShardEval:
         batch, batch_idx, batch_sel, batch_ns = [], [], [], []
         for i, r in enumerate(rows):
             full = getattr(r, "full", None)
-            meta = self._meta(r)
-            ns = np.asarray(meta["n"], dtype=np.int64)
             if full is not None:
+                # memoized full decode: only blk_n is needed for the
+                # handle — never rebuild the whole metadata dict here
                 parts[i] = full
-                handles[i] = (r, None, full[0], full[1], ns)
+                handles[i] = (
+                    r, None, full[0], full[1],
+                    np.asarray(r.blk_n, dtype=np.int64),
+                )
                 continue
+            meta = self._meta(r)
+            ns = meta["n"]
             sel = self._blocks_for(meta, candidates)
             batch.append((bytes(r.postings), meta, sel))
             batch_idx.append(i)
@@ -443,11 +452,7 @@ class ShardEval:
                 # gather the surviving blocks' decoded runs (one fancy
                 # gather, no per-block python slicing)
                 ns_k = ns_sel[kidx]
-                starts = (bb - ns_sel)[kidx]
-                total = int(ns_k.sum())
-                gidx = np.repeat(starts, ns_k) + (
-                    np.arange(total) - np.repeat(np.cumsum(ns_k) - ns_k, ns_k)
-                )
+                gidx = self._run_gidx((bb - ns_sel)[kidx], ns_k)
                 d_k, t_k = d[gidx], t[gidx]
                 blocks = (
                     kidx if sel is None else np.asarray(sel, dtype=np.int64)[kidx]
@@ -915,14 +920,19 @@ class ShardEval:
     def _gather_runs(flat, starts, lens):
         """Concatenate runs flat[starts[i] : starts[i]+lens[i]] — one
         vectorized gather, no per-run python."""
+        return flat[ShardEval._run_gidx(starts, lens)]
+
+    @staticmethod
+    def _run_gidx(starts, lens):
+        """Flat gather index for runs (starts[i], lens[i]) — shared by
+        every run-gather so the idiom lives in ONE place."""
         total = int(lens.sum())
         if total == 0:
             return np.empty(0, dtype=np.int64)
         out_starts = np.cumsum(lens) - lens
-        gidx = np.repeat(starts, lens) + (
+        return np.repeat(starts, lens) + (
             np.arange(total) - np.repeat(out_starts, lens)
         )
-        return flat[gidx]
 
     def _positions_flat(self, field, term, wanted: np.ndarray):
         """Positions of ``wanted`` docids for (field, term), doc-major →

@@ -93,7 +93,7 @@ ISIN_EXPR_MIN = 32
 # terms that may NOT ride an F.expr literal: quotes, backslashes,
 # control chars (the SQL parser strips unknown escapes SILENTLY — see
 # the CLAUDE.md invariant; never escape inside F.expr, fall back)
-_SQL_LITERAL_SAFE = re.compile(r"^[^'\\\x00-\x1f\x7f]*$")
+_SQL_LITERAL_SAFE = re.compile(r"^[^'\\\x00-\x1f\x7f]*\Z")
 
 
 def _terms_predicate(col: str, terms) -> F.Column:

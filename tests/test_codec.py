@@ -424,3 +424,30 @@ def test_decode_cell_rows_matches_scalar(rows_spec, block, codec):
         got_pos,
         np.concatenate(expect_pos) if expect_pos else np.empty(0, np.int64),
     )
+
+
+def test_unpack_blocks_any_segment_order():
+    """The byte-window gather path must pad against the MAX bit offset,
+    not the last segment's — unsorted/descending block selections are
+    legal (decode_cell's ``blocks`` accepts arbitrary order) and used to
+    IndexError when the window path triggered (mixed widths, N >= 256)."""
+    from montezuma_spark.codec.postings import pack_blocks, unpack_blocks
+
+    rng = np.random.default_rng(7)
+    vals, widths = [], []
+    for w in (3, 11, 7, 1, 19):  # mixed widths -> window-gather strategy
+        n = int(rng.integers(80, 160))
+        vals.append(
+            rng.integers(0, 1 << w, size=n, dtype=np.uint64) | np.uint64(1)
+        )
+        widths.append(int(vals[-1].max()).bit_length())
+    ns = np.array([len(v) for v in vals], dtype=np.int64)
+    bounds = np.concatenate([[0], np.cumsum(ns)])
+    stream, seg_len = pack_blocks(
+        np.concatenate(vals), bounds, np.array(widths, dtype=np.int64)
+    )
+    starts = np.cumsum(seg_len) - seg_len
+    for order in (np.arange(5)[::-1], np.array([2, 4, 0, 3, 1])):
+        got = unpack_blocks(stream, starts[order], ns[order])
+        want = np.concatenate([vals[i] for i in order])
+        np.testing.assert_array_equal(got, want)
