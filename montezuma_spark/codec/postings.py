@@ -226,6 +226,32 @@ def _gather_segments(
     return buf[idx]
 
 
+_PAD8 = np.zeros(8, dtype=np.uint8)
+
+
+def _select_segments(
+    buf: np.ndarray, off: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compact ``buf`` to just the [off, end) segments →
+    (new_buf, new_off, new_ends). Only compacts when the selection is
+    actually narrow (< half the buffer) — a wide selection is cheaper to
+    leave in place than to re-gather byte-by-byte (index math costs ~8×
+    the memcpy per byte). Few segments go through slice-concat (memcpy
+    speed); many through the fancy gather."""
+    seg_len = ends - off
+    if int(seg_len.sum()) * 2 >= len(buf):
+        return buf, off, ends
+    if len(off) <= 64:
+        new = np.concatenate(
+            [buf[a:b] for a, b in zip(off.tolist(), ends.tolist())]
+            or [np.empty(0, dtype=np.uint8)]
+        )
+    else:
+        new = _gather_segments(buf, off, seg_len)
+    new_off = np.cumsum(seg_len) - seg_len
+    return new, new_off, new_off + seg_len
+
+
 def unpack_blocks(
     stream: np.ndarray, seg_starts: np.ndarray, n_i: np.ndarray
 ) -> np.ndarray:
@@ -278,10 +304,12 @@ def unpack_blocks(
         base = np.repeat((seg_starts + 1) * 8, n_i) + (
             np.arange(N) - np.repeat(val_starts, n_i)
         ) * wrep
-        if len(stream) < (int(base.max()) >> 3) + 9:
-            stream = np.concatenate(
-                [stream, np.zeros(8, dtype=np.uint8)]
-            )
+        # pad bound from the per-SEGMENT last-value offsets (O(B), and
+        # order-independent — selections may come in any block order);
+        # batched callers pre-pad their streams so this copy is rare
+        max_bit = int(((seg_starts + 1) * 8 + (n_i - 1) * widths).max())
+        if len(stream) < (max_bit >> 3) + 9:
+            stream = np.concatenate([stream, _PAD8])
         win = np.lib.stride_tricks.sliding_window_view(stream, 8)
         words = np.ascontiguousarray(win[base >> 3]).view(np.uint64).ravel()
         return (words >> (base & 7).astype(np.uint64)) & (
@@ -594,14 +622,11 @@ def decode_cell_rows(
                 off[blks], clen[blks], elen[blks], ns[blks],
                 firsts[blks], ends[blks],
             )
-            # gather ONLY the selected blocks' byte ranges ([off, end)
-            # holds all three streams of a block contiguously): a
-            # candidate-narrowed decode of a huge term must not memcpy
-            # the whole cell payload for a few blocks
-            seg_len = ends - off
-            buf = _gather_segments(buf, off, seg_len)
-            off = np.cumsum(seg_len) - seg_len
-            ends = off + seg_len
+            # compact to ONLY the selected blocks' byte ranges ([off, end)
+            # holds all three streams of a block contiguously) when the
+            # selection is narrow: a candidate-narrowed decode of a huge
+            # term must not memcpy the whole cell payload for a few blocks
+            buf, off, ends = _select_segments(buf, off, ends)
         bufs.append(buf)
         starts_l.append(off + base)
         clen_l.append(clen)
@@ -613,7 +638,11 @@ def decode_cell_rows(
         base += len(buf)
     if not bufs:
         return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64, row_n
-    big = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
+    # 8-byte zero tail: the packed byte-window decoder reads one 8-byte
+    # window per value; pre-padding here keeps it from re-copying the
+    # whole batched stream once per stream decode
+    bufs.append(_PAD8)
+    big = np.concatenate(bufs)
     starts = np.concatenate(starts_l)
     clen = np.concatenate(clen_l)
     elen = np.concatenate(elen_l)
@@ -676,12 +705,9 @@ def decode_positions_rows(rows: list, codec: str = "varint") -> np.ndarray:
         if blocks is not None:
             blks = np.asarray(blocks, dtype=np.int64)
             po, ends = po[blks], ends[blks]
-            # selected-segment gather — never memcpy the whole positions
-            # sidecar (the largest stream) for a narrow block selection
-            seg_len = ends - po
-            buf = _gather_segments(buf, po, seg_len)
-            po = np.cumsum(seg_len) - seg_len
-            ends = po + seg_len
+            # compact narrow selections — never memcpy the whole positions
+            # sidecar (the largest stream) for a few selected blocks
+            buf, po, ends = _select_segments(buf, po, ends)
         bufs.append(buf)
         starts_l.append(po + base)
         lens_l.append(ends - po)
@@ -690,7 +716,8 @@ def decode_positions_rows(rows: list, codec: str = "varint") -> np.ndarray:
         base += len(buf)
     if not bufs:
         return _EMPTY_I64
-    big = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
+    bufs.append(_PAD8)  # see decode_cell_rows — pre-pad for the window decoder
+    big = np.concatenate(bufs)
     starts = np.concatenate(starts_l)
     cnts = np.concatenate(cnt_l)
     if codec == "packed":
