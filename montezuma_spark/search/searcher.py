@@ -128,7 +128,7 @@ class Searcher:
     def __init__(self, index: Index, max_expansion: int = 10_000,
                  preload: bool = False, distributed: bool = False,
                  preload_max_bytes: int = 1 << 30,
-                 similarity=None):
+                 similarity=None, cell_cache_bytes: int = 256 << 20):
         """``preload=True`` caches the full dictionary AND all postings
         cells driver-side so repeated queries skip Spark entirely — the
         serving tier for small or hot index slices, guarded by
@@ -137,7 +137,14 @@ class Searcher:
         vocabulary: dictionary resolution is per-query predicate pushdown
         into the term_stats scan. ``distributed=True`` disables the
         driver-local fast path entirely (every query runs the per-shard
-        kernel as a Spark job)."""
+        kernel as a Spark job).
+
+        ``cell_cache_bytes`` bounds the per-(field, term) LRU of parsed
+        postings cells on the saved-layout local tier (the Lucene
+        query-cache analog): repeated queries on warm terms skip the
+        parquet point read AND the pandas parse, paying kernel cost only.
+        It caches only terms actually queried (never the vocabulary) and
+        is evicted by payload bytes; 0 disables it."""
         from montezuma_spark.search.similarity import get_similarity
 
         self.index = index
@@ -159,6 +166,11 @@ class Searcher:
         self._preload_max_bytes = preload_max_bytes
         self._force_distributed = distributed
         self._arrow_fetches = 0                  # driver-direct reads (tests)
+        # ((field|None, term), need_pos) -> (rows, bytes); None field =
+        # the index's BOOST_TERM marker cells (one entry for all fields)
+        self._cell_cache: dict = {}
+        self._cell_cache_size = 0
+        self._cell_cache_max = int(cell_cache_bytes)
 
     def _hot_cells(self) -> dict:
         if self._hot is None:
@@ -840,7 +852,105 @@ class Searcher:
                     rows.extend(self._hot_rows(key))
             plan.hot = True  # enable decode-once row caches (shared rows)
             return eval_local(plan, rows)
+        rows = self._cached_rows(resolved, need_pos)
+        if rows is not None:
+            # NOTE: plan.hot stays False — the pruned single-term path
+            # remains available; full-decode memos still attach to the
+            # shared rows whenever a full decode happens naturally
+            return eval_local(plan, rows)
         return eval_local(plan, self._fetch_postings_pdf(resolved, need_pos))
+
+    def _cached_rows(self, resolved: Query, need_pos: bool):
+        """Bounded per-(field, term) LRU of parsed postings cells for
+        saved indexes — the Lucene LRUQueryCache analog at cell
+        granularity. A warm query skips the parquet point read and the
+        pandas parse entirely (the two dominant costs of the local tier
+        after decode batching) and reuses any decode memos already on the
+        shared rows. Caches ONLY queried terms (the default tier still
+        never collects the vocabulary); evicted LRU by payload bytes.
+        Returns None when disabled or the index has no saved layout.
+        Cells are immutable per saved layout and decode is
+        delete-independent (tombstones mask after decode), so deletes
+        never invalidate entries."""
+        if self._cell_cache_max <= 0:
+            return None
+        dset = self.index._postings_dataset()
+        if dset is None:
+            return None
+        from montezuma_spark.codec.postings import BOOST_TERM
+
+        needed = self._needed_terms(resolved)
+        want = [(f, t) for f, ts in sorted(needed.items())
+                for t in sorted(ts)]
+        if self.index.config.boost_col is not None:
+            want.append((None, BOOST_TERM))
+        # snapshot hits FIRST (LRU-touching them): a later put may evict
+        # any entry when the budget is smaller than this query's working
+        # set, so assembly below never reads the cache again
+        have: dict = {}
+        missing = []
+        for ft in want:
+            key = (ft, need_pos)
+            ent = self._cell_cache.pop(key, None)
+            if ent is None:
+                missing.append(ft)
+            else:
+                self._cell_cache[key] = ent  # reinsert at LRU tail
+                have[ft] = ent[0]
+        if missing:
+            from montezuma_spark.search.kernel import rows_from_pandas
+
+            fetch: dict = {}
+            fetch_boost = False
+            for f, t in missing:
+                if f is None:
+                    fetch_boost = True
+                else:
+                    fetch.setdefault(f, set()).add(t)
+            pdf = self._arrow_cells_pdf(dset, fetch, need_pos, fetch_boost)
+            boost_mask = (
+                pdf["term"] == BOOST_TERM if len(pdf) else None
+            )
+            groups = (
+                {k: g for k, g in pdf[~boost_mask].groupby(
+                    ["field", "term"], sort=False)}
+                if len(pdf) else {}
+            )
+            for ft in missing:
+                if ft[0] is None:
+                    sub = pdf[boost_mask] if len(pdf) else pdf
+                else:
+                    sub = groups.get(ft)
+                rows = (
+                    rows_from_pandas(sub)
+                    if sub is not None and len(sub)
+                    else []  # negative entry: absent terms never refetch
+                )
+                have[ft] = rows
+                self._cell_cache_put((ft, need_pos), rows)
+        out: list = []
+        for ft in want:
+            out.extend(have[ft])
+        return out
+
+    def _cell_cache_put(self, key, rows) -> None:
+        nbytes = 240 * (len(rows) + 1)  # row + entry overhead estimate
+        for r in rows:
+            for payload in (r.postings, r.positions):
+                if isinstance(payload, (bytes, bytearray, memoryview)):
+                    nbytes += len(payload)
+        old = self._cell_cache.pop(key, None)
+        if old is not None:
+            self._cell_cache_size -= old[1]
+        self._cell_cache[key] = (rows, nbytes)
+        self._cell_cache_size += nbytes
+        while (self._cell_cache_size > self._cell_cache_max
+               and len(self._cell_cache) > 1):
+            oldest = next(iter(self._cell_cache))
+            if oldest == key:
+                break  # never evict the entry being served
+            _, nb = self._cell_cache.pop(oldest)
+            self._cell_cache_size -= nb
 
     def _fetch_postings_pdf(self, resolved: Query, need_pos: bool):
         """Matched postings cells as a pandas frame for the local tier.
@@ -858,11 +968,20 @@ class Searcher:
         if dset is None:
             postings, _ = self._filtered_postings(resolved, need_pos)
             return postings.toPandas()
+        return self._arrow_cells_pdf(
+            dset, self._needed_terms(resolved), need_pos,
+            include_boost=self.index.config.boost_col is not None,
+        )
+
+    def _arrow_cells_pdf(self, dset, needed: dict, need_pos: bool,
+                         include_boost: bool):
+        """Driver-direct parquet point read of the cells for explicit
+        {field: terms} sets (see ``_fetch_postings_pdf`` for the layout
+        contract that makes this a row-group-pruned seek)."""
         import pyarrow.compute as pc
 
         from montezuma_spark.codec.postings import BOOST_TERM
 
-        needed = self._needed_terms(resolved)
         filt = None
         for f, terms in needed.items():
             ts = sorted(terms)
@@ -883,11 +1002,12 @@ class Searcher:
                 )
             c = (pc.field("field") == f) & tc
             filt = c if filt is None else (filt | c)
+        if include_boost:
+            bc = pc.field("term") == BOOST_TERM
+            filt = bc if filt is None else (filt | bc)
         if filt is None:
             filt = pc.field("term") == ""  # matches nothing (parity with
             # _filtered_postings' lit(False) branch)
-        elif self.index.config.boost_col is not None:
-            filt = filt | (pc.field("term") == BOOST_TERM)
         cols = [
             "field", "term", "shard", "df", "cf", "postings",
             "blk_first", "blk_last", "blk_n", "blk_off", "blk_codes_len",

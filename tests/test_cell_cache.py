@@ -1,0 +1,103 @@
+"""Saved-layout cell LRU cache (Searcher.cell_cache_bytes): warm queries
+must be row-identical to cold ones, skip the arrow point read, respect
+the byte budget, and stay correct under deletes (tombstones mask after
+decode, so cached cells never go stale)."""
+
+import pytest
+
+from montezuma_spark.fixtures import search_docs_df
+from montezuma_spark.index import FieldConfig, Index, IndexConfig, build_index
+from montezuma_spark.search import (
+    MUST,
+    PhraseQuery,
+    Searcher,
+    TermQuery,
+    bool_query,
+)
+
+CFG = IndexConfig(
+    fields=[FieldConfig("field", "field", "whitespace")],
+    key_col="url",
+    shard_bits=3,
+    block_size=4,
+)
+
+
+@pytest.fixture(scope="module")
+def saved(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cellcache") / "ix")
+    build_index(spark, search_docs_df(spark), CFG).save(d)
+    return Index.load(spark, d)
+
+
+def _rows(s, q, k=10):
+    return [(h[0], round(h[1], 9)) for h in s.top_docs(q, k=k)]
+
+
+def test_warm_equals_cold_and_skips_fetch(saved):
+    s = Searcher(saved)
+    q = TermQuery("field", "word2")
+    cold = _rows(s, q)
+    fetches = s._arrow_fetches
+    assert fetches >= 1
+    warm = _rows(s, q)
+    assert warm == cold
+    assert s._arrow_fetches == fetches  # no new point read
+    # uncached-searcher parity
+    assert _rows(Searcher(saved, cell_cache_bytes=0), q) == cold
+
+
+def test_phrase_after_term_upgrades_positions(saved):
+    s = Searcher(saved)
+    t = TermQuery("field", "word1")
+    p = PhraseQuery.of("field", ["word1", "word2"])
+    rt = _rows(s, t)
+    rp = _rows(s, p)  # needs positions: separate cache entry, not the
+    # positions-free rows fetched for the bare term
+    s2 = Searcher(saved, cell_cache_bytes=0)
+    assert rt == _rows(s2, t)
+    assert rp == _rows(s2, p)
+    # and warm repeats stay identical
+    assert _rows(s, p) == rp and _rows(s, t) == rt
+
+
+def test_eviction_keeps_results_correct(saved):
+    s = Searcher(saved, cell_cache_bytes=600)  # a few hundred bytes: evicts
+    qs = [
+        TermQuery("field", "word1"),
+        TermQuery("field", "word2"),
+        bool_query(
+            (TermQuery("field", "word1"), MUST),
+            (TermQuery("field", "word3"), MUST),
+        ),
+    ]
+    ref = Searcher(saved, cell_cache_bytes=0)
+    for _ in range(2):
+        for q in qs:
+            assert _rows(s, q) == _rows(ref, q)
+    assert s._cell_cache_size <= max(600, max(v[1] for v in s._cell_cache.values()))
+
+
+def test_missing_term_negative_entry(saved):
+    s = Searcher(saved)
+    q = TermQuery("field", "zzz_not_a_term")
+    assert _rows(s, q) == []
+    fetches = s._arrow_fetches
+    assert _rows(s, q) == []
+    assert s._arrow_fetches == fetches  # absent terms never refetch
+
+
+def test_deletes_apply_over_cached_cells(saved, spark):
+    s = Searcher(saved)
+    q = TermQuery("field", "word2")
+    cold = _rows(s, q)
+    assert cold
+    victim = cold[0][0]
+    try:
+        saved.delete_docs([victim])
+        warm = _rows(s, q)
+        assert victim not in [d for d, _ in warm]
+        assert warm == [(d, sc) for d, sc in cold if d != victim]
+    finally:
+        saved.undelete_all()
+    assert _rows(s, q) == cold

@@ -266,7 +266,9 @@ def test_local_tier_arrow_fetch(spark, saved):
     from montezuma_spark.search import (MUST, Searcher, TermQuery,
                                         WildcardQuery, bool_query)
 
-    s = Searcher(saved)
+    # cell cache off: this test pins the per-query arrow point read
+    # itself (the cache layer is covered by tests/test_cell_cache.py)
+    s = Searcher(saved, cell_cache_bytes=0)
     for q in (TermQuery("text", "merge"),
               bool_query((TermQuery("text", "merge"), MUST),
                          (TermQuery("text", "spark"), MUST)),
