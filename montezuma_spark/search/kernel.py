@@ -424,11 +424,32 @@ class ShardEval:
         ``_decode_with_handles`` — the doc streams are NOT re-decoded.
         Narrows each row's block selection to blocks actually containing
         a wanted docid before touching position bytes, then decodes all
-        surviving (row, block) position segments in one batched pass."""
+        surviving (row, block) position segments in one batched pass.
+
+        Cross-query memo (shared rows, e.g. the cell LRU cache tier): a
+        row whose positional decode happened to cover ALL blocks yields
+        exactly the full positions stream, so it's stored as
+        ``row.full_pos`` for free and reused by later queries — the
+        opportunistic form of the preload tier's eager memo. Narrowed
+        decodes never memoize (the stream would be partial) and never
+        get slower."""
         W = len(wanted)
         pos_rows, d_parts, t_parts = [], [], []
+        flat_parts: list = []  # per-row flat positions (None = pending)
+        pending: list = []  # (flat_parts idx, row, memoize?, d_k, t_k)
         for (row, sel, d, t, ns_sel) in handles:
             if len(d) == 0:
+                continue
+            fp = getattr(row, "full_pos", None)
+            if fp is not None:
+                fd, ft, fflat, _fpb = fp
+                lo = np.searchsorted(wanted, fd[0])
+                hi = np.searchsorted(wanted, fd[-1], side="right")
+                if lo == hi:
+                    continue
+                d_parts.append(fd)
+                t_parts.append(ft)
+                flat_parts.append(fflat)
                 continue
             lo = np.searchsorted(wanted, d[0])
             hi = np.searchsorted(wanted, d[-1], side="right")
@@ -462,11 +483,33 @@ class ShardEval:
             )
             d_parts.append(d_k)
             t_parts.append(t_k)
-        if not pos_rows:
+            flat_parts.append(None)
+            pending.append((
+                len(flat_parts) - 1, row,
+                sel is None and len(kidx) == len(ns_sel), d_k, t_k,
+            ))
+        if not d_parts:
             return np.empty(0, dtype=np.int64), np.zeros(W, dtype=np.int64)
-        flat = decode_positions_rows(pos_rows, codec=self.plan.codec)
-        d_all = np.concatenate(d_parts)
-        t_all = np.concatenate(t_parts)
+        if pos_rows:
+            flat_new = decode_positions_rows(pos_rows, codec=self.plan.codec)
+            fb = 0
+            for (fi, row, full_cover, d_k, t_k) in pending:
+                fe = fb + int(t_k.sum())
+                fk = flat_new[fb:fe]
+                flat_parts[fi] = fk
+                fb = fe
+                if full_cover and hasattr(row, "full_pos"):
+                    row.full_pos = (
+                        d_k, t_k, fk,
+                        np.concatenate([[0], np.cumsum(t_k)]),
+                    )
+        flat = (
+            flat_parts[0]
+            if len(flat_parts) == 1
+            else np.concatenate(flat_parts)
+        )
+        d_all = np.concatenate(d_parts) if len(d_parts) > 1 else d_parts[0]
+        t_all = np.concatenate(t_parts) if len(t_parts) > 1 else t_parts[0]
         pb = np.concatenate([[0], np.cumsum(t_all)])
         idx = np.searchsorted(d_all, wanted)
         idx_c = np.clip(idx, 0, len(d_all) - 1)
@@ -1046,6 +1089,11 @@ class ShardEval:
                 else np.empty(0, dtype=np.int64)
             )
             pb = np.concatenate([[0], np.cumsum(t_all)])
+            if len(blocks) == len(meta["n"]) and hasattr(row, "full_pos"):
+                # the decode happened to cover every block → this IS the
+                # full positions stream; memoize for later queries on
+                # shared rows (free — nothing extra was decoded)
+                row.full_pos = (d_all, t_all, flat, pb)
         if len(d_all) == 0:
             return (
                 np.empty(0, dtype=np.int64),

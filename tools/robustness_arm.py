@@ -116,7 +116,15 @@ def main():
 
     timings = {}
     for name, q in queries.items():
-        got = s.top_docs(q, k=10)  # warm (codegen, dictionary cache)
+        # cold = a fresh Searcher's first answer (dictionary seek + arrow
+        # point read + parse + decode); warm = repeat-query median on the
+        # shared Searcher, where the cell LRU cache serves the postings
+        # (kernel-only cost). Both are the serving claim — disclosed
+        # separately now that the default tier caches cells.
+        s_cold = Searcher(served)
+        t1 = time.time()
+        got = s_cold.top_docs(q, k=10)
+        timings[name + "_cold"] = round(time.time() - t1, 4)
         timings[name] = _median_time(s, q)
         want = s_dist.top_docs(q, k=10)  # warm + serving-tier identity
         timings[name + "_spark"] = _median_time(s_dist, q)
