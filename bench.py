@@ -187,6 +187,28 @@ def query_suite(searcher, reps: int = 3) -> dict[str, float]:
         out["q_term_top10_distributed_saved"] = round(
             _stats.median(ts), 4
         )
+        # cell-cache serving tier (default Searcher on a saved layout):
+        # cold fill then warm repeats — the warm number is what a
+        # deployment's hot queries cost; the whole headline suite as one
+        # CACHED batch rides eval_local per query, zero kernel jobs
+        cache_s = _S(saved.index)
+        t0 = time.time()
+        cache_s.top_docs(q, k=10)
+        out["q_term_top10_saved_cold"] = round(time.time() - t0, 4)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            cache_s.top_docs(q, k=10)
+            ts.append(time.time() - t0)
+        out["q_term_top10_saved_warm"] = round(_stats.median(ts), 4)
+        bq = headline_queries()
+        t0 = time.time()
+        n_qids = (
+            cache_s.search_batch(bq, k=10).select("qid").distinct().count()
+        )
+        dt = time.time() - t0
+        assert n_qids == len(bq)
+        out["q_batch_total_saved_cached"] = round(dt, 4)
     finally:
         shutil.rmtree(_sd, ignore_errors=True)
     # batch serving: the WHOLE headline suite as ONE distributed job

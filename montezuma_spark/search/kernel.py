@@ -101,6 +101,10 @@ class CompiledPlan:
 
 _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
 
+# below this many postings a single vectorized full decode beats the
+# pruned path's per-round python overhead (see _try_pruned_term)
+PRUNE_MIN_POSTINGS = 1 << 16
+
 # marker field for tombstone rows riding the doc_lens cogroup: delete sets
 # too large to broadcast inside the plan reach each shard kernel as rows
 # (TOMB_FIELD, docid, 0) unioned into the lens table — each task receives
@@ -662,6 +666,17 @@ class ShardEval:
         rows = self.cells.get((field, term))
         if not rows:
             return _EMPTY
+        # pruning pays only when the decode it avoids is expensive: below
+        # ~64k postings the round machinery's python overhead exceeds ONE
+        # vectorized full decode (measured 4-6 ms pruned vs 2.5-3.4 ms
+        # cold-full at df 10-16k, vs 25 ms full at df 157k — prune wins
+        # there), and rows already carrying full-decode memos (shared
+        # cache-tier rows) decode for free — exhaustive is exact either way
+        df = self.plan.df_est.get((field, term))
+        if df is not None and df < PRUNE_MIN_POSTINGS:
+            return None
+        if all(getattr(r, "full", None) is not None for r in rows):
+            return None
         p = self.plan
         avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
         idf = p.idf.get((field, term), 0.0)

@@ -874,12 +874,17 @@ class Searcher:
         never invalidate entries."""
         if self._cell_cache_max <= 0:
             return None
-        dset = self.index._postings_dataset()
-        if dset is None:
+        if self.index._postings_dataset() is None:
             return None
+        return self._ensure_cells(self._needed_terms(resolved), need_pos)
+
+    def _ensure_cells(self, needed: dict, need_pos: bool) -> list:
+        """Rows for {field: terms} through the cell cache, fetching every
+        missing term in ONE arrow point read (callers pre-gate on
+        ``_cell_cache_max`` > 0 and a saved layout)."""
+        dset = self.index._postings_dataset()
         from montezuma_spark.codec.postings import BOOST_TERM
 
-        needed = self._needed_terms(resolved)
         want = [(f, t) for f, ts in sorted(needed.items())
                 for t in sorted(ts)]
         if self.index.config.boost_col is not None:
@@ -1151,17 +1156,56 @@ class Searcher:
             compiled = [(qid, *self._compile(q, k)) for qid, q in rewritten]
         batch: list = []  # (qid, plan, needed)
         fallback: list = []
+        local_batch: list = []  # (qid, plan, needed, need_pos)
         union_needed: dict[str, set] = {}
         need_pos_any = False
+        # driver-side batch serving through the cell cache: queries whose
+        # matched-postings estimate fits the single-query local gate are
+        # answered with eval_local over cached rows — one arrow point
+        # read for ALL their missing terms, zero Spark jobs. A whole-
+        # batch budget (4× the per-query gate) bounds the driver-serial
+        # decode work so a batch of hot terms still rides the
+        # distributed kernel, which parallelizes it.
+        local_ok = (
+            not self._force_distributed
+            and self._cell_cache_max > 0
+            and self.index._postings_dataset() is not None
+        )
+        local_budget = 4 * FAST_PATH_MAX_POSTINGS
         for (qid, plan, resolved, need_pos), (_, orig_q) in zip(compiled, items):
             if self._has_matchall(resolved):
                 fallback.append((qid, orig_q))
                 continue
             needed = self._needed_terms(resolved)
+            if local_ok and local_budget > 0:
+                est = self._est_matched_postings(needed, plan.df_est)
+                if est <= FAST_PATH_MAX_POSTINGS and est <= local_budget:
+                    local_budget -= max(est, 1)
+                    local_batch.append((qid, plan, needed, need_pos))
+                    continue
             for f, ts in needed.items():
                 union_needed.setdefault(f, set()).update(ts)
             batch.append((qid, plan, needed))
             need_pos_any = need_pos_any or need_pos
+        if local_batch:
+            from montezuma_spark.search.kernel import eval_local
+
+            # prefetch: ONE point read per positions-variant for every
+            # missing term across the whole local sub-batch
+            for np_flag in (False, True):
+                pre: dict[str, set] = {}
+                for _, _, needed, need_pos in local_batch:
+                    if need_pos == np_flag:
+                        for f, ts in needed.items():
+                            pre.setdefault(f, set()).update(ts)
+                if pre:
+                    self._ensure_cells(pre, np_flag)
+            for qid, plan, needed, need_pos in local_batch:
+                rows = self._ensure_cells(needed, need_pos)  # cache hits
+                pdf = eval_local(plan, rows)
+                pdf = (pdf.iloc[:k] if k is not None else pdf).copy()
+                pdf.insert(0, "qid", qid)
+                local_parts.append(pdf)
         out = None
         if batch:
             postings = self._postings_for(union_needed, need_pos_any)

@@ -205,7 +205,10 @@ def saved_searcher(spark, tmp_path_factory):
         fields=[FieldConfig("text", "text", "simple")], shard_bits=5
     )
     build_index(spark, synth_web_pages_df(spark, 150), cfg, index_dir=d)
-    return Searcher(Index.load(spark, d))
+    # cell cache OFF: these tests pin the DISTRIBUTED batch machinery's
+    # plan shape; with the cache a small batch is served driver-side and
+    # never builds a Spark plan (tests/test_cell_cache.py covers that)
+    return Searcher(Index.load(spark, d), cell_cache_bytes=0)
 
 
 def test_all_single_term_batch_skips_exchange(saved_searcher):

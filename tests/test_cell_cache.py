@@ -101,3 +101,40 @@ def test_deletes_apply_over_cached_cells(saved, spark):
     finally:
         saved.undelete_all()
     assert _rows(s, q) == cold
+
+
+def test_batch_serves_driver_side_through_cache(saved):
+    """Eligible batch queries are answered with eval_local over cached
+    rows (zero Spark kernel jobs) and must be row-identical to the
+    distributed batch; MatchAll stays in the fallback union."""
+    from montezuma_spark.search import MatchAllQuery, WildcardQuery
+
+    batch = {
+        "t": TermQuery("field", "word1"),
+        "p": PhraseQuery.of("field", ["word1", "word2"]),
+        "b": bool_query(
+            (TermQuery("field", "word2"), MUST),
+            (TermQuery("field", "word3"), MUST),
+        ),
+        "w": WildcardQuery("field", "word*"),
+        "m": MatchAllQuery(),
+    }
+    s = Searcher(saved)
+    got = [
+        (r["qid"], r["docid"], round(r["score"], 9))
+        for r in s.search_batch(batch, k=5).collect()
+    ]
+    want = [
+        (r["qid"], r["docid"], round(r["score"], 9))
+        for r in Searcher(saved, distributed=True)
+        .search_batch(batch, k=5).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # per-query parity with single search on the same cached searcher
+    for qid, q in batch.items():
+        single = [(h[0], round(h[1], 9)) for h in s.top_docs(q, k=5)]
+        from_batch = sorted(
+            [(d, sc) for g, d, sc in got if g == qid],
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert from_batch == single, qid

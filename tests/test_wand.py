@@ -18,6 +18,18 @@ from montezuma_spark.search.kernel import CompiledPlan, ShardEval, _finish
 K1, B = 1.2, 0.75
 
 
+@pytest.fixture(autouse=True)
+def _always_prune(monkeypatch):
+    """These tests pin the pruning MACHINERY on small synthetic corpora;
+    the production threshold (PRUNE_MIN_POSTINGS: full decode beats the
+    round machinery below ~64k postings) would bail them all to the
+    exhaustive path. test_small_df_takes_exhaustive_path covers the
+    threshold itself."""
+    import montezuma_spark.search.kernel as kmod
+
+    monkeypatch.setattr(kmod, "PRUNE_MIN_POSTINGS", 0)
+
+
 def _build_shard(rng, n_docs, terms_df):
     """terms_df: {term: df}. Returns (postings_pdf, idf, df_est, stats)."""
     import math
@@ -199,3 +211,35 @@ def test_pruned_skips_blocks(monkeypatch):
     np.testing.assert_allclose(
         pruned["score"].to_numpy(), exact["score"].to_numpy(), atol=1e-12
     )
+
+
+def test_small_df_takes_exhaustive_path(monkeypatch):
+    """Below PRUNE_MIN_POSTINGS (or with full-decode memos on every row)
+    _try_pruned_term bails to the exhaustive path — which is exact, so
+    only the routing is asserted."""
+    import math
+
+    import montezuma_spark.search.kernel as kmod
+
+    monkeypatch.undo()  # restore the real threshold
+    rng = np.random.default_rng(11)
+    n_docs = 5000
+    pdf, idf, df_est, stats = _build_shard(rng, n_docs, {"w": 400})
+    q = TermQuery("text", "w")
+    plan = CompiledPlan(
+        query=q, idf=idf, df_est=df_est, stats=stats,
+        k1=K1, b=B, k=10, need_positions=False,
+    )
+    ev = ShardEval(plan, pdf)
+    assert df_est[("text", "w")] < kmod.PRUNE_MIN_POSTINGS
+    assert ev._try_pruned_term("text", "w", 1.0) is None
+    # memoized rows bail too, even above the threshold
+    plan2 = CompiledPlan(
+        query=q, idf=idf,
+        df_est={("text", "w"): kmod.PRUNE_MIN_POSTINGS + 1}, stats=stats,
+        k1=K1, b=B, k=10, need_positions=False,
+    )
+    ev2 = ShardEval(plan2, pdf)
+    assert ev2._try_pruned_term("text", "w", 1.0) is not None
+    ev2._decode("text", "w")  # memoizes row.full on every row
+    assert ev2._try_pruned_term("text", "w", 1.0) is None
