@@ -415,7 +415,12 @@ class ShardEval:
                     rows[i], batch_sel[k], d[s:e], t[s:e], batch_ns[k]
                 )
                 if batch_sel[k] is None and hasattr(rows[i], "full"):
-                    rows[i].full = parts[i]
+                    # copy out of the whole-batch decode buffer: a memo
+                    # holding slice VIEWS would pin every row's streams
+                    # for one row's lifetime (shared cache-tier rows)
+                    rows[i].full = tuple(
+                        np.array(a, copy=True) for a in parts[i]
+                    )
         out = self._drop_deleted(
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
@@ -503,8 +508,10 @@ class ShardEval:
                 flat_parts[fi] = fk
                 fb = fe
                 if full_cover and hasattr(row, "full_pos"):
+                    # copies, not views — see the row.full memo note
                     row.full_pos = (
-                        d_k, t_k, fk,
+                        np.array(d_k, copy=True), np.array(t_k, copy=True),
+                        np.array(fk, copy=True),
                         np.concatenate([[0], np.cumsum(t_k)]),
                     )
         flat = (

@@ -168,9 +168,12 @@ class Searcher:
         self._arrow_fetches = 0                  # driver-direct reads (tests)
         # ((field|None, term), need_pos) -> (rows, bytes); None field =
         # the index's BOOST_TERM marker cells (one entry for all fields)
+        import threading
+
         self._cell_cache: dict = {}
         self._cell_cache_size = 0
         self._cell_cache_max = int(cell_cache_bytes)
+        self._cell_cache_lock = threading.Lock()
 
     def _hot_cells(self) -> dict:
         if self._hot is None:
@@ -894,14 +897,21 @@ class Searcher:
         # set, so assembly below never reads the cache again
         have: dict = {}
         missing = []
-        for ft in want:
-            key = (ft, need_pos)
-            ent = self._cell_cache.pop(key, None)
-            if ent is None:
-                missing.append(ft)
-            else:
-                self._cell_cache[key] = ent  # reinsert at LRU tail
-                have[ft] = ent[0]
+        with self._cell_cache_lock:
+            for ft in want:
+                key = (ft, need_pos)
+                ent = self._cell_cache.pop(key, None)
+                if ent is None and not need_pos:
+                    # a positional entry is a strict superset (its extra
+                    # positions are ignored by non-positional eval) —
+                    # reuse it instead of double-caching the payload
+                    ent = self._cell_cache.pop((ft, True), None)
+                    key = (ft, True)
+                if ent is None:
+                    missing.append(ft)
+                else:
+                    self._cell_cache[key] = ent  # reinsert at LRU tail
+                    have[ft] = ent[0]
         if missing:
             from montezuma_spark.search.kernel import rows_from_pandas
 
@@ -939,23 +949,35 @@ class Searcher:
         return out
 
     def _cell_cache_put(self, key, rows) -> None:
+        # charge each entry its payload PLUS its decode-memo potential —
+        # shared rows accumulate row.full (~24 B/posting) and row.full_pos
+        # (~8 B/position) memos the payload bytes alone would hide, and
+        # the budget must bound RESIDENT driver memory, not just parquet
+        # bytes (review finding: 3.2 B/posting payload can pin ~10x that
+        # once fully decoded)
         nbytes = 240 * (len(rows) + 1)  # row + entry overhead estimate
         for r in rows:
-            for payload in (r.postings, r.positions):
-                if isinstance(payload, (bytes, bytearray, memoryview)):
-                    nbytes += len(payload)
-        old = self._cell_cache.pop(key, None)
-        if old is not None:
-            self._cell_cache_size -= old[1]
-        self._cell_cache[key] = (rows, nbytes)
-        self._cell_cache_size += nbytes
-        while (self._cell_cache_size > self._cell_cache_max
-               and len(self._cell_cache) > 1):
-            oldest = next(iter(self._cell_cache))
-            if oldest == key:
-                break  # never evict the entry being served
-            _, nb = self._cell_cache.pop(oldest)
-            self._cell_cache_size -= nb
+            if isinstance(r.postings, (bytes, bytearray, memoryview)):
+                nbytes += len(r.postings)
+            try:  # full memo: 3 int64 streams per posting
+                nbytes += 24 * int(np.asarray(r.blk_n, dtype=np.int64).sum())
+            except (TypeError, ValueError):
+                pass
+            if isinstance(r.positions, (bytes, bytearray, memoryview)):
+                # payload + full_pos memo (~8 B/position vs ~3.2 packed)
+                nbytes += len(r.positions) + (len(r.positions) * 5) // 2
+        with self._cell_cache_lock:
+            old = self._cell_cache.pop(key, None)
+            if old is not None:
+                self._cell_cache_size -= old[1]
+            self._cell_cache[key] = (rows, nbytes)
+            self._cell_cache_size += nbytes
+            while (self._cell_cache_size > self._cell_cache_max
+                   and len(self._cell_cache) > 1):
+                oldest = next(iter(self._cell_cache))
+                ent = self._cell_cache.pop(oldest, None)
+                if ent is not None:
+                    self._cell_cache_size -= ent[1]
 
     def _fetch_postings_pdf(self, resolved: Query, need_pos: bool):
         """Matched postings cells as a pandas frame for the local tier.
