@@ -859,6 +859,8 @@ class Index:
         # Index.load; None while the index only exists as DataFrames)
         self.postings_path: str | None = None
         self._pa_postings = None
+        self.term_stats_path: str | None = None
+        self._pa_term_stats = None
         from montezuma_spark.index.deletions import load_tombstones
 
         # sorted tombstoned docids (.del bitset analog — see deletions.py)
@@ -1113,6 +1115,7 @@ class Index:
         # tier) may read it without a Spark job. Deliberately NOT set for
         # in-memory/derived indexes (add_indexes unions, streaming views).
         idx.postings_path = f"{index_dir}/postings"
+        idx.term_stats_path = f"{index_dir}/term_stats"
         return idx
 
     def _postings_dataset(self):
@@ -1127,6 +1130,20 @@ class Index:
 
             self._pa_postings = ds.dataset(path, format="parquet")
         return self._pa_postings
+
+    def _term_stats_dataset(self):
+        """Cached pyarrow dataset over the saved term_stats directory
+        (None for unsaved indexes) — the dictionary analog of
+        ``_postings_dataset``: exact df seeks read the range-sorted
+        parquet driver-direct instead of scheduling a Spark job."""
+        path = getattr(self, "term_stats_path", None)
+        if path is None:
+            return None
+        if self._pa_term_stats is None:
+            import pyarrow.dataset as ds
+
+            self._pa_term_stats = ds.dataset(path, format="parquet")
+        return self._pa_term_stats
 
 
 def build_index(

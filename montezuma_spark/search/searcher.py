@@ -71,6 +71,15 @@ POSTINGS_PER_TASK = 500_000
 # the reference's whole-query path was always "local"; ours picks by size)
 FAST_PATH_MAX_POSTINGS = 2_000_000
 
+# the wider budget for the CACHED saved-layout tier: the arrow point read
+# + vectorized decode handle multi-million-posting terms faster than one
+# scheduled Spark job (10M-doc hot term, df 5.24M: ~1.1 s cold either
+# way, ~0.03 s warm locally vs 0.57 s re-scheduled), and the cell cache's
+# memo-inclusive byte accounting bounds what stays resident. Kept off the
+# uncached fallback, whose Spark collect would materialize this much
+# through toPandas on every query.
+CACHED_PATH_MAX_POSTINGS = 8_000_000
+
 # bounded driver-side memo of resolved (field, term) -> df entries; at
 # ~60 B/entry this caps the dictionary cache around 60 MB regardless of
 # vocabulary size (the cache is an optimization, never a requirement)
@@ -244,16 +253,50 @@ class Searcher:
             by_field: dict[str, list] = {}
             for f, t in missing:
                 by_field.setdefault(f, []).append(t)
-            cond = None
-            for f, ts in sorted(by_field.items()):
-                c = (F.col("field") == f) & _terms_predicate("term", ts)
-                cond = c if cond is None else (cond | c)
-            rows = (
-                self.index.term_stats.filter(cond)
-                .select("field", "term", "df")
-                .collect()
-            )
-            found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+            dset = self.index._term_stats_dataset()
+            if dset is not None:
+                # saved layout: driver-direct arrow seek into the
+                # range-sorted dictionary (the .tii analog) — BETWEEN for
+                # row-group min/max pruning + isin for exactness, no
+                # Spark job (the cold-query dictionary seek was the
+                # largest share of the ~0.13 s saved-tier cold latency)
+                import pyarrow.compute as pc
+
+                filt = None
+                for f, ts in sorted(by_field.items()):
+                    ts = sorted(ts)
+                    if len(ts) == 1:
+                        tc = pc.field("term") == ts[0]
+                    else:
+                        tc = (
+                            (pc.field("term") >= ts[0])
+                            & (pc.field("term") <= ts[-1])
+                            & pc.field("term").isin(ts)
+                        )
+                    c = (pc.field("field") == f) & tc
+                    filt = c if filt is None else (filt | c)
+                tbl = dset.to_table(
+                    columns=["field", "term", "df"], filter=filt
+                )
+                found = {
+                    (f, t): int(d)
+                    for f, t, d in zip(
+                        tbl.column("field").to_pylist(),
+                        tbl.column("term").to_pylist(),
+                        tbl.column("df").to_pylist(),
+                    )
+                }
+            else:
+                cond = None
+                for f, ts in sorted(by_field.items()):
+                    c = (F.col("field") == f) & _terms_predicate("term", ts)
+                    cond = c if cond is None else (cond | c)
+                rows = (
+                    self.index.term_stats.filter(cond)
+                    .select("field", "term", "df")
+                    .collect()
+                )
+                found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
             for p in missing:
                 df = found.get(p, 0)
                 out[p] = df
@@ -839,7 +882,13 @@ class Searcher:
         if self._has_matchall(resolved):
             return None
         needed = self._needed_terms(resolved)
-        if self._est_matched_postings(needed, plan.df_est) > FAST_PATH_MAX_POSTINGS:
+        est = self._est_matched_postings(needed, plan.df_est)
+        cached_tier = (
+            self._cell_cache_max > 0
+            and self.index._postings_dataset() is not None
+        )
+        limit = CACHED_PATH_MAX_POSTINGS if cached_tier else FAST_PATH_MAX_POSTINGS
+        if est > limit:
             return None
         if self._preload:
             from montezuma_spark.codec.postings import BOOST_TERM

@@ -138,3 +138,22 @@ def test_batch_serves_driver_side_through_cache(saved):
             key=lambda x: (-x[1], x[0]),
         )
         assert from_batch == single, qid
+
+
+def test_cached_tier_takes_larger_terms_locally(saved, monkeypatch):
+    """Above FAST_PATH_MAX_POSTINGS but under CACHED_PATH_MAX_POSTINGS the
+    cached saved-layout tier still answers locally; the uncached searcher
+    falls back to the distributed path. Rows must agree."""
+    import montezuma_spark.search.searcher as smod
+
+    monkeypatch.setattr(smod, "FAST_PATH_MAX_POSTINGS", 1)
+    q = TermQuery("field", "word2")
+    s = Searcher(saved)
+    assert s._execute_local(q, 10) is not None  # wide gate: local
+    s0 = Searcher(saved, cell_cache_bytes=0)
+    assert s0._execute_local(q, 10) is None  # narrow gate: distributed
+    assert _rows(s, q) == _rows(s0, q)
+    monkeypatch.setattr(smod, "CACHED_PATH_MAX_POSTINGS", 1)
+    s2 = Searcher(saved)
+    assert s2._execute_local(q, 10) is None  # over both gates
+    assert _rows(s2, q) == _rows(s, q)
