@@ -361,6 +361,18 @@ def ft_facet_counts(spark, sf_dir):
     return s.facet_counts(TermQuery("text", "merge"), "lang")
 
 
+def ft_collapse_topk(spark, sf_dir):
+    """Field collapsing (beyond-reference, labeled): the single best
+    text:merge hit per lang (argmax by score desc, docid asc inside each
+    group), then top-10 group winners — Searcher.search_collapse's
+    map-side-partial groupBy argmax, never a hot-key window."""
+    s = _multi_searcher(spark, sf_dir)
+    out = s.search_collapse(TermQuery("text", "merge"), "lang", k=10)
+    return out.select(
+        "lang", "docid", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 _EXPUNGE_CACHE: dict = {}
 
 
@@ -949,6 +961,7 @@ QUERIES = {
     "ft_expunge_topk": ft_expunge_topk,
     "ft_lang_filter_topk": ft_lang_filter_topk,
     "ft_facet_counts": ft_facet_counts,
+    "ft_collapse_topk": ft_collapse_topk,
     "ft_boost_topk": ft_boost_topk,
     "ft_std_term_topk": ft_std_term_topk,
     "ft_classic_topk": ft_classic_topk,
@@ -1355,6 +1368,15 @@ SELECT docid, round(score, 6) AS score FROM (
 SELECT lang, count(*) AS count FROM docs
 WHERE list_contains(toks, 'merge')
 GROUP BY lang ORDER BY lang ASC
+""",
+    "ft_collapse_topk": _BASE + _bm25_cte(["merge"]) + """
+SELECT lang, docid, round(score, 6) AS score FROM (
+  SELECT d.lang, s.docid, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.docid ASC) AS rn
+  FROM (SELECT docid, sum(s) AS score FROM scores GROUP BY docid) s
+  JOIN docs d ON d.docid = s.docid
+) WHERE rn = 1 ORDER BY score DESC, docid ASC LIMIT 10
 """,
     "ft_std_term_topk": _std_base() + _bm25_cte(["merge"]) + """
 SELECT docid, round(score, 6) AS score FROM (

@@ -1529,6 +1529,54 @@ class Searcher:
             .orderBy(*cols)
         )
 
+    def search_collapse(self, query: Query, collapse_col: str,
+                        k: int = 10) -> DataFrame:
+        """Field collapsing (the Lucene CollapsingTopDocsCollector analog
+        — a labeled beyond-reference extension): keep only the single
+        best hit per distinct ``collapse_col`` value (a stored doc_map
+        column), then top-k of those group winners. Returns
+        DataFrame(collapse_col, docid, score) ordered by
+        (score desc, docid asc) — the engine-wide tie-break.
+
+        Scale shape: group winners come from ONE
+        groupBy(collapse_col).max(struct(score, -docid)) — an argmax
+        that partial-aggregates map-side, so each task emits at most
+        |distinct collapse values| rows into the shuffle. A hot collapse
+        value (half the corpus sharing one host, say) never concentrates
+        its hits on one task, unlike the row_number-window formulation,
+        which must co-locate every hit of a value to rank them."""
+        local = self._execute_local(query, None)
+        if local is not None:
+            matched = self.index.spark.createDataFrame(
+                local, schema=RESULT_SCHEMA
+            )
+        else:
+            matched = self._execute(query, None)
+        hits = matched.select("docid", "score").join(
+            self.index.doc_map.select("docid", collapse_col),
+            "docid", "inner",
+        )
+        # argmax by (score desc, docid asc): struct max compares score
+        # first, then -docid (docids are non-negative), so the winner is
+        # the highest score with the LOWEST docid on ties.
+        best = (
+            hits.groupBy(collapse_col)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score").alias("s"),
+                        (-F.col("docid")).alias("nd"),
+                    )
+                ).alias("w")
+            )
+            .select(
+                F.col(collapse_col),
+                (-F.col("w.nd")).alias("docid"),
+                F.col("w.s").alias("score"),
+            )
+        )
+        return best.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
     def search_sorted(self, query: Query, k: int = 10,
                       sort_by: list[tuple[str, bool]] | None = None) -> DataFrame:
         """Sort hits by stored fields / score / docid (the reference's sort

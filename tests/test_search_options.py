@@ -227,3 +227,26 @@ def test_get_document_multivalue_concat(spark):
     assert d["tags"] == "tag one tag two "   # None renders empty, like ~A nil-safe join
     assert s.get_document(0, join_multi=False)["tags"] == ["tag one", "tag two", None]
     assert s.get_document(1)["tags"] == "solo"
+
+
+def test_search_collapse_matches_bruteforce(searcher):
+    """Field collapsing: best (score desc, docid asc) hit per stored cat
+    value, top-k winners — vs a python argmax over the exhaustive hits."""
+    q = TermQuery("field", "word1")
+    hits = dict(searcher.top_docs(q, k=18))
+    best: dict = {}
+    for d, s in hits.items():
+        c = SEARCH_DOCS[d][2]
+        if c not in best or (s, -d) > (best[c][1], -best[c][0]):
+            best[c] = (d, s)
+    exp = sorted(
+        ((c, d, s) for c, (d, s) in best.items()),
+        key=lambda r: (-r[2], r[1]),
+    )[:10]
+    got = [
+        (r["cat"], r["docid"], r["score"])
+        for r in searcher.search_collapse(q, "cat", k=10).collect()
+    ]
+    assert [(c, d) for c, d, _ in got] == [(c, d) for c, d, _ in exp]
+    for (_, _, gs), (_, _, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9)
