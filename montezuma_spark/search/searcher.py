@@ -77,7 +77,11 @@ FAST_PATH_MAX_POSTINGS = 2_000_000
 # way, ~0.03 s warm locally vs 0.57 s re-scheduled), and the cell cache's
 # memo-inclusive byte accounting bounds what stays resident. Kept off the
 # uncached fallback, whose Spark collect would materialize this much
-# through toPandas on every query.
+# through toPandas on every query. BOUNDED-k ONLY: the widened budget was
+# measured for top-k serving (k rows leave the driver); k=None callers
+# (facet_counts / search_collapse / search_sorted / each_hit) materialize
+# the FULL match set as pandas and re-serialize it to the JVM, so they
+# keep the FAST_PATH budget and let the kernel parallelize decode.
 CACHED_PATH_MAX_POSTINGS = 8_000_000
 
 # bounded driver-side memo of resolved (field, term) -> df entries; at
@@ -887,7 +891,11 @@ class Searcher:
             self._cell_cache_max > 0
             and self.index._postings_dataset() is not None
         )
-        limit = CACHED_PATH_MAX_POSTINGS if cached_tier else FAST_PATH_MAX_POSTINGS
+        limit = (
+            CACHED_PATH_MAX_POSTINGS
+            if cached_tier and k is not None
+            else FAST_PATH_MAX_POSTINGS
+        )
         if est > limit:
             return None
         if self._preload:

@@ -250,3 +250,19 @@ def test_search_collapse_matches_bruteforce(searcher):
     assert [(c, d) for c, d, _ in got] == [(c, d) for c, d, _ in exp]
     for (_, _, gs), (_, _, es) in zip(got, exp):
         assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_search_collapse_distributed_parity(spark):
+    """The distributed acquisition branch (matched = _execute(query, None))
+    must return the same winners as the driver-local branch — guards the
+    groupBy argmax against a future _execute emitting per-shard partial
+    rows per docid (review finding: the branch was otherwise untested)."""
+    idx = build_index(spark, search_docs_df(spark), CFG)
+    q = TermQuery("field", "word1")
+    loc = Searcher(idx).search_collapse(q, "cat", k=10).collect()
+    dist = Searcher(idx, distributed=True).search_collapse(q, "cat", k=10).collect()
+    assert [(r["cat"], r["docid"]) for r in dist] == [
+        (r["cat"], r["docid"]) for r in loc
+    ]
+    for a, b in zip(dist, loc):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
