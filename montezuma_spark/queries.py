@@ -942,6 +942,29 @@ def ann_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round(F.col("cos"), 5).alias("cos"))
 
 
+def hy_rrf_topk(spark, sf_dir):
+    """Hybrid lexical+vector retrieval (beyond-reference, labeled):
+    BM25 top-20 for text:spark fused by Reciprocal Rank Fusion
+    (SIGIR'09, c=60) with the exact-cosine top-20 against the vec_id-0
+    embedding — search.fusion.hybrid_topk. vec_id keys the same corpus
+    rows as docid (both are the rank of the row key). Both candidate
+    stages are bounded top-k plans; the fusion sees ≤40 rows, so its
+    rank windows are broadcast-scale by construction."""
+    import numpy as np
+
+    from montezuma_spark.search.fusion import hybrid_topk
+
+    _, s = get_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qvec = np.asarray([float(x) for x in qrow["embedding"]], np.float64)
+    out = hybrid_topk(
+        s, TermQuery("text", "spark"), emb.filter(F.col("vec_id") != 0),
+        qvec, k=10, depth=20,
+    )
+    return out.select("docid", F.round("rrf", 6).alias("rrf"))
+
+
 QUERIES = {
     "ft_term_topk": ft_term_topk,
     "ft_bool_and_topk": ft_bool_and_topk,
@@ -989,6 +1012,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_cosine_topk": ann_cosine_topk,
+    "hy_rrf_topk": hy_rrf_topk,
     "mm_features": mm_features,
     "st_event_windows": st_event_windows,
     "st_sessions": st_sessions,
@@ -1722,6 +1746,42 @@ SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
 FROM sess GROUP BY user_id, sid
 """,
     "ann_ivf_topk": _ivf_sql(),
+    # hybrid RRF: BOTH rankers reproduced in SQL (the BM25 CTE and the
+    # exact-cosine CTE are the same forms the ft_term/ann_cosine oracles
+    # use), ranks via row_number with the engine tie-break, fused as
+    # 1/(60+r) per list. Ranks are integers, so the fused doubles are
+    # bit-identical across engines (one two-term float64 sum per doc).
+    "hy_rrf_topk": _BASE + _bm25_cte(["spark"]) + """
+, lexr AS (
+  SELECT docid, row_number() OVER (ORDER BY score DESC, docid ASC) AS r
+  FROM (SELECT docid, sum(s) AS score FROM scores GROUP BY docid)
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+expl AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS ev, unnest(q.qe)::DOUBLE AS qv
+  FROM embeddings e, q
+),
+sums AS (
+  SELECT vec_id, sum(ev * qv) AS dot, sum(ev * ev) AS nn FROM expl
+  GROUP BY vec_id
+),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM (
+  SELECT unnest(qe)::DOUBLE AS qv FROM q)),
+vecr AS (
+  SELECT vec_id AS docid,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+  FROM (SELECT vec_id, dot / (sqrt(nn) * (SELECT qnorm FROM qn)) AS cos
+        FROM sums WHERE vec_id != 0)
+),
+parts AS (
+  SELECT docid, 1.0::DOUBLE / (60.0::DOUBLE + r) AS p FROM lexr WHERE r <= 20
+  UNION ALL
+  SELECT docid, 1.0::DOUBLE / (60.0::DOUBLE + r) AS p FROM vecr WHERE r <= 20
+)
+SELECT docid, round(rrf, 6) AS rrf FROM (
+  SELECT docid, sum(p) AS rrf FROM parts GROUP BY docid
+) ORDER BY rrf DESC, docid ASC LIMIT 10
+""",
     "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 expl AS (
