@@ -942,6 +942,19 @@ def ann_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round(F.col("cos"), 5).alias("cos"))
 
 
+def ft_page2_topk(spark, sf_dir):
+    """Cursor deep paging (beyond-reference, labeled): hits 11-20 of the
+    text:spark BM25 ranking via Searcher.search_after — the cursor
+    predicate (score, docid strictly after the previous page's last hit)
+    keeps page N a bounded top-k instead of materializing N*k rows
+    (the Lucene/Elasticsearch searchAfter pattern)."""
+    _, s = get_index(spark, sf_dir)
+    q = TermQuery("text", "spark")
+    last = s.search(q, k=10).select("docid", "score").collect()[-1]
+    out = s.search_after(q, (last["docid"], last["score"]), k=10)
+    return out.select("docid", F.round("score", 6).alias("score"))
+
+
 def hy_rrf_topk(spark, sf_dir):
     """Hybrid lexical+vector retrieval (beyond-reference, labeled):
     BM25 top-20 for text:spark fused by Reciprocal Rank Fusion
@@ -1012,6 +1025,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_cosine_topk": ann_cosine_topk,
+    "ft_page2_topk": ft_page2_topk,
     "hy_rrf_topk": hy_rrf_topk,
     "mm_features": mm_features,
     "st_event_windows": st_event_windows,
@@ -1746,6 +1760,14 @@ SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
 FROM sess GROUP BY user_id, sid
 """,
     "ann_ivf_topk": _ivf_sql(),
+    # cursor paging: page 2 == ranks 11..20 of the same BM25 ranking
+    "ft_page2_topk": _BASE + _bm25_cte(["spark"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, score,
+         row_number() OVER (ORDER BY score DESC, docid ASC) AS r
+  FROM (SELECT docid, sum(s) AS score FROM scores GROUP BY docid)
+) WHERE r BETWEEN 11 AND 20 ORDER BY score DESC, docid ASC
+""",
     # hybrid RRF: BOTH rankers reproduced in SQL (the BM25 CTE and the
     # exact-cosine CTE are the same forms the ft_term/ann_cosine oracles
     # use), ranks via row_number with the engine tie-break, fused as

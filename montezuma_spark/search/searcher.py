@@ -1145,6 +1145,48 @@ class Searcher:
             out = result.join(self.index.doc_map, "docid", "inner")
         return out.select("docid", "key", "score")
 
+    def search_after(self, query: Query, after: tuple[int, float],
+                     k: int = 10) -> DataFrame:
+        """Cursor deep paging: the next ``k`` hits strictly after
+        ``after = (docid, score)`` — the last hit of the previous page,
+        in the row shape ``search``/``top_docs`` serve it — in the
+        engine order (score desc, docid asc).
+
+        Beyond-reference, labeled (the reference pages only by offset:
+        first-doc/num-docs, src/search/index-searcher.lisp:56-108).
+        Offset paging must materialize ``first_doc + k`` rows per page,
+        so page N costs O(N·k); the cursor predicate keeps EVERY page a
+        bounded top-k — on the distributed tier it filters each shard
+        kernel's output BEFORE the global top-k, so only k rows cross
+        stages regardless of depth (the Lucene/Elasticsearch
+        searchAfter pattern). ``after`` must be the exact served
+        (docid, score) pair — scores are tier-identical
+        (parity-tested), so cursors transfer across tiers.
+        """
+        d, s = int(after[0]), float(after[1])
+        local = self._execute_local(query, None)
+        if local is not None:
+            m = (local["score"] < s) | (
+                (local["score"] == s) & (local["docid"] > d)
+            )
+            result = self.index.spark.createDataFrame(
+                local[m].iloc[:k], schema=RESULT_SCHEMA
+            )
+        else:
+            cursor = (F.col("score") < s) | (
+                (F.col("score") == s) & (F.col("docid") > d)
+            )
+            result = (
+                self._execute(query, None)
+                .filter(cursor)
+                .orderBy(F.desc("score"), F.asc("docid"))
+                .limit(k)
+            )
+        out = F.broadcast(result).join(self.index.doc_map, "docid", "inner")
+        return out.orderBy(F.desc("score"), F.asc("docid")).select(
+            "docid", "key", "score"
+        )
+
     def search_batch(self, queries, k: int | None = 10) -> DataFrame:
         """Evaluate MANY queries in ONE distributed job (the serving-
         throughput path: a query LOG, not a query).
