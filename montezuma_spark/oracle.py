@@ -22,6 +22,7 @@ from montezuma_spark.search.ast import (
     PhraseQuery,
     Query,
     RangeQuery,
+    RegexpQuery,
     SpanNearQuery,
     TermQuery,
     WildcardQuery,
@@ -159,6 +160,18 @@ class OracleIndex:
             out = defaultdict(float)
             for (f, t), plist in self.postings.items():
                 if f != q.field or not rx.match(t):
+                    continue
+                idf = self.idf(f, t)
+                for d, ps in plist.items():
+                    out[d] += self._bm25(f, d, len(ps), idf, q.boost)
+            return dict(out)
+        if isinstance(q, RegexpQuery):
+            import re
+
+            rx = re.compile(q.pattern)
+            out = defaultdict(float)
+            for (f, t), plist in self.postings.items():
+                if f != q.field or not rx.fullmatch(t):
                     continue
                 idf = self.idf(f, t)
                 for d, ps in plist.items():
@@ -325,7 +338,7 @@ class OracleIndex:
         prohibited clauses included per boolean-query.lisp:150-156)."""
         if isinstance(q, TermQuery):
             return (self.idf(q.field, q.term) * q.boost) ** 2
-        if isinstance(q, (RangeQuery, WildcardQuery)):
+        if isinstance(q, (RangeQuery, WildcardQuery, RegexpQuery)):
             import re
 
             terms = []
@@ -334,6 +347,9 @@ class OracleIndex:
                     continue
                 if isinstance(q, WildcardQuery):
                     if re.compile(q.to_regex()).match(t):
+                        terms.append(t)
+                elif isinstance(q, RegexpQuery):
+                    if re.compile(q.pattern).fullmatch(t):
                         terms.append(t)
                 else:
                     if q.lower is not None and (

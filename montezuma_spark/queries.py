@@ -547,6 +547,18 @@ def ft_wildcard_docs(spark, sf_dir):
     return s._execute(q, None).select("docid")
 
 
+def ft_regexp_docs(spark, sf_dir):
+    """Anchored-regex multi-term query (beyond-reference, labeled —
+    the Lucene RegexpQuery analog): docs containing any whole term
+    matching s(park|can|low) — literal-prefix + rlike dictionary
+    pushdown, then the same MultiTermGroup path as wildcard."""
+    from montezuma_spark.search import RegexpQuery
+
+    _, s = get_index(spark, sf_dir)
+    q = RegexpQuery("text", "s(park|can|low)")
+    return s._execute(q, None).select("docid")
+
+
 def ft_dictionary(spark, sf_dir):
     idx, _ = get_index(spark, sf_dir)
     return idx.term_stats.select(
@@ -1007,6 +1019,7 @@ QUERIES = {
     "ta_stop_count": ta_stop_count,
     "ft_range_docs": ft_range_docs,
     "ft_wildcard_docs": ft_wildcard_docs,
+    "ft_regexp_docs": ft_regexp_docs,
     "ft_dictionary": ft_dictionary,
     "ft_doc_stats": ft_doc_stats,
     "ft_doclens": ft_doclens,
@@ -1533,6 +1546,10 @@ SELECT docid FROM docs
 """,
     "ft_range_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens WHERE tok >= 'key' AND tok <= 'merge'
+""",
+    "ft_regexp_docs": _BASE + """
+SELECT DISTINCT docid FROM tokens
+WHERE regexp_full_match(tok, 's(park|can|low)')
 """,
     "ft_wildcard_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens WHERE tok LIKE 's%'

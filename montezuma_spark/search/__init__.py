@@ -12,6 +12,7 @@ from montezuma_spark.search.ast import (  # noqa: F401
     TermQuery,
     FuzzyQuery,
     MultiPhraseQuery,
+    RegexpQuery,
     SpanNearQuery,
     WildcardQuery,
     bool_query,

@@ -122,6 +122,29 @@ class WildcardQuery(Query):
 
 
 @dataclass(frozen=True)
+class RegexpQuery(Query):
+    """Anchored-regex term expansion — a beyond-reference EXTENSION
+    (the Lucene RegexpQuery analog; the reference's only multi-term
+    enums are wildcard and range, wildcard-term-enum.lisp). The pattern
+    must match the WHOLE term (anchoring is applied by the engine —
+    never write ``^``/``$`` yourself, Lucene semantics). Use the regex
+    subset Java, RE2 and Python share (literals, classes, quantifiers,
+    alternation, groups): expansion runs JVM-side (``rlike``) on the
+    distributed tier and through Python ``re`` on the preload tier."""
+
+    field: str
+    pattern: str
+    boost: float = 1.0
+
+    def literal_prefix(self) -> str:
+        """Leading literal run (stops at the first metacharacter,
+        including backslash — conservative): prunes the dictionary scan
+        the same way the wildcard's constant prefix does."""
+        m = re.match(r"^[^\\.\[\]()*+?{}|^$]*", self.pattern)
+        return m.group(0) if m else ""
+
+
+@dataclass(frozen=True)
 class FuzzyQuery(Query):
     """Edit-distance term expansion — a beyond-reference EXTENSION (the
     reference never built fuzzy: the only mention is a FuzzyQuery name in

@@ -44,6 +44,7 @@ from montezuma_spark.search.ast import (
     TermQuery,
     FuzzyQuery,
     MultiPhraseQuery,
+    RegexpQuery,
     SpanNearQuery,
     WildcardQuery,
     rewrite,
@@ -418,6 +419,62 @@ class Searcher:
         )
 
 
+    def _expand_regexp(self, node) -> tuple:
+        """Concrete (term, df) list for an anchored regex — literal
+        prefix ``startswith`` (parquet file pruning) + whole-term
+        ``rlike`` pushed into the term_stats scan, ``max_expansion`` as
+        LIMIT at scan time (same shape as ``_expand_wildcard``; never a
+        vocabulary collect). The Java-side anchor is ``^(?:pat)\\z``
+        passed as an rlike literal — NEVER through an F.expr SQL string
+        (the escape-stripping footgun, CLAUDE.md)."""
+        key = ("regexp", node.field, node.pattern, self.max_expansion)
+        if key in self._exp_cache:
+            return self._exp_cache[key]
+        if self._preload:
+            out = self._expand_regexp_local(node)
+        else:
+            ts = self.index.term_stats.filter(F.col("field") == node.field)
+            prefix = node.literal_prefix()
+            if prefix:
+                ts = ts.filter(F.col("term").startswith(prefix))
+            ts = ts.filter(
+                F.col("term").rlike("^(?:" + node.pattern + ")\\z")
+            )
+            rows = (
+                ts.select("term", "df")
+                .orderBy("term")
+                .limit(self.max_expansion)
+                .collect()
+            )
+            out = tuple((r["term"], int(r["df"])) for r in rows)
+        self._exp_cache[key] = out
+        return out
+
+    def _expand_regexp_local(self, node) -> tuple:
+        import bisect
+        import re as _re
+
+        rx = _re.compile(node.pattern)
+        prefix = node.literal_prefix()
+        ts = self._terms_sorted(node.field)
+        if prefix:
+            lo = bisect.bisect_left(ts, prefix)
+            if ord(prefix[-1]) == 0x10FFFF:
+                hi = len(ts)
+            else:
+                hi = bisect.bisect_left(
+                    ts, prefix[:-1] + chr(ord(prefix[-1]) + 1)
+                )
+        else:
+            lo, hi = 0, len(ts)
+        d = self._dictionary()
+        return tuple(
+            (t, d.get((node.field, t), 0))
+            for t in [t for t in ts[lo:hi] if rx.fullmatch(t)][
+                : self.max_expansion
+            ]
+        )
+
     @staticmethod
     def _levenshtein(a: str, b: str) -> int:
         """Plain DP edit distance (driver-side, short dictionary terms —
@@ -579,6 +636,13 @@ class Searcher:
                 )
             if isinstance(node, WildcardQuery):
                 expanded = self._expand_wildcard(node)
+                for t, df in expanded:
+                    idf_for(node.field, t, df)
+                return MultiTermGroup(
+                    node.field, tuple(t for t, _ in expanded), node.boost
+                )
+            if isinstance(node, RegexpQuery):
+                expanded = self._expand_regexp(node)
                 for t, df in expanded:
                     idf_for(node.field, t, df)
                 return MultiTermGroup(
