@@ -373,6 +373,21 @@ def ft_collapse_topk(spark, sf_dir):
     )
 
 
+def ft_grouped_topk(spark, sf_dir):
+    """Result grouping (beyond-reference, labeled — the Lucene grouping
+    module analog): top-2 text:merge hits per lang, groups ranked by
+    their best hit — Searcher.search_grouped's per-partition Arrow
+    pruner + bounded sort_array(collect_list)[:n] aggregate (each
+    group's reducer sees ≤ n×partitions rows, never a hot-key window
+    over a group's full hit list)."""
+    s = _multi_searcher(spark, sf_dir)
+    out = s.search_grouped(TermQuery("text", "merge"), "lang",
+                           k_groups=10, k_per_group=2)
+    return out.select(
+        "lang", "docid", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 _EXPUNGE_CACHE: dict = {}
 
 
@@ -1010,6 +1025,7 @@ QUERIES = {
     "ft_lang_filter_topk": ft_lang_filter_topk,
     "ft_facet_counts": ft_facet_counts,
     "ft_collapse_topk": ft_collapse_topk,
+    "ft_grouped_topk": ft_grouped_topk,
     "ft_boost_topk": ft_boost_topk,
     "ft_std_term_topk": ft_std_term_topk,
     "ft_classic_topk": ft_classic_topk,
@@ -1428,6 +1444,24 @@ SELECT lang, docid, round(score, 6) AS score FROM (
   FROM (SELECT docid, sum(s) AS score FROM scores GROUP BY docid) s
   JOIN docs d ON d.docid = s.docid
 ) WHERE rn = 1 ORDER BY score DESC, docid ASC LIMIT 10
+""",
+    # grouping: top-2 per lang, groups ranked by their best hit
+    "ft_grouped_topk": _BASE + _bm25_cte(["merge"]) + """
+, hits AS (
+  SELECT d.lang, s.docid, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.docid ASC) AS rn
+  FROM (SELECT docid, sum(s) AS score FROM scores GROUP BY docid) s
+  JOIN docs d ON d.docid = s.docid
+),
+gsel AS (
+  SELECT lang, score AS bs, docid AS bd FROM hits WHERE rn = 1
+  ORDER BY bs DESC, bd ASC LIMIT 10
+)
+SELECT h.lang, h.docid, round(h.score, 6) AS score
+FROM hits h JOIN gsel g USING (lang)
+WHERE h.rn <= 2
+ORDER BY g.bs DESC, g.bd ASC, h.rn ASC
 """,
     "ft_std_term_topk": _std_base() + _bm25_cte(["merge"]) + """
 SELECT docid, round(score, 6) AS score FROM (

@@ -1691,6 +1691,82 @@ class Searcher:
         )
         return best.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
+    def search_grouped(self, query: Query, group_col: str,
+                       k_groups: int = 10,
+                       k_per_group: int = 3) -> DataFrame:
+        """Result grouping (beyond-reference, labeled — the Lucene
+        grouping-module analog, generalizing ``search_collapse`` from 1
+        to ``k_per_group`` hits per group): the top ``k_per_group`` hits
+        for each distinct ``group_col`` value, for the ``k_groups``
+        groups whose BEST hit ranks highest. Groups are ordered
+        (best score desc, best docid asc), hits inside a group
+        (score desc, docid asc).
+
+        Scale shape: an Arrow-batched per-PARTITION pruner keeps only
+        ``k_per_group`` rows per group per task BEFORE the shuffle, so
+        each group's reducer receives ≤ k_per_group × n_partitions rows
+        no matter how hot the group — never a row_number window over a
+        hot key's full hit list. The global per-group top-n is then a
+        bounded ``sort_array(collect_list)[:n]`` aggregate and only
+        ``k_groups × k_per_group`` rows leave it."""
+        local = self._execute_local(query, None)
+        if local is not None:
+            matched = self.index.spark.createDataFrame(
+                local, schema=RESULT_SCHEMA
+            )
+        else:
+            matched = self._execute(query, None)
+        hits = matched.select("docid", "score").join(
+            self.index.doc_map.select("docid", group_col),
+            "docid", "inner",
+        )
+        n = int(k_per_group)
+
+        def prune(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values(
+                    ["score", "docid"], ascending=[False, True]
+                )
+                yield pdf.groupby(group_col, sort=False).head(n)
+
+        pruned = hits.mapInPandas(prune, schema=hits.schema)
+        # struct (s, nd=-docid) sorts (score desc, docid asc) under the
+        # same descending array sort the collapse argmax uses
+        agg = pruned.groupBy(group_col).agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("score").alias("s"),
+                            (-F.col("docid")).alias("nd"),
+                        )
+                    ),
+                    asc=False,
+                ),
+                1, n,
+            ).alias("tops")
+        )
+        top_groups = (
+            agg.withColumn("_bs", F.col("tops")[0]["s"])
+            .withColumn("_bnd", F.col("tops")[0]["nd"])
+            .orderBy(F.desc("_bs"), F.desc("_bnd"))
+            .limit(int(k_groups))
+        )
+        return (
+            top_groups.select(
+                group_col, "_bs", "_bnd",
+                F.posexplode("tops").alias("_pos", "h"),
+            )
+            .orderBy(F.desc("_bs"), F.desc("_bnd"), F.asc("_pos"))
+            .select(
+                F.col(group_col),
+                (-F.col("h.nd")).alias("docid"),
+                F.col("h.s").alias("score"),
+            )
+        )
+
     def search_sorted(self, query: Query, k: int = 10,
                       sort_by: list[tuple[str, bool]] | None = None) -> DataFrame:
         """Sort hits by stored fields / score / docid (the reference's sort
