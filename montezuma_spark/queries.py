@@ -562,6 +562,20 @@ def ft_wildcard_docs(spark, sf_dir):
     return s._execute(q, None).select("docid")
 
 
+def ft_constant_docs(spark, sf_dir):
+    """ConstantScoreQuery (beyond-reference, labeled — the Lucene
+    analog): every doc containing text:spark scores exactly the boost;
+    rewritten to MatchAll(boost) ∧ FILTER so it exercises the doc_lens
+    cogroup path through the gate."""
+    from montezuma_spark.search import ConstantScoreQuery
+
+    _, s = get_index(spark, sf_dir)
+    q = ConstantScoreQuery(TermQuery("text", "spark"), boost=2.0)
+    return s._execute(q, None).select(
+        "docid", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 def ft_regexp_docs(spark, sf_dir):
     """Anchored-regex multi-term query (beyond-reference, labeled —
     the Lucene RegexpQuery analog): docs containing any whole term
@@ -1036,6 +1050,7 @@ QUERIES = {
     "ft_range_docs": ft_range_docs,
     "ft_wildcard_docs": ft_wildcard_docs,
     "ft_regexp_docs": ft_regexp_docs,
+    "ft_constant_docs": ft_constant_docs,
     "ft_dictionary": ft_dictionary,
     "ft_doc_stats": ft_doc_stats,
     "ft_doclens": ft_doclens,
@@ -1580,6 +1595,10 @@ SELECT docid FROM docs
 """,
     "ft_range_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens WHERE tok >= 'key' AND tok <= 'merge'
+""",
+    "ft_constant_docs": _BASE + """
+SELECT DISTINCT docid, 2.0::DOUBLE AS score FROM tokens
+WHERE tok = 'spark'
 """,
     "ft_regexp_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens

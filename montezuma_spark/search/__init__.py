@@ -5,6 +5,7 @@ from montezuma_spark.search.ast import (  # noqa: F401
     SHOULD,
     BooleanClause,
     BooleanQuery,
+    ConstantScoreQuery,
     MatchAllQuery,
     PhraseQuery,
     Query,

@@ -218,6 +218,20 @@ class MatchAllQuery(Query):
 
 
 @dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Every matching doc scores exactly ``boost`` — the Lucene
+    ConstantScoreQuery analog (beyond-reference, labeled; the
+    reference's only scoreless construct is the filter search option,
+    src/search/filter.lisp). Rewritten to MatchAll(boost) restricted by
+    the wrapped query as a scoreless FILTER clause — the
+    constant-score-over-a-filter formulation — so every kernel,
+    tombstone path and tier serves it unchanged."""
+
+    query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: Query
     occur: str = SHOULD
@@ -266,6 +280,13 @@ def rewrite(q: Query) -> Query:
 
 
 def _rewrite_once(q: Query) -> Query:
+    if isinstance(q, ConstantScoreQuery):
+        return BooleanQuery(
+            (
+                BooleanClause(MatchAllQuery(q.boost), MUST),
+                BooleanClause(_rewrite_once(q.query), FILTER),
+            )
+        )
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.field, q.terms[0], q.boost)
     if (
