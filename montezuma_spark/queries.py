@@ -562,6 +562,22 @@ def ft_wildcard_docs(spark, sf_dir):
     return s._execute(q, None).select("docid")
 
 
+def ft_synonym_topk(spark, sf_dir):
+    """Query-time synonym expansion (beyond-reference, labeled):
+    text:spark with the synonym group {spark, vector} — the tree
+    rewrite (search.synonyms.expand_synonyms) produces a SHOULD
+    disjunction that rides the existing kernels; never an index-time
+    expansion (the synonym map changes faster than a 100-TB index can
+    rebuild)."""
+    from montezuma_spark.search.synonyms import expand_synonyms
+
+    _, s = get_index(spark, sf_dir)
+    q = expand_synonyms(
+        TermQuery("text", "spark"), {"spark": ("vector",)}
+    )
+    return _topk(s, q)
+
+
 def ft_constant_docs(spark, sf_dir):
     """ConstantScoreQuery (beyond-reference, labeled — the Lucene
     analog): every doc containing text:spark scores exactly the boost;
@@ -1051,6 +1067,7 @@ QUERIES = {
     "ft_wildcard_docs": ft_wildcard_docs,
     "ft_regexp_docs": ft_regexp_docs,
     "ft_constant_docs": ft_constant_docs,
+    "ft_synonym_topk": ft_synonym_topk,
     "ft_dictionary": ft_dictionary,
     "ft_doc_stats": ft_doc_stats,
     "ft_doclens": ft_doclens,
@@ -1595,6 +1612,11 @@ SELECT docid FROM docs
 """,
     "ft_range_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens WHERE tok >= 'key' AND tok <= 'merge'
+""",
+    "ft_synonym_topk": _BASE + _bm25_cte(["spark", "vector"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+) ORDER BY score DESC, docid ASC LIMIT 10
 """,
     "ft_constant_docs": _BASE + """
 SELECT DISTINCT docid, 2.0::DOUBLE AS score FROM tokens
