@@ -20,6 +20,7 @@ from montezuma_spark.search.ast import (
     MatchAllQuery,
     MultiPhraseQuery,
     PhraseQuery,
+    ConstantScoreQuery,
     Query,
     RangeQuery,
     RegexpQuery,
@@ -165,6 +166,8 @@ class OracleIndex:
                 for d, ps in plist.items():
                     out[d] += self._bm25(f, d, len(ps), idf, q.boost)
             return dict(out)
+        if isinstance(q, ConstantScoreQuery):
+            return {d: float(q.boost) for d in self.eval(q.query)}
         if isinstance(q, RegexpQuery):
             import re
 
@@ -378,6 +381,8 @@ class OracleIndex:
             )
         if isinstance(q, MatchAllQuery):
             return 1.0  # match-all-query.lisp:50-51
+        if isinstance(q, ConstantScoreQuery):
+            return q.boost ** 2  # Lucene constant-score weight
         if isinstance(q, BooleanQuery):
             return q.boost ** 2 * sum(self._ssw(c.query) for c in q.clauses)
         return 0.0

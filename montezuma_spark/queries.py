@@ -580,9 +580,9 @@ def ft_synonym_topk(spark, sf_dir):
 
 def ft_constant_docs(spark, sf_dir):
     """ConstantScoreQuery (beyond-reference, labeled — the Lucene
-    analog): every doc containing text:spark scores exactly the boost;
-    rewritten to MatchAll(boost) ∧ FILTER so it exercises the doc_lens
-    cogroup path through the gate."""
+    analog): every doc containing text:spark scores exactly the boost.
+    Evaluated natively — the child term's bounded decode yields the
+    match set, O(matches) not O(corpus)."""
     from montezuma_spark.search import ConstantScoreQuery
 
     _, s = get_index(spark, sf_dir)

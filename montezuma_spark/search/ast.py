@@ -128,20 +128,53 @@ class RegexpQuery(Query):
     enums are wildcard and range, wildcard-term-enum.lisp). The pattern
     must match the WHOLE term (anchoring is applied by the engine —
     never write ``^``/``$`` yourself, Lucene semantics). Use the regex
-    subset Java, RE2 and Python share (literals, classes, quantifiers,
-    alternation, groups): expansion runs JVM-side (``rlike``) on the
-    distributed tier and through Python ``re`` on the preload tier."""
+    subset Java, RE2 and Python agree on: literals, explicit character
+    classes (``[0-9]``), quantifiers, alternation, groups. AVOID the
+    shorthand classes ``\\d``/``\\w``/``\\s`` — they are Unicode-wide in
+    Python but ASCII-only in Java, so the preload tier (Python ``re``)
+    and the distributed tier (JVM ``rlike``) could disagree on
+    non-ASCII vocabularies."""
 
     field: str
     pattern: str
     boost: float = 1.0
 
     def literal_prefix(self) -> str:
-        """Leading literal run (stops at the first metacharacter,
-        including backslash — conservative): prunes the dictionary scan
-        the same way the wildcard's constant prefix does."""
+        """Leading literal run — prunes the dictionary scan the same way
+        the wildcard's constant prefix does. Conservative: an unescaped
+        top-level ``|`` anywhere disables the prefix entirely (the right
+        alternative need not share it), and a quantifier that can make
+        its preceding char optional (``*``, ``?``, ``{``) drops that
+        char from the run (``words?`` must still reach ``word``)."""
+        if "|" in self.pattern:
+            # a TOP-LEVEL unescaped | voids the prefix (the right
+            # alternative need not share it); | inside a group or a
+            # character class is scoped and the leading literal run
+            # (which stops at '(' / '[') stays valid
+            depth, in_class, i = 0, False, 0
+            while i < len(self.pattern):
+                c = self.pattern[i]
+                if c == "\\":
+                    i += 2
+                    continue
+                if in_class:
+                    if c == "]":
+                        in_class = False
+                elif c == "[":
+                    in_class = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth = max(0, depth - 1)
+                elif c == "|" and depth == 0:
+                    return ""
+                i += 1
         m = re.match(r"^[^\\.\[\]()*+?{}|^$]*", self.pattern)
-        return m.group(0) if m else ""
+        run = m.group(0) if m else ""
+        nxt = self.pattern[len(run): len(run) + 1]
+        if run and nxt in ("*", "?", "{"):
+            run = run[:-1]
+        return run
 
 
 @dataclass(frozen=True)
@@ -222,10 +255,11 @@ class ConstantScoreQuery(Query):
     """Every matching doc scores exactly ``boost`` — the Lucene
     ConstantScoreQuery analog (beyond-reference, labeled; the
     reference's only scoreless construct is the filter search option,
-    src/search/filter.lisp). Rewritten to MatchAll(boost) restricted by
-    the wrapped query as a scoreless FILTER clause — the
-    constant-score-over-a-filter formulation — so every kernel,
-    tombstone path and tier serves it unchanged."""
+    src/search/filter.lisp). Evaluated natively: the wrapped query
+    produces its MATCH SET (the same bounded decode as scoring it) and
+    every hit scores ``boost`` — O(matches), never the
+    MatchAll-∧-FILTER formulation's O(corpus) doc_lens scan, and the
+    driver-local serving tiers stay eligible."""
 
     query: Query
     boost: float = 1.0
@@ -281,12 +315,10 @@ def rewrite(q: Query) -> Query:
 
 def _rewrite_once(q: Query) -> Query:
     if isinstance(q, ConstantScoreQuery):
-        return BooleanQuery(
-            (
-                BooleanClause(MatchAllQuery(q.boost), MUST),
-                BooleanClause(_rewrite_once(q.query), FILTER),
-            )
-        )
+        inner = _rewrite_once(q.query)
+        if inner is q.query:
+            return q
+        return ConstantScoreQuery(inner, q.boost)
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.field, q.terms[0], q.boost)
     if (

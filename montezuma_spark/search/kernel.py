@@ -47,6 +47,7 @@ from montezuma_spark.search.ast import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    ConstantScoreQuery,
     MatchAllQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -851,6 +852,12 @@ class ShardEval:
             return self._eval_phrase(node, candidates)
         if isinstance(node, SpanNearQuery):
             return self._eval_span_near(node, candidates)
+        if isinstance(node, ConstantScoreQuery):
+            # native constant-score: the child yields its MATCH SET
+            # (same bounded decode as scoring it), every hit scores
+            # boost — never a MatchAll corpus scan
+            docs, _ = self.eval(node.query, candidates)
+            return docs, np.full(len(docs), float(node.boost))
         if isinstance(node, BooleanQuery):
             return self._eval_bool(node, candidates)
         raise TypeError(f"unknown query node {type(node)}")
@@ -1629,6 +1636,16 @@ def explain_doc(plan: CompiledPlan, rows, docid: int,
                 "type": "match_all",
                 "description": "*:*",
                 "value": node_value(n),
+            }
+        if isinstance(n, ConstantScoreQuery):
+            dd, _ss = ev.eval(n, d1)
+            return {
+                "type": "constant_score",
+                "description": "constant(boost) over filter",
+                "value": node_value(n),
+                "boost": n.boost,
+                "matched": bool(len(dd)),
+                "details": [walk(n.query)],
             }
         if isinstance(n, BooleanQuery):
             details = []

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 from montezuma_spark.index.builder import Index
 from montezuma_spark.search.ast import (
     BooleanQuery,
+    ConstantScoreQuery,
     MatchAllQuery,
     PhraseQuery,
     Query,
@@ -367,41 +368,33 @@ class Searcher:
             for t in ts[lo:hi][: self.max_expansion]
         )
 
-    def _expand_wildcard(self, node: WildcardQuery) -> tuple:
-        """Concrete (term, df) list for a wildcard — constant-prefix
-        ``startswith`` + anchored ``rlike`` pushed into the term_stats scan
-        (wildcard-term-enum.lisp:15-50 seeks the dictionary at the
-        constant prefix; here the prefix prunes parquet files)."""
-        key = ("wild", node.field, node.pattern, self.max_expansion)
-        if key in self._exp_cache:
-            return self._exp_cache[key]
-        if self._preload:
-            out = self._expand_wildcard_local(node)
-        else:
-            ts = self.index.term_stats.filter(F.col("field") == node.field)
-            prefix = node.literal_prefix()
-            if prefix:
-                ts = ts.filter(F.col("term").startswith(prefix))
-            ts = ts.filter(
-                F.col("term").rlike(_wildcard_java_regex(node.to_regex()))
-            )
-            rows = (
-                ts.select("term", "df")
-                .orderBy("term")
-                .limit(self.max_expansion)
-                .collect()
-            )
-            out = tuple((r["term"], int(r["df"])) for r in rows)
-        self._exp_cache[key] = out
-        return out
+    def _pattern_scan(self, field: str, prefix: str,
+                      java_regex: str) -> tuple:
+        """Shared pattern-enum pushdown (wildcard + regexp): constant
+        prefix ``startswith`` (prunes parquet files via min/max) +
+        anchored ``rlike`` into the term_stats scan, ``max_expansion``
+        as LIMIT at scan time — never a vocabulary collect. The regex
+        rides ``Column.rlike`` as a py4j literal, NEVER an F.expr SQL
+        string (the escape-stripping footgun, CLAUDE.md)."""
+        ts = self.index.term_stats.filter(F.col("field") == field)
+        if prefix:
+            ts = ts.filter(F.col("term").startswith(prefix))
+        ts = ts.filter(F.col("term").rlike(java_regex))
+        rows = (
+            ts.select("term", "df")
+            .orderBy("term")
+            .limit(self.max_expansion)
+            .collect()
+        )
+        return tuple((r["term"], int(r["df"])) for r in rows)
 
-    def _expand_wildcard_local(self, node: WildcardQuery) -> tuple:
+    def _pattern_scan_local(self, field: str, prefix: str,
+                            match_fn) -> tuple:
+        """Preload-tier twin of ``_pattern_scan``: bisect the sorted
+        vocab to the prefix range, filter by ``match_fn``."""
         import bisect
-        import re as _re
 
-        rx = _re.compile(node.to_regex())
-        prefix = node.literal_prefix()
-        ts = self._terms_sorted(node.field)
+        ts = self._terms_sorted(field)
         if prefix:
             lo = bisect.bisect_left(ts, prefix)
             if ord(prefix[-1]) == 0x10FFFF:  # no successor code point
@@ -414,66 +407,58 @@ class Searcher:
             lo, hi = 0, len(ts)
         d = self._dictionary()
         return tuple(
-            (t, d.get((node.field, t), 0))
-            for t in [t for t in ts[lo:hi] if rx.match(t)][: self.max_expansion]
+            (t, d.get((field, t), 0))
+            for t in [t for t in ts[lo:hi] if match_fn(t)][
+                : self.max_expansion
+            ]
         )
+
+    def _expand_wildcard(self, node: WildcardQuery) -> tuple:
+        """Concrete (term, df) list for a wildcard — constant-prefix
+        ``startswith`` + anchored ``rlike`` pushed into the term_stats scan
+        (wildcard-term-enum.lisp:15-50 seeks the dictionary at the
+        constant prefix; here the prefix prunes parquet files)."""
+        key = ("wild", node.field, node.pattern, self.max_expansion)
+        if key in self._exp_cache:
+            return self._exp_cache[key]
+        if self._preload:
+            import re as _re
+
+            out = self._pattern_scan_local(
+                node.field, node.literal_prefix(),
+                _re.compile(node.to_regex()).match,
+            )
+        else:
+            out = self._pattern_scan(
+                node.field, node.literal_prefix(),
+                _wildcard_java_regex(node.to_regex()),
+            )
+        self._exp_cache[key] = out
+        return out
 
 
     def _expand_regexp(self, node) -> tuple:
-        """Concrete (term, df) list for an anchored regex — literal
-        prefix ``startswith`` (parquet file pruning) + whole-term
-        ``rlike`` pushed into the term_stats scan, ``max_expansion`` as
-        LIMIT at scan time (same shape as ``_expand_wildcard``; never a
-        vocabulary collect). The Java-side anchor is ``^(?:pat)\\z``
-        passed as an rlike literal — NEVER through an F.expr SQL string
-        (the escape-stripping footgun, CLAUDE.md)."""
+        """Concrete (term, df) list for an anchored regex — the same
+        ``_pattern_scan`` pushdown as wildcard (literal prefix +
+        whole-term rlike, LIMIT at scan time). Java-side anchor:
+        ``^(?:pat)\\z``."""
         key = ("regexp", node.field, node.pattern, self.max_expansion)
         if key in self._exp_cache:
             return self._exp_cache[key]
         if self._preload:
-            out = self._expand_regexp_local(node)
+            import re as _re
+
+            out = self._pattern_scan_local(
+                node.field, node.literal_prefix(),
+                _re.compile(node.pattern).fullmatch,
+            )
         else:
-            ts = self.index.term_stats.filter(F.col("field") == node.field)
-            prefix = node.literal_prefix()
-            if prefix:
-                ts = ts.filter(F.col("term").startswith(prefix))
-            ts = ts.filter(
-                F.col("term").rlike("^(?:" + node.pattern + ")\\z")
+            out = self._pattern_scan(
+                node.field, node.literal_prefix(),
+                "^(?:" + node.pattern + ")\\z",
             )
-            rows = (
-                ts.select("term", "df")
-                .orderBy("term")
-                .limit(self.max_expansion)
-                .collect()
-            )
-            out = tuple((r["term"], int(r["df"])) for r in rows)
         self._exp_cache[key] = out
         return out
-
-    def _expand_regexp_local(self, node) -> tuple:
-        import bisect
-        import re as _re
-
-        rx = _re.compile(node.pattern)
-        prefix = node.literal_prefix()
-        ts = self._terms_sorted(node.field)
-        if prefix:
-            lo = bisect.bisect_left(ts, prefix)
-            if ord(prefix[-1]) == 0x10FFFF:
-                hi = len(ts)
-            else:
-                hi = bisect.bisect_left(
-                    ts, prefix[:-1] + chr(ord(prefix[-1]) + 1)
-                )
-        else:
-            lo, hi = 0, len(ts)
-        d = self._dictionary()
-        return tuple(
-            (t, d.get((node.field, t), 0))
-            for t in [t for t in ts[lo:hi] if rx.fullmatch(t)][
-                : self.max_expansion
-            ]
-        )
 
     @staticmethod
     def _levenshtein(a: str, b: str) -> int:
@@ -592,6 +577,8 @@ class Searcher:
             elif isinstance(node, SpanNearQuery):
                 need_pos = True
                 exact.update((node.field, t) for t in node.terms)
+            elif isinstance(node, ConstantScoreQuery):
+                gather(node.query)
             elif isinstance(node, BooleanQuery):
                 for c in node.clauses:
                     gather(c.query)
@@ -685,6 +672,8 @@ class Searcher:
                     node.boost,
                     node.coord_disabled,
                 )
+            if isinstance(node, ConstantScoreQuery):
+                return ConstantScoreQuery(walk(node.query), node.boost)
             if isinstance(node, MatchAllQuery):
                 return node
             raise TypeError(f"cannot resolve {type(node)}")
@@ -707,6 +696,8 @@ class Searcher:
                 out.setdefault(node.field, set()).update(
                     t for slot in node.alternatives for t in slot
                 )
+            elif isinstance(node, ConstantScoreQuery):
+                walk(node.query)
             elif isinstance(node, BooleanQuery):
                 for c in node.clauses:
                     walk(c.query)
@@ -720,6 +711,8 @@ class Searcher:
         def walk(node):
             if isinstance(node, MatchAllQuery):
                 f.update(self.index.stats.keys())
+            elif isinstance(node, ConstantScoreQuery):
+                walk(node.query)
             elif isinstance(node, BooleanQuery):
                 for c in node.clauses:
                     walk(c.query)
@@ -730,6 +723,8 @@ class Searcher:
     def _has_matchall(self, q: Query) -> bool:
         if isinstance(q, MatchAllQuery):
             return True
+        if isinstance(q, ConstantScoreQuery):
+            return self._has_matchall(q.query)
         if isinstance(q, BooleanQuery):
             return any(self._has_matchall(c.query) for c in q.clauses)
         return False
@@ -763,6 +758,8 @@ class Searcher:
             return (pidf * node.boost) ** 2
         if isinstance(node, MatchAllQuery):
             return 1.0
+        if isinstance(node, ConstantScoreQuery):
+            return node.boost ** 2  # Lucene constant-score weight
         if isinstance(node, SpanNearQuery):
             return 0.0  # constant-score: carries no idf weight
         if isinstance(node, BooleanQuery):
@@ -1729,7 +1726,11 @@ class Searcher:
                 pdf = pdf.sort_values(
                     ["score", "docid"], ascending=[False, True]
                 )
-                yield pdf.groupby(group_col, sort=False).head(n)
+                # dropna=False: a NULL group value is a group like any
+                # other (the downstream Spark groupBy and
+                # search_collapse both keep it; pandas' default drop
+                # would silently lose those hits)
+                yield pdf.groupby(group_col, sort=False, dropna=False).head(n)
 
         pruned = hits.mapInPandas(prune, schema=hits.schema)
         # struct (s, nd=-docid) sorts (score desc, docid asc) under the

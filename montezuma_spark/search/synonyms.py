@@ -27,6 +27,7 @@ from montezuma_spark.search.ast import (
     SHOULD,
     BooleanClause,
     BooleanQuery,
+    ConstantScoreQuery,
     MultiPhraseQuery,
     PhraseQuery,
     Query,
@@ -101,4 +102,9 @@ def expand_synonyms(q: Query,
         if all(a.query is b.query for a, b in zip(clauses, q.clauses)):
             return q
         return BooleanQuery(clauses, q.boost, q.coord_disabled)
+    if isinstance(q, ConstantScoreQuery):
+        inner = expand_synonyms(q.query, synonyms, fields)
+        if inner is q.query:
+            return q
+        return ConstantScoreQuery(inner, q.boost)
     return q

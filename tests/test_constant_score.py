@@ -74,14 +74,24 @@ def test_tiers_agree(corpus):
     assert dist == dflt and len(dist) > 0
 
 
-def test_rewrite_shape():
-    from montezuma_spark.search.ast import (
-        FILTER, MUST, BooleanQuery, MatchAllQuery,
-    )
-
+def test_native_node_survives_rewrite_and_stays_local(corpus):
+    # the node evaluates natively (no MatchAll formulation): rewrite
+    # keeps it, and the driver-local fast path stays eligible — a
+    # MatchAll tree would force the distributed doc_lens cogroup
     r = rewrite(ConstantScoreQuery(TermQuery("f", "t"), 2.0))
-    assert isinstance(r, BooleanQuery)
-    occurs = [c.occur for c in r.clauses]
-    assert occurs == [MUST, FILTER]
-    assert isinstance(r.clauses[0].query, MatchAllQuery)
-    assert r.clauses[0].query.boost == 2.0
+    assert isinstance(r, ConstantScoreQuery)
+    assert r.query == TermQuery("f", "t") and r.boost == 2.0
+    idx, _ = corpus
+    s = Searcher(idx)
+    q = ConstantScoreQuery(TermQuery("field", "word2"), 2.0)
+    assert s._execute_local(q, None) is not None
+
+
+def test_explain_matches_served_score(corpus):
+    idx, _ = corpus
+    s = Searcher(idx)
+    q = ConstantScoreQuery(TermQuery("field", "word2"), 2.0)
+    d, sc = s.top_docs(q, k=1)[0]
+    tree = s.explain(q, d)
+    assert tree["value"] == pytest.approx(sc)
+    assert tree["type"] == "constant_score"

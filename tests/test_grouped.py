@@ -61,6 +61,30 @@ def test_k_per_group_1_equals_collapse(searcher):
     assert grouped == collapsed
 
 
+def test_null_group_values_are_kept(spark):
+    """Regression: the per-partition pandas pruner must not drop
+    NULL-group hits (pandas groupby dropna default) — collapse and the
+    Spark groupBy both treat NULL as a group."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i:02d}" for i in range(6)],
+            "text": ["alpha"] * 6,
+            "cat": ["a", None, "b", None, "a", None],
+        }
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "whitespace")],
+        key_col="url", shard_bits=2, store_cols=("cat",),
+    )
+    s = Searcher(build_index(spark, spark.createDataFrame(pdf), cfg))
+    out = s.search_grouped(TermQuery("text", "alpha"), "cat", 10, 2)
+    rows = [(r["cat"], int(r["docid"])) for r in out.collect()]
+    assert sum(1 for c, _ in rows if c is None) == 2  # null group top-2
+    assert {c for c, _ in rows} == {"a", "b", None}
+
+
 def test_distributed_tier_agrees(spark, searcher):
     dist = Searcher(searcher.index, distributed=True)
     q = TermQuery("field", "word1")

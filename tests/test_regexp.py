@@ -37,6 +37,32 @@ def test_literal_prefix():
     assert RegexpQuery("f", "(a|b)c").literal_prefix() == ""
     assert RegexpQuery("f", r"ab\d+").literal_prefix() == "ab"
     assert RegexpQuery("f", "plain").literal_prefix() == "plain"
+    # a quantifier that can void its preceding char drops it from the
+    # run ('words?' must still reach 'word'); '+' keeps it
+    assert RegexpQuery("f", "words?").literal_prefix() == "word"
+    assert RegexpQuery("f", "ab*c").literal_prefix() == "a"
+    assert RegexpQuery("f", "word{1,2}").literal_prefix() == "wor"
+    assert RegexpQuery("f", "words+").literal_prefix() == "words"
+    # top-level alternation voids the prefix entirely; a grouped or
+    # class-scoped pipe and an escaped pipe do not
+    assert RegexpQuery("f", "cat|dog").literal_prefix() == ""
+    assert RegexpQuery("f", r"a\|b").literal_prefix() == "a"
+    assert RegexpQuery("f", "s(park|can)").literal_prefix() == "s"
+    assert RegexpQuery("f", "x[|]y|z").literal_prefix() == ""
+    assert RegexpQuery("f", "x[|]y").literal_prefix() == "x"
+
+
+def test_optional_tail_and_alternation_expand_fully(corpus):
+    """Regression: the prefix must not exclude terms the regex matches
+    ('word12?' matches word1; 'word1|fox' matches both alternatives)."""
+    idx, o = corpus
+    s = Searcher(idx)
+    for pat in ("word12?", "word1|fox"):
+        q = RegexpQuery("field", pat)
+        got = s.top_docs(q, k=None)
+        want = o.top_k(q, k=len(got) + 5)
+        assert len(got) > 0, pat
+        assert [(d, pytest.approx(sc)) for d, sc in want] == got, pat
 
 
 def test_expansion_is_whole_term_anchored(corpus):

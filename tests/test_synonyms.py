@@ -75,6 +75,30 @@ def test_fields_restriction(searcher):
     assert expand_synonyms(q, SYN, fields={"other"}) is q
 
 
+def test_constant_score_recursion(searcher):
+    from montezuma_spark.search import ConstantScoreQuery
+
+    q = expand_synonyms(
+        ConstantScoreQuery(TermQuery("field", "word2"), 2.0), SYN
+    )
+    assert isinstance(q, ConstantScoreQuery) and q.boost == 2.0
+    got = searcher.top_docs(q, k=None)
+    want = searcher.top_docs(
+        ConstantScoreQuery(
+            bool_query(
+                (TermQuery("field", "word2"), "SHOULD"),
+                (TermQuery("field", "word3"), "SHOULD"),
+            ),
+            2.0,
+        ),
+        k=None,
+    )
+    assert got == want and len(got) > 0
+    # untouched wrapper is identity
+    cs = ConstantScoreQuery(TermQuery("field", "word1"), 1.5)
+    assert expand_synonyms(cs, SYN) is cs
+
+
 def test_boolean_recursion(searcher):
     q = expand_synonyms(
         bool_query(
