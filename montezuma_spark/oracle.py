@@ -293,8 +293,12 @@ class OracleIndex:
                 if q.boost != 1.0
                 else out
             )
+        msm = getattr(q, "min_should_match", 0) or 0
+        if msm > len(shoulds):
+            return {}  # unsatisfiable (Lucene semantics)
         scores: dict[int, float] = defaultdict(float)
         matchers: dict[int, int] = defaultdict(int)
+        smatch: dict[int, int] = defaultdict(int)
         if musts:
             sets = []
             for m in musts:
@@ -312,13 +316,17 @@ class OracleIndex:
                 for d in docs & set(r):
                     scores[d] += r[d]
                     matchers[d] += 1
+                    smatch[d] += 1
             scores = {d: s for d, s in scores.items() if d in docs}
         else:
             for sq in shoulds:
                 for d, s in self.eval(sq).items():
                     scores[d] += s
                     matchers[d] += 1
+                    smatch[d] += 1
             scores = dict(scores)
+        if msm > 0 and shoulds:
+            scores = {d: s for d, s in scores.items() if smatch[d] >= msm}
         if not q.coord_disabled:
             # per-doc coord factor (boolean-scorer.lisp:262-266); max-coord
             # counts scoring clauses only (add-scorer :52-54)

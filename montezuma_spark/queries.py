@@ -562,6 +562,22 @@ def ft_wildcard_docs(spark, sf_dir):
     return s._execute(q, None).select("docid")
 
 
+def ft_msm_topk(spark, sf_dir):
+    """minimum_should_match (beyond-reference, labeled — the Lucene
+    minimum-number-should-match analog): docs matching at least 2 of
+    {spark, vector, window}, BM25-summed over the matching clauses.
+    msm>1 trees never take the WAND-pruned path (per-doc matcher
+    counts, the same exclusion as coord)."""
+    _, s = get_index(spark, sf_dir)
+    q = bool_query(
+        (TermQuery("text", "spark"), SHOULD),
+        (TermQuery("text", "vector"), SHOULD),
+        (TermQuery("text", "window"), SHOULD),
+        min_should_match=2,
+    )
+    return _topk(s, q)
+
+
 def ft_synonym_topk(spark, sf_dir):
     """Query-time synonym expansion (beyond-reference, labeled):
     text:spark with the synonym group {spark, vector} — the tree
@@ -1068,6 +1084,7 @@ QUERIES = {
     "ft_regexp_docs": ft_regexp_docs,
     "ft_constant_docs": ft_constant_docs,
     "ft_synonym_topk": ft_synonym_topk,
+    "ft_msm_topk": ft_msm_topk,
     "ft_dictionary": ft_dictionary,
     "ft_doc_stats": ft_doc_stats,
     "ft_doclens": ft_doclens,
@@ -1612,6 +1629,12 @@ SELECT docid FROM docs
 """,
     "ft_range_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens WHERE tok >= 'key' AND tok <= 'merge'
+""",
+    "ft_msm_topk": _BASE + _bm25_cte(["spark", "vector", "window"]) + """
+SELECT docid, round(score, 6) AS score FROM (
+  SELECT docid, sum(s) AS score FROM scores GROUP BY docid
+  HAVING count(*) >= 2
+) ORDER BY score DESC, docid ASC LIMIT 10
 """,
     "ft_synonym_topk": _BASE + _bm25_cte(["spark", "vector"]) + """
 SELECT docid, round(score, 6) AS score FROM (

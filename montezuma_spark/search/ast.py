@@ -278,25 +278,38 @@ class BooleanQuery(Query):
     per query. When enabled, each doc's clause-sum is multiplied by
     ``similarity.coord(matchers, max_coord)`` where max_coord counts the
     scoring (non-prohibited) clauses (boolean-scorer.lisp:52-54,262-266).
-    FILTER clauses are a local extension and never count."""
+    FILTER clauses are a local extension and never count.
+
+    ``min_should_match`` (beyond-reference, labeled — the Lucene
+    minimum-number-should-match analog): a doc must match at least this
+    many SHOULD clauses (in addition to every MUST). 0 keeps the
+    classic semantics (pure disjunctions need ≥1 match by construction;
+    MUST-driven trees need none). Like ``coord_disabled``, it MUST
+    survive every tree reconstruction. Trees with
+    ``min_should_match > 1`` never take the WAND-pruned path (it needs
+    per-doc matcher counts, same exclusion as coord)."""
 
     clauses: tuple[BooleanClause, ...] = ()
     boost: float = 1.0
     coord_disabled: bool = True
+    min_should_match: int = 0
 
     def add(self, query: Query, occur: str = SHOULD) -> "BooleanQuery":
         return BooleanQuery(
             self.clauses + (BooleanClause(query, occur),),
             self.boost,
             self.coord_disabled,
+            self.min_should_match,
         )
 
 
 def bool_query(*clauses: tuple[Query, str],
-               coord_disabled: bool = True) -> BooleanQuery:
+               coord_disabled: bool = True,
+               min_should_match: int = 0) -> BooleanQuery:
     return BooleanQuery(
         tuple(BooleanClause(q, o) for q, o in clauses),
         coord_disabled=coord_disabled,
+        min_should_match=min_should_match,
     )
 
 
@@ -331,9 +344,18 @@ def _rewrite_once(q: Query) -> Query:
         new_clauses = tuple(
             BooleanClause(_rewrite_once(c.query), c.occur) for c in q.clauses
         )
-        q = BooleanQuery(new_clauses, q.boost, q.coord_disabled)
-        # single non-prohibited, scoring clause → unwrap with boost folded
+        q = BooleanQuery(
+            new_clauses, q.boost, q.coord_disabled, q.min_should_match
+        )
+        # single non-prohibited, scoring clause → unwrap with boost
+        # folded. min_should_match blocks the unwrap except for the
+        # equivalent case (msm=1 over a single SHOULD == that clause);
+        # msm > n_shoulds must stay a boolean so it matches nothing.
         if len(q.clauses) == 1 and q.clauses[0].occur in (MUST, SHOULD):
-            return _scale_boost(q.clauses[0].query, q.boost)
+            msm_ok = q.min_should_match == 0 or (
+                q.min_should_match == 1 and q.clauses[0].occur == SHOULD
+            )
+            if msm_ok:
+                return _scale_boost(q.clauses[0].query, q.boost)
         return q
     return q

@@ -598,6 +598,10 @@ class ShardEval:
         if isinstance(node, BooleanQuery):
             if not node.coord_disabled:
                 return None  # coord needs per-doc matcher counts
+            if getattr(node, "min_should_match", 0) > 1:
+                return None  # msm needs per-doc matcher counts
+                # (msm<=1 over a pure disjunction is the default
+                # any-match semantics — safe to flatten)
             out = []
             for c in node.clauses:
                 if c.occur != SHOULD:
@@ -887,7 +891,12 @@ class ShardEval:
             if len(docs) == 0:
                 return _EMPTY
         count_coord = not node.coord_disabled
+        msm = getattr(node, "min_should_match", 0) or 0
+        if msm > len(shoulds):
+            return _EMPTY  # unsatisfiable (Lucene semantics)
+        count_should = msm > 0 and bool(shoulds)
         matchers = None
+        smatch = None
         if musts:
             # smallest-df first — conjunction-scorer's sort-by-current-doc
             # leapfrog, at plan level (conjunction-scorer.lisp:45-56)
@@ -905,6 +914,8 @@ class ShardEval:
                 score += s[np.clip(idx, 0, max(len(s) - 1, 0))] if len(s) else 0.0
             if count_coord:
                 matchers = np.full(len(base), len(musts), dtype=np.int64)
+            if count_should:
+                smatch = np.zeros(len(base), dtype=np.int64)
             # SHOULD adds score where it coincides (req-opt-sum-scorer.lisp)
             for sq in shoulds:
                 d, s = self.eval(sq, base)
@@ -913,15 +924,28 @@ class ShardEval:
                     score[idx] += s
                     if count_coord:
                         matchers[idx] += 1
+                    if count_should:
+                        smatch[idx] += 1
             result = (base, score)
         else:
             parts = [self.eval(sq, docs) for sq in shoulds]
             result = self._union_sum(parts)
-            if count_coord and len(result[0]):
-                matchers = np.zeros(len(result[0]), dtype=np.int64)
+            if (count_coord or count_should) and len(result[0]):
+                counts = np.zeros(len(result[0]), dtype=np.int64)
                 for d, _ in parts:
                     if len(d):
-                        matchers[np.searchsorted(result[0], d)] += 1
+                        counts[np.searchsorted(result[0], d)] += 1
+                if count_coord:
+                    matchers = counts
+                if count_should:
+                    smatch = counts
+        if count_should and smatch is not None and len(result[0]):
+            # minimum_should_match: drop docs below the threshold BEFORE
+            # coord (surviving matcher counts are unchanged per doc)
+            keep = smatch >= msm
+            result = (result[0][keep], result[1][keep])
+            if matchers is not None:
+                matchers = matchers[keep]
         if count_coord and matchers is not None and len(result[0]):
             # per-doc coord factor, precomputed per overlap count exactly
             # like the reference's coord-factors array

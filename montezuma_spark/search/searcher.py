@@ -671,6 +671,7 @@ class Searcher:
                     ),
                     node.boost,
                     node.coord_disabled,
+                    node.min_should_match,
                 )
             if isinstance(node, ConstantScoreQuery):
                 return ConstantScoreQuery(walk(node.query), node.boost)

@@ -101,7 +101,9 @@ def expand_synonyms(q: Query,
         )
         if all(a.query is b.query for a, b in zip(clauses, q.clauses)):
             return q
-        return BooleanQuery(clauses, q.boost, q.coord_disabled)
+        return BooleanQuery(
+            clauses, q.boost, q.coord_disabled, q.min_should_match
+        )
     if isinstance(q, ConstantScoreQuery):
         inner = expand_synonyms(q.query, synonyms, fields)
         if inner is q.query:
