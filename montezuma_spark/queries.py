@@ -562,6 +562,21 @@ def ft_wildcard_docs(spark, sf_dir):
     return s._execute(q, None).select("docid")
 
 
+def ft_spell(spark, sf_dir):
+    """Did-you-mean spelling suggestions (beyond-reference, labeled —
+    the Lucene SpellChecker analog): the vocabulary terms nearest to
+    the typo 'vale', (sim desc, df desc, term asc) —
+    Searcher.spell_correct over the fuzzy expansion's pushdown
+    dictionary scan (length bounds + JVM levenshtein, never a
+    vocabulary collect)."""
+    _, s = get_index(spark, sf_dir)
+    rows = s.spell_correct("text", "vale", n=5, min_similarity=0.5)
+    return spark.createDataFrame(
+        [(t, int(df), round(float(sim), 6)) for t, df, sim in rows],
+        "term string, df long, sim double",
+    )
+
+
 def ft_msm_topk(spark, sf_dir):
     """minimum_should_match (beyond-reference, labeled — the Lucene
     minimum-number-should-match analog): docs matching at least 2 of
@@ -1085,6 +1100,7 @@ QUERIES = {
     "ft_constant_docs": ft_constant_docs,
     "ft_synonym_topk": ft_synonym_topk,
     "ft_msm_topk": ft_msm_topk,
+    "ft_spell": ft_spell,
     "ft_dictionary": ft_dictionary,
     "ft_doc_stats": ft_doc_stats,
     "ft_doclens": ft_doclens,
@@ -1629,6 +1645,20 @@ SELECT docid FROM docs
 """,
     "ft_range_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens WHERE tok >= 'key' AND tok <= 'merge'
+""",
+    "ft_spell": _BASE + """
+, dict AS (
+  SELECT tok AS term, count(DISTINCT docid) AS df FROM tokens GROUP BY tok
+),
+cand AS (
+  SELECT term, df,
+         1.0 - levenshtein(term, 'vale')::DOUBLE
+               / least(len(term), 4) AS sim
+  FROM dict WHERE term != 'vale'
+)
+SELECT term, df, round(sim, 6) AS sim FROM cand
+WHERE sim >= 0.5
+ORDER BY sim DESC, df DESC, term ASC LIMIT 5
 """,
     "ft_msm_topk": _BASE + _bm25_cte(["spark", "vector", "window"]) + """
 SELECT docid, round(score, 6) AS score FROM (

@@ -1574,6 +1574,28 @@ class Searcher:
             out = out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         return out
 
+    def spell_correct(self, field: str, term: str, n: int = 5,
+                      min_similarity: float = 0.6,
+                      prefix_length: int = 0) -> list:
+        """Did-you-mean spelling suggestions (beyond-reference, labeled
+        — the Lucene SpellChecker analog): the ``n`` in-vocabulary terms
+        nearest to ``term`` as (term, df, sim) tuples ordered
+        (sim desc, df desc, term asc), the exact ``term`` excluded.
+        sim = 1 − levenshtein/min_len — the fuzzy-query family.
+
+        Rides the fuzzy expansion's pushdown dictionary scan (length
+        bounds + optional prefix reach the parquet scan, JVM
+        levenshtein filters the pruned slice — never a vocabulary
+        collect); only re-ranks the bounded expansion driver-side."""
+        exp = self._expand_fuzzy(
+            FuzzyQuery(field, term, min_similarity, prefix_length)
+        )
+        ranked = sorted(
+            (r for r in exp if r[0] != term),
+            key=lambda r: (-r[2], -r[1], r[0]),
+        )
+        return ranked[:n]
+
     def suggest(self, field: str, prefix: str, n: int = 10) -> list:
         """Prefix autocomplete over the term dictionary (beyond-reference,
         labeled): the ``n`` highest-df terms starting with ``prefix``, as

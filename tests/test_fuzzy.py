@@ -123,3 +123,23 @@ def test_fuzzy_pushdown_plan(spark, corpus, tmp_path, capsys):
     s = Searcher(idx)
     exp = {t for t, _df, _s in s._expand_fuzzy(q)}
     assert exp == {r["term"] for r in scan.collect()}
+
+
+def test_spell_correct_orders_by_similarity_then_df(spark, corpus):
+    """Did-you-mean (Searcher.spell_correct): (sim desc, df desc,
+    term asc), the exact query term excluded, vs a scalar rerank of
+    the same fuzzy expansion."""
+    idx, _ = corpus
+    s = Searcher(idx)
+    got = s.spell_correct("field", "word9", n=5, min_similarity=0.7)
+    exp = s._expand_fuzzy(FuzzyQuery("field", "word9", 0.7))
+    want = sorted(
+        (r for r in exp if r[0] != "word9"),
+        key=lambda r: (-r[2], -r[1], r[0]),
+    )[:5]
+    assert got == want and len(got) >= 3
+    sims = [sim for _t, _df, sim in got]
+    assert sims == sorted(sims, reverse=True)
+    # an in-vocabulary query term is excluded from its own suggestions
+    got2 = s.spell_correct("field", "word1", n=5, min_similarity=0.7)
+    assert all(t != "word1" for t, _df, _s in got2) and got2
