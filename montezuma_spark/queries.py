@@ -562,6 +562,17 @@ def ft_wildcard_docs(spark, sf_dir):
     return s._execute(q, None).select("docid")
 
 
+def ft_phrase_prefix_docs(spark, sf_dir):
+    """Search-as-you-type (beyond-reference, labeled — the Lucene
+    MultiPhrasePrefixQuery analog): docs where 'batch' is immediately
+    followed by any 'win'-prefixed term — Searcher.phrase_prefix
+    expands the prefix via the suggest dictionary seek and matches it
+    as a MultiPhraseQuery alternative slot."""
+    _, s = get_index(spark, sf_dir)
+    q = s.phrase_prefix("text", ["batch", "win"])
+    return s._execute(q, None).select("docid")
+
+
 def ft_spell(spark, sf_dir):
     """Did-you-mean spelling suggestions (beyond-reference, labeled —
     the Lucene SpellChecker analog): the vocabulary terms nearest to
@@ -1101,6 +1112,7 @@ QUERIES = {
     "ft_synonym_topk": ft_synonym_topk,
     "ft_msm_topk": ft_msm_topk,
     "ft_spell": ft_spell,
+    "ft_phrase_prefix_docs": ft_phrase_prefix_docs,
     "ft_dictionary": ft_dictionary,
     "ft_doc_stats": ft_doc_stats,
     "ft_doclens": ft_doclens,
@@ -1645,6 +1657,11 @@ SELECT docid FROM docs
 """,
     "ft_range_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens WHERE tok >= 'key' AND tok <= 'merge'
+""",
+    "ft_phrase_prefix_docs": _SPAN_BASE + """
+SELECT DISTINCT a.docid FROM pos a JOIN pos b
+  ON a.docid = b.docid AND b.p = a.p + 1
+WHERE a.tok = 'batch' AND b.tok LIKE 'win%'
 """,
     "ft_spell": _BASE + """
 , dict AS (

@@ -1574,6 +1574,28 @@ class Searcher:
             out = out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         return out
 
+    def phrase_prefix(self, field: str, terms, slop: int = 0,
+                      boost: float = 1.0, max_terms: int = 50) -> Query:
+        """Build a search-as-you-type query (beyond-reference, labeled
+        — the Lucene MultiPhrasePrefixQuery analog): an exact phrase
+        over ``terms[:-1]`` whose LAST word is a prefix, expanded to
+        its in-vocabulary completions (highest-df first, capped at
+        ``max_terms`` — a ``startswith`` pushdown dictionary scan, the
+        same seek ``suggest`` uses) and matched as a MultiPhraseQuery
+        alternative slot. Returns the query — evaluate with
+        ``search()``. A prefix with no completions yields an empty
+        boolean (matches nothing)."""
+        terms = list(terms)
+        if not terms:
+            return BooleanQuery(())
+        *head, last = terms
+        comp = self.suggest(field, last, n=max_terms)
+        if not comp:
+            return BooleanQuery(())
+        alts = [(t,) for t in head]
+        alts.append(tuple(sorted(t for t, _df in comp)))
+        return MultiPhraseQuery.of(field, alts, slop=slop, boost=boost)
+
     def spell_correct(self, field: str, term: str, n: int = 5,
                       min_similarity: float = 0.6,
                       prefix_length: int = 0) -> list:

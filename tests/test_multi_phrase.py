@@ -86,3 +86,26 @@ def test_multi_phrase_degenerate_and_absent(spark, corpus):
     assert s.matching_docids(q) == s.matching_docids(base)
     dead = MultiPhraseQuery.of("field", [("zzznone",), "word1"])
     assert s.top_docs(dead, k=10) == []
+
+
+def test_phrase_prefix_matches_expanded_multi_phrase(spark, corpus):
+    """phrase_prefix('quick bro') == multi-phrase with the bro*
+    completions in the last slot."""
+    idx, _ = corpus
+    s = Searcher(idx)
+    q = s.phrase_prefix("field", ["quick", "bro"])
+    assert isinstance(q, MultiPhraseQuery)
+    got = s.top_docs(q, k=None)
+    comp = [t for t, _df in s.suggest("field", "bro", n=50)]
+    want = s.top_docs(
+        MultiPhraseQuery.of("field", [("quick",), tuple(sorted(comp))]),
+        k=None,
+    )
+    assert got == want and len(got) > 0
+
+
+def test_phrase_prefix_no_completions_matches_nothing(corpus):
+    idx, _ = corpus
+    s = Searcher(idx)
+    q = s.phrase_prefix("field", ["quick", "zzz"])
+    assert s.top_docs(q, k=None) == []
