@@ -279,6 +279,8 @@ class OracleIndex:
         nots = [c.query for c in q.clauses if c.occur == MUST_NOT]
         if not musts and not shoulds and not filters:
             return {}
+        if getattr(q, "min_should_match", 0) > len(shoulds):
+            return {}  # unsatisfiable — BEFORE the filters-only path
         filter_docs: set | None = None
         for fq in filters:
             fd = set(self.eval(fq))
@@ -294,8 +296,6 @@ class OracleIndex:
                 else out
             )
         msm = getattr(q, "min_should_match", 0) or 0
-        if msm > len(shoulds):
-            return {}  # unsatisfiable (Lucene semantics)
         scores: dict[int, float] = defaultdict(float)
         matchers: dict[int, int] = defaultdict(int)
         smatch: dict[int, int] = defaultdict(int)

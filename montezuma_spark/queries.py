@@ -1658,10 +1658,19 @@ SELECT docid FROM docs
     "ft_range_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens WHERE tok >= 'key' AND tok <= 'merge'
 """,
+    # comp mirrors the engine's completion cap exactly: suggest's
+    # (df desc, term asc) top-50, df = distinct-doc count
     "ft_phrase_prefix_docs": _SPAN_BASE + """
+, comp AS (
+  SELECT tok AS term FROM (
+    SELECT tok, count(DISTINCT docid) AS df FROM pos
+    WHERE tok LIKE 'win%' GROUP BY tok
+    ORDER BY df DESC, tok ASC LIMIT 50
+  )
+)
 SELECT DISTINCT a.docid FROM pos a JOIN pos b
   ON a.docid = b.docid AND b.p = a.p + 1
-WHERE a.tok = 'batch' AND b.tok LIKE 'win%'
+WHERE a.tok = 'batch' AND b.tok IN (SELECT term FROM comp)
 """,
     "ft_spell": _BASE + """
 , dict AS (

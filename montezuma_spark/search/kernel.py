@@ -874,6 +874,10 @@ class ShardEval:
         if not musts and not shoulds and not filters:
             return _EMPTY  # pure negation matches nothing
             # (ref: boolean-scorer.lisp — no required/optional scorers)
+        if getattr(node, "min_should_match", 0) > len(shoulds):
+            return _EMPTY  # unsatisfiable (Lucene semantics) — checked
+            # BEFORE the filters-only fast path so FILTER-only trees
+            # agree with the MUST-only ones
         if not musts and not shoulds:
             # filters only: match set with score 0 (constant-score filter)
             docs = candidates
@@ -892,8 +896,6 @@ class ShardEval:
                 return _EMPTY
         count_coord = not node.coord_disabled
         msm = getattr(node, "min_should_match", 0) or 0
-        if msm > len(shoulds):
-            return _EMPTY  # unsatisfiable (Lucene semantics)
         count_should = msm > 0 and bool(shoulds)
         matchers = None
         smatch = None
@@ -978,6 +980,8 @@ class ShardEval:
 
     def _est_df(self, q: Query) -> float:
         dfm = self.plan.df_est
+        if isinstance(q, ConstantScoreQuery):
+            return self._est_df(q.query)
         if isinstance(q, TermQuery):
             return dfm.get((q.field, q.term), 0)
         if isinstance(q, MultiTermGroup):
@@ -1662,11 +1666,11 @@ def explain_doc(plan: CompiledPlan, rows, docid: int,
                 "value": node_value(n),
             }
         if isinstance(n, ConstantScoreQuery):
-            dd, _ss = ev.eval(n, d1)
+            dd, ss = ev.eval(n, d1)
             return {
                 "type": "constant_score",
-                "description": "constant(boost) over filter",
-                "value": node_value(n),
+                "description": "constant(boost) over the child's match set",
+                "value": float(ss[0]) if len(dd) else 0.0,
                 "boost": n.boost,
                 "matched": bool(len(dd)),
                 "details": [walk(n.query)],

@@ -494,38 +494,14 @@ class Searcher:
                self.max_expansion)
         if key in self._exp_cache:
             return self._exp_cache[key]
-        q = node.term
-        L = len(q)
         if self._preload:
             out = self._expand_fuzzy_local(node)
         else:
-            import math as _m
-
-            lo = max(1, int(_m.ceil(L / (2.0 - ms))))
-            hi = int(_m.floor(L * (2.0 - ms)))
-            ts = self.index.term_stats.filter(
-                (F.col("field") == node.field)
-                & F.length("term").between(lo, hi)
-            )
-            if node.prefix_length > 0:
-                ts = ts.filter(
-                    F.col("term").startswith(q[: node.prefix_length])
-                )
-            dist = F.levenshtein(F.col("term"), F.lit(q))
-            sim = F.lit(1.0) - dist / F.least(
-                F.lit(L), F.length("term")
-            ).cast("double")
             # truncation keeps the BEST terms (sim desc, term asc) — a
             # lexicographic limit could drop the nearest spellings at web
             # vocabularies (Lucene's priority-queue semantics)
-            rows = (
-                ts.withColumn("_sim", sim)
-                .filter(F.col("_sim") >= ms)
-                .select("term", "df", "_sim")
-                .orderBy(F.desc("_sim"), F.asc("term"))
-                .limit(self.max_expansion)
-                .collect()
-            )
+            rows = self._fuzzy_scan(node, [F.desc("_sim"), F.asc("term")],
+                                    self.max_expansion)
             out = tuple(
                 sorted((r["term"], int(r["df"]), float(r["_sim"]))
                        for r in rows)
@@ -533,7 +509,43 @@ class Searcher:
         self._exp_cache[key] = out
         return out
 
-    def _expand_fuzzy_local(self, node: FuzzyQuery) -> tuple:
+    def _fuzzy_scan(self, node: FuzzyQuery, order, limit: int):
+        """The fuzzy candidate pushdown scan (length bounds + optional
+        prefix into the term_stats scan, JVM levenshtein on the pruned
+        slice) with a caller-chosen (order, limit) — `_expand_fuzzy`
+        truncates by (sim desc, term asc), `spell_correct` by
+        (sim desc, df desc, term asc)."""
+        import math as _m
+
+        q = node.term
+        L = len(q)
+        ms = node.min_similarity
+        lo = max(1, int(_m.ceil(L / (2.0 - ms))))
+        hi = int(_m.floor(L * (2.0 - ms)))
+        ts = self.index.term_stats.filter(
+            (F.col("field") == node.field)
+            & F.length("term").between(lo, hi)
+        )
+        if node.prefix_length > 0:
+            ts = ts.filter(
+                F.col("term").startswith(q[: node.prefix_length])
+            )
+        dist = F.levenshtein(F.col("term"), F.lit(q))
+        sim = F.lit(1.0) - dist / F.least(
+            F.lit(L), F.length("term")
+        ).cast("double")
+        return (
+            ts.withColumn("_sim", sim)
+            .filter(F.col("_sim") >= ms)
+            .select("term", "df", "_sim")
+            .orderBy(*order)
+            .limit(limit)
+            .collect()
+        )
+
+    def _fuzzy_candidates_local(self, node: FuzzyQuery) -> list:
+        """Preload-tier fuzzy candidates, UNTRUNCATED (term, df, sim)
+        — callers apply their own order+limit."""
         q = node.term
         ms = node.min_similarity
         pl = node.prefix_length
@@ -548,6 +560,10 @@ class Searcher:
             sim = self._fuzzy_sim(q, t, dist)
             if sim >= ms:
                 out.append((t, d.get((node.field, t), 0), sim))
+        return out
+
+    def _expand_fuzzy_local(self, node: FuzzyQuery) -> tuple:
+        out = self._fuzzy_candidates_local(node)
         # best-similarity-first truncation, then back to term order so the
         # distributed and preload tiers return identical tuples
         out.sort(key=lambda r: (-r[2], r[0]))
@@ -1605,18 +1621,32 @@ class Searcher:
         (sim desc, df desc, term asc), the exact ``term`` excluded.
         sim = 1 − levenshtein/min_len — the fuzzy-query family.
 
-        Rides the fuzzy expansion's pushdown dictionary scan (length
-        bounds + optional prefix reach the parquet scan, JVM
-        levenshtein filters the pruned slice — never a vocabulary
-        collect); only re-ranks the bounded expansion driver-side."""
-        exp = self._expand_fuzzy(
-            FuzzyQuery(field, term, min_similarity, prefix_length)
+        Rides the fuzzy candidate pushdown scan (length bounds +
+        optional prefix reach the parquet scan, JVM levenshtein filters
+        the pruned slice — never a vocabulary collect) with its OWN
+        truncation order — (sim desc, df desc, term asc) at scan time,
+        so a same-sim higher-df suggestion can never be cut the way the
+        fuzzy expansion's (sim desc, term asc) boundary could at web
+        vocabularies."""
+        node = FuzzyQuery(field, term, min_similarity, prefix_length)
+        if self._preload:
+            cand = self._fuzzy_candidates_local(node)
+            cand.sort(key=lambda r: (-r[2], -r[1], r[0]))
+            return [
+                (t, int(df), float(sim))
+                for t, df, sim in cand
+                if t != term
+            ][:n]
+        rows = self._fuzzy_scan(
+            node,
+            [F.desc("_sim"), F.desc("df"), F.asc("term")],
+            n + 1,  # the exact term may occupy one slot
         )
-        ranked = sorted(
-            (r for r in exp if r[0] != term),
-            key=lambda r: (-r[2], -r[1], r[0]),
-        )
-        return ranked[:n]
+        return [
+            (r["term"], int(r["df"]), float(r["_sim"]))
+            for r in rows
+            if r["term"] != term
+        ][:n]
 
     def suggest(self, field: str, prefix: str, n: int = 10) -> list:
         """Prefix autocomplete over the term dictionary (beyond-reference,

@@ -107,3 +107,17 @@ def test_rewrite_unwrap_guard():
     r = rewrite(two)
     assert not isinstance(r, TermQuery)
     assert r.min_should_match == 2
+
+def test_msm_unsatisfiable_on_filter_only_tree(corpus):
+    """Regression: msm > n_shoulds must be unsatisfiable on FILTER-only
+    trees too, not just MUST-driven ones (the early filters-only path
+    used to skip the check)."""
+    from montezuma_spark.search.ast import FILTER
+
+    idx, o = corpus
+    s = Searcher(idx)
+    q = bool_query(
+        (TermQuery("field", "word1"), FILTER), min_should_match=1
+    )
+    assert s.top_docs(q, k=None) == []
+    assert o.top_k(q) == []
