@@ -21,6 +21,7 @@ from montezuma_spark.search.ast import (
     MultiPhraseQuery,
     PhraseQuery,
     ConstantScoreQuery,
+    DocIdSetQuery,
     Query,
     RangeQuery,
     RegexpQuery,
@@ -168,6 +169,13 @@ class OracleIndex:
             return dict(out)
         if isinstance(q, ConstantScoreQuery):
             return {d: float(q.boost) for d in self.eval(q.query)}
+        if isinstance(q, DocIdSetQuery):
+            known = {
+                d for plist in self.postings.values() for d in plist
+            }
+            return {
+                int(d): float(q.boost) for d in q.docids if d in known
+            }
         if isinstance(q, RegexpQuery):
             import re
 
@@ -391,6 +399,8 @@ class OracleIndex:
             return 1.0  # match-all-query.lisp:50-51
         if isinstance(q, ConstantScoreQuery):
             return q.boost ** 2  # Lucene constant-score weight
+        if isinstance(q, DocIdSetQuery):
+            return q.boost ** 2  # constant-score family
         if isinstance(q, BooleanQuery):
             return q.boost ** 2 * sum(self._ssw(c.query) for c in q.clauses)
         return 0.0

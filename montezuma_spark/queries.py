@@ -562,6 +562,23 @@ def ft_wildcard_docs(spark, sf_dir):
     return s._execute(q, None).select("docid")
 
 
+def ft_rescore_topk(spark, sf_dir):
+    """Second-pass re-ranking (beyond-reference, labeled — the
+    Elasticsearch rescorer pattern): text:spark's top-20 window
+    re-ranked by primary + 2×text:merge, the secondary evaluated ONLY
+    on the window docs (a bounded DocIdSetQuery FILTER — O(window),
+    never a second corpus scan)."""
+    _, s = get_index(spark, sf_dir)
+    rows = s.rescore(
+        TermQuery("text", "spark"), TermQuery("text", "merge"),
+        window=20, weight=2.0, k=10,
+    )
+    return spark.createDataFrame(
+        [(int(d), round(float(sc), 6)) for d, sc in rows],
+        "docid long, score double",
+    )
+
+
 def ft_phrase_prefix_docs(spark, sf_dir):
     """Search-as-you-type (beyond-reference, labeled — the Lucene
     MultiPhrasePrefixQuery analog): docs where 'batch' is immediately
@@ -1113,6 +1130,7 @@ QUERIES = {
     "ft_msm_topk": ft_msm_topk,
     "ft_spell": ft_spell,
     "ft_phrase_prefix_docs": ft_phrase_prefix_docs,
+    "ft_rescore_topk": ft_rescore_topk,
     "ft_dictionary": ft_dictionary,
     "ft_doc_stats": ft_doc_stats,
     "ft_doclens": ft_doclens,
@@ -1657,6 +1675,24 @@ SELECT docid FROM docs
 """,
     "ft_range_docs": _BASE + """
 SELECT DISTINCT docid FROM tokens WHERE tok >= 'key' AND tok <= 'merge'
+""",
+    # rescore: primary top-20 window re-ranked by primary + 2×secondary
+    "ft_rescore_topk": _BASE + _bm25_cte(["spark", "merge"]) + """
+, prim AS (
+  SELECT docid, score,
+         row_number() OVER (ORDER BY score DESC, docid ASC) AS r
+  FROM (SELECT docid, sum(s) AS score FROM scores
+        WHERE tok = 'spark' GROUP BY docid)
+),
+sec AS (
+  SELECT docid, sum(s) AS score FROM scores
+  WHERE tok = 'merge' GROUP BY docid
+)
+SELECT docid, round(comb, 6) AS score FROM (
+  SELECT p.docid, p.score + 2.0 * coalesce(se.score, 0) AS comb
+  FROM prim p LEFT JOIN sec se USING (docid)
+  WHERE p.r <= 20
+) ORDER BY score DESC, docid ASC LIMIT 10
 """,
     # comp mirrors the engine's completion cap exactly: suggest's
     # (df desc, term asc) top-50, df = distinct-doc count

@@ -251,6 +251,20 @@ class MatchAllQuery(Query):
 
 
 @dataclass(frozen=True)
+class DocIdSetQuery(Query):
+    """Matches an explicit BOUNDED docid set, score = ``boost`` per doc
+    (beyond-reference, labeled — the Lucene DocIdSet/TermInSetQuery
+    family's role as a filter leaf). Intended for k-scale sets riding
+    the compiled plan (a rescore window, "search within results", a
+    security allowlist): the tuple ships inside the task closure, so
+    callers must keep it bounded — table-sized delete sets go through
+    the cogrouped tombstone path instead (CLAUDE.md), never this node."""
+
+    docids: tuple[int, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     """Every matching doc scores exactly ``boost`` — the Lucene
     ConstantScoreQuery analog (beyond-reference, labeled; the

@@ -48,6 +48,7 @@ from montezuma_spark.search.ast import (
     SHOULD,
     BooleanQuery,
     ConstantScoreQuery,
+    DocIdSetQuery,
     MatchAllQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -862,6 +863,16 @@ class ShardEval:
             # boost — never a MatchAll corpus scan
             docs, _ = self.eval(node.query, candidates)
             return docs, np.full(len(docs), float(node.boost))
+        if isinstance(node, DocIdSetQuery):
+            docs = np.unique(
+                np.asarray(node.docids, dtype=np.int64)
+            )
+            (docs,) = self._drop_deleted(docs)
+            if candidates is not None:
+                docs, _ = self._restrict(
+                    docs, np.zeros(len(docs)), candidates
+                )
+            return docs, np.full(len(docs), float(node.boost))
         if isinstance(node, BooleanQuery):
             return self._eval_bool(node, candidates)
         raise TypeError(f"unknown query node {type(node)}")
@@ -982,6 +993,8 @@ class ShardEval:
         dfm = self.plan.df_est
         if isinstance(q, ConstantScoreQuery):
             return self._est_df(q.query)
+        if isinstance(q, DocIdSetQuery):
+            return len(q.docids)
         if isinstance(q, TermQuery):
             return dfm.get((q.field, q.term), 0)
         if isinstance(q, MultiTermGroup):
@@ -1665,6 +1678,15 @@ def explain_doc(plan: CompiledPlan, rows, docid: int,
                 "description": "*:*",
                 "value": node_value(n),
             }
+        if isinstance(n, DocIdSetQuery):
+            dd, ss = ev.eval(n, d1)
+            return {
+                "type": "docid_set",
+                "description": f"docid set ({len(n.docids)} ids)",
+                "value": float(ss[0]) if len(dd) else 0.0,
+                "boost": n.boost,
+                "matched": bool(len(dd)),
+            }
         if isinstance(n, ConstantScoreQuery):
             dd, ss = ev.eval(n, d1)
             return {
@@ -1808,6 +1830,16 @@ def make_kernel_cogrouped_tombstones(plan: CompiledPlan):
     return kernel
 
 
+def _tree_has_docidset(q: Query) -> bool:
+    if isinstance(q, DocIdSetQuery):
+        return True
+    if isinstance(q, ConstantScoreQuery):
+        return _tree_has_docidset(q.query)
+    if isinstance(q, BooleanQuery):
+        return any(_tree_has_docidset(c.query) for c in q.clauses)
+    return False
+
+
 def eval_local(plan: CompiledPlan, postings) -> pd.DataFrame:
     """Driver-side evaluation over collected postings rows (the fast path
     for small matched sets): ONE ShardEval pass over every row — cells
@@ -1823,7 +1855,9 @@ def eval_local(plan: CompiledPlan, postings) -> pd.DataFrame:
         if isinstance(postings, list)
         else rows_from_pandas(postings)
     )
-    if not rows:
+    if not rows and not _tree_has_docidset(plan.query):
+        # zero cells can still match when the tree carries an explicit
+        # bounded docid set (its universe needs no postings)
         return pd.DataFrame({"docid": [], "score": []}).astype(
             {"docid": "int64", "score": "float64"}
         )

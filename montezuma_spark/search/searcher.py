@@ -38,6 +38,7 @@ from montezuma_spark.index.builder import Index
 from montezuma_spark.search.ast import (
     BooleanQuery,
     ConstantScoreQuery,
+    DocIdSetQuery,
     MatchAllQuery,
     PhraseQuery,
     Query,
@@ -691,7 +692,7 @@ class Searcher:
                 )
             if isinstance(node, ConstantScoreQuery):
                 return ConstantScoreQuery(walk(node.query), node.boost)
-            if isinstance(node, MatchAllQuery):
+            if isinstance(node, (MatchAllQuery, DocIdSetQuery)):
                 return node
             raise TypeError(f"cannot resolve {type(node)}")
 
@@ -777,6 +778,8 @@ class Searcher:
             return 1.0
         if isinstance(node, ConstantScoreQuery):
             return node.boost ** 2  # Lucene constant-score weight
+        if isinstance(node, DocIdSetQuery):
+            return node.boost ** 2  # constant-score family
         if isinstance(node, SpanNearQuery):
             return 0.0  # constant-score: carries no idf weight
         if isinstance(node, BooleanQuery):
@@ -785,8 +788,61 @@ class Searcher:
             )
         return 0.0
 
+    @staticmethod
+    def _check_docidset_positions(q: Query) -> None:
+        """A DocIdSetQuery (optionally constant-score-wrapped) may be
+        the ROOT, a FILTER clause or a MUST_NOT clause — positions
+        where its eval is always intersected against (or excluded
+        from) shard-restricted docs. As MUST or SHOULD, a per-task
+        kernel would emit the full (cross-shard) set once PER TASK —
+        duplicated rows — so those positions raise."""
+        from montezuma_spark.search.ast import FILTER, MUST, MUST_NOT
+
+        def unwrap(n):
+            while isinstance(n, ConstantScoreQuery):
+                n = n.query
+            return n
+
+        def walk(n, is_root):
+            n = unwrap(n)
+            if not isinstance(n, BooleanQuery):
+                return
+            has_restrictor = any(
+                c.occur in (MUST, FILTER)
+                and not isinstance(unwrap(c.query), DocIdSetQuery)
+                for c in n.clauses
+            )
+            for c in n.clauses:
+                if isinstance(unwrap(c.query), DocIdSetQuery):
+                    if c.occur not in (FILTER, MUST_NOT):
+                        raise ValueError(
+                            "DocIdSetQuery must be the root or a "
+                            f"FILTER/MUST_NOT clause (got {c.occur}); "
+                            "compose it as a filter"
+                        )
+                    if c.occur == FILTER and not (is_root or has_restrictor):
+                        raise ValueError(
+                            "a non-root boolean holding a DocIdSet "
+                            "FILTER needs a term-bearing MUST/FILTER "
+                            "sibling to restrict it"
+                        )
+                else:
+                    walk(c.query, False)
+
+        walk(q, True)
+
+    def _has_docidset(self, q: Query) -> bool:
+        if isinstance(q, DocIdSetQuery):
+            return True
+        if isinstance(q, ConstantScoreQuery):
+            return self._has_docidset(q.query)
+        if isinstance(q, BooleanQuery):
+            return any(self._has_docidset(c.query) for c in q.clauses)
+        return False
+
     def _compile(self, query: Query, k: int | None):
         resolved, idf, df_est, need_pos = self._resolve(query)
+        self._check_docidset_positions(resolved)
         tomb = getattr(self.index, "tombstones", None)
         query_norm = 1.0
         if getattr(self.similarity, "normalize_query", False):
@@ -898,6 +954,21 @@ class Searcher:
     def _execute(self, query: Query, k: int | None) -> DataFrame:
         """Distributed execution → DataFrame(docid, score)."""
         plan, resolved, need_pos = self._compile(query, k)
+        needed0 = self._needed_terms(resolved)
+        if (
+            self._has_docidset(resolved)
+            and not any(needed0.values())
+            and not self._has_matchall(resolved)
+        ):
+            # zero postings terms: the match universe IS the bounded
+            # docid set — evaluate driver-side (plan.deleted masks
+            # deletes; a zero-row kernel would return nothing)
+            local = eval_local(
+                plan, self._fetch_postings_pdf(resolved, need_pos)
+            )
+            return self.index.spark.createDataFrame(
+                local, schema=RESULT_SCHEMA
+            )
         tomb_df = self._tombstones_df()
         if tomb_df is not None and not self._has_matchall(resolved):
             # massive delete set: strip the array from the shipped plan and
@@ -1589,6 +1660,39 @@ class Searcher:
         if k is not None:
             out = out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         return out
+
+    def rescore(self, query: Query, rescore_query: Query,
+                window: int = 100, weight: float = 1.0,
+                k: int = 10) -> list[tuple[int, float]]:
+        """Second-pass re-ranking (beyond-reference, labeled — the
+        Elasticsearch rescorer pattern): take the primary query's top
+        ``window`` hits, evaluate ``rescore_query`` ONLY on those docs
+        (a bounded DocIdSetQuery FILTER — the expensive secondary never
+        scans beyond the window), and re-rank by
+        ``primary + weight × secondary``. Returns (docid, score)
+        tuples, (score desc, docid asc), ``k`` rows.
+
+        The window is the cost bound: the secondary pays its term
+        decodes restricted to ≤ window candidate docs, so a phrase or
+        span rescorer costs O(window), not O(matches)."""
+        from montezuma_spark.search.ast import FILTER, MUST, BooleanClause
+
+        page = self.top_docs(query, k=window)
+        if not page:
+            return []
+        docids = tuple(int(d) for d, _ in page)
+        wrapped = BooleanQuery(
+            (
+                BooleanClause(rescore_query, MUST),
+                BooleanClause(DocIdSetQuery(docids), FILTER),
+            )
+        )
+        sec = dict(self.top_docs(wrapped, k=None))
+        combined = [
+            (d, s + float(weight) * sec.get(d, 0.0)) for d, s in page
+        ]
+        combined.sort(key=lambda t: (-t[1], t[0]))
+        return combined[:k]
 
     def phrase_prefix(self, field: str, terms, slop: int = 0,
                       boost: float = 1.0, max_terms: int = 50) -> Query:
