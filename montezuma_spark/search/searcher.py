@@ -1295,7 +1295,7 @@ class Searcher:
         return out.select("docid", "key", "score")
 
     def search_after(self, query: Query, after: tuple[int, float],
-                     k: int = 10) -> DataFrame:
+                     k: int = 10, keys: bool = True) -> DataFrame:
         """Cursor deep paging: the next ``k`` hits strictly after
         ``after = (docid, score)`` — the last hit of the previous page,
         in the row shape ``search``/``top_docs`` serve it — in the
@@ -1311,6 +1311,10 @@ class Searcher:
         searchAfter pattern). ``after`` must be the exact served
         (docid, score) pair — scores are tier-identical
         (parity-tested), so cursors transfer across tiers.
+
+        ``keys=False`` skips the docid→key doc_map join (the
+        ``top_docs`` analog): on the driver-local tier the page then
+        costs no Spark job beyond ``createDataFrame``.
         """
         d, s = int(after[0]), float(after[1])
         local = self._execute_local(query, None)
@@ -1330,6 +1334,10 @@ class Searcher:
                 .filter(cursor)
                 .orderBy(F.desc("score"), F.asc("docid"))
                 .limit(k)
+            )
+        if not keys:
+            return result.orderBy(F.desc("score"), F.asc("docid")).select(
+                "docid", "score"
             )
         out = F.broadcast(result).join(self.index.doc_map, "docid", "inner")
         return out.orderBy(F.desc("score"), F.asc("docid")).select(

@@ -89,3 +89,13 @@ def test_matches_offset_paging(searcher):
     via_offset = _rows(searcher.search(q, k=3, first_doc=3))
     via_cursor = _rows(searcher.search_after(q, page1[-1], k=3))
     assert via_cursor == via_offset
+
+
+def test_keys_false_matches_keyed_page(searcher):
+    q = TermQuery("field", "word1")
+    page1 = _rows(searcher.search(q, k=3))
+    with_keys = _rows(searcher.search_after(q, page1[-1], k=3))
+    without = _rows(searcher.search_after(q, page1[-1], k=3, keys=False))
+    assert with_keys == without
+    cols = searcher.search_after(q, page1[-1], k=3, keys=False).columns
+    assert cols == ["docid", "score"]
