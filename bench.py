@@ -594,9 +594,9 @@ def _new_ops_suite(spark, searcher) -> dict:
     t_spark = TermQuery("text", "spark")
     med("rescore_window100", lambda: searcher.rescore(
         t_spark, TermQuery("text", "merge"), window=100, k=10))
+    cursor = searcher.top_docs(t_spark, k=10)[-1]  # deterministic
     med("search_after_page2", lambda: searcher.search_after(
-        t_spark, searcher.top_docs(t_spark, k=10)[-1], k=10,
-        keys=False).collect())
+        t_spark, cursor, k=10, keys=False).collect())
     med("regexp_top10", lambda: searcher.top_docs(
         RegexpQuery("text", "s(park|can|low)"), k=10))
     med("msm2_top10", lambda: searcher.top_docs(bool_query(

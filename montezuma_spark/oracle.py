@@ -170,11 +170,10 @@ class OracleIndex:
         if isinstance(q, ConstantScoreQuery):
             return {d: float(q.boost) for d in self.eval(q.query)}
         if isinstance(q, DocIdSetQuery):
-            known = {
-                d for plist in self.postings.values() for d in plist
-            }
             return {
-                int(d): float(q.boost) for d in q.docids if d in known
+                int(d): float(q.boost)
+                for d in q.docids
+                if d in self.docids
             }
         if isinstance(q, RegexpQuery):
             import re
@@ -400,7 +399,7 @@ class OracleIndex:
         if isinstance(q, ConstantScoreQuery):
             return q.boost ** 2  # Lucene constant-score weight
         if isinstance(q, DocIdSetQuery):
-            return q.boost ** 2  # constant-score family
+            return 0.0  # scoreless/constant leaf (SpanNear precedent)
         if isinstance(q, BooleanQuery):
             return q.boost ** 2 * sum(self._ssw(c.query) for c in q.clauses)
         return 0.0

@@ -779,7 +779,10 @@ class Searcher:
         if isinstance(node, ConstantScoreQuery):
             return node.boost ** 2  # Lucene constant-score weight
         if isinstance(node, DocIdSetQuery):
-            return node.boost ** 2  # constant-score family
+            # like SpanNear: a scoreless/constant leaf carries no idf
+            # weight, so rescore's FILTER-set wrapper leaves the
+            # secondary's classic query_norm untouched
+            return 0.0
         if isinstance(node, SpanNearQuery):
             return 0.0  # constant-score: carries no idf weight
         if isinstance(node, BooleanQuery):
@@ -803,6 +806,17 @@ class Searcher:
                 n = n.query
             return n
 
+        def no_terms(n):
+            """True when NO term-bearing leaf exists beneath n — then
+            the zero-term driver short-circuit serves the tree and the
+            per-task duplication risk cannot arise."""
+            n = unwrap(n)
+            if isinstance(n, (DocIdSetQuery,)):
+                return True
+            if isinstance(n, BooleanQuery):
+                return all(no_terms(c.query) for c in n.clauses)
+            return False
+
         def walk(n, is_root):
             n = unwrap(n)
             if not isinstance(n, BooleanQuery):
@@ -820,11 +834,20 @@ class Searcher:
                             f"FILTER/MUST_NOT clause (got {c.occur}); "
                             "compose it as a filter"
                         )
-                    if c.occur == FILTER and not (is_root or has_restrictor):
+                    # a FILTER set needs a term-bearing MUST/FILTER
+                    # sibling to shard-restrict it — the only exemption
+                    # is a fully term-free ROOT (the whole tree then
+                    # takes the bounded driver short-circuit). A
+                    # MUST_NOT sibling is NOT a restrictor: the
+                    # filters-only path would emit the cross-shard set
+                    # per task and subtract only shard-local exclusions.
+                    if c.occur == FILTER and not (
+                        has_restrictor or (is_root and no_terms(n))
+                    ):
                         raise ValueError(
-                            "a non-root boolean holding a DocIdSet "
-                            "FILTER needs a term-bearing MUST/FILTER "
-                            "sibling to restrict it"
+                            "a boolean holding a DocIdSet FILTER needs "
+                            "a term-bearing MUST/FILTER sibling to "
+                            "restrict it (MUST_NOT does not restrict)"
                         )
                 else:
                     walk(c.query, False)
@@ -832,13 +855,9 @@ class Searcher:
         walk(q, True)
 
     def _has_docidset(self, q: Query) -> bool:
-        if isinstance(q, DocIdSetQuery):
-            return True
-        if isinstance(q, ConstantScoreQuery):
-            return self._has_docidset(q.query)
-        if isinstance(q, BooleanQuery):
-            return any(self._has_docidset(c.query) for c in q.clauses)
-        return False
+        from montezuma_spark.search.kernel import _tree_has_docidset
+
+        return _tree_has_docidset(q)
 
     def _compile(self, query: Query, k: int | None):
         resolved, idf, df_est, need_pos = self._resolve(query)
@@ -1455,6 +1474,13 @@ class Searcher:
                 fallback.append((qid, orig_q))
                 continue
             needed = self._needed_terms(resolved)
+            if self._has_docidset(resolved) and not any(needed.values()):
+                # zero-term docid-set plans take the per-query driver
+                # short-circuit — the multi-plan kernel would emit the
+                # cross-shard set once per partition (or nothing when
+                # the union scan is empty)
+                fallback.append((qid, orig_q))
+                continue
             if local_ok and local_budget > 0:
                 est = self._est_matched_postings(needed, plan.df_est)
                 if est <= FAST_PATH_MAX_POSTINGS and est <= local_budget:

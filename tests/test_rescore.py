@@ -101,3 +101,55 @@ def test_rescore_window_bounds_secondary(corpus):
         window=1, weight=10.0, k=3,
     )
     assert len(got) == 1  # rescore never returns beyond the window
+
+
+def test_docidset_in_search_batch_matches_single(corpus):
+    idx, _ = corpus
+    s = Searcher(idx)
+    qs = {
+        "set": DocIdSetQuery((2, 5, 9), boost=1.5),
+        "term": TermQuery("field", "word2"),
+    }
+    out = s.search_batch(qs, k=5)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["qid"], []).append(
+            (int(r["docid"]), float(r["score"]))
+        )
+    for qid, q in qs.items():
+        want = [
+            (int(r["docid"]), float(r["score"]))
+            for r in s.search(q, k=5).collect()
+        ]
+        assert rows.get(qid, []) == want, qid
+
+
+def test_docidset_filter_with_only_must_not_sibling_raises(corpus):
+    # MUST_NOT does not shard-restrict the set; the compile check must
+    # reject it even at the root
+    idx, _ = corpus
+    s = Searcher(idx)
+    q = BooleanQuery(
+        (
+            BooleanClause(TermQuery("field", "word1"), "MUST_NOT"),
+            BooleanClause(DocIdSetQuery((1, 2, 3)), FILTER),
+        )
+    )
+    with pytest.raises(ValueError):
+        s.top_docs(q, k=3)
+
+
+def test_rescore_secondary_unperturbed_under_classic(corpus):
+    # the DocIdSet FILTER wrapper must not change the secondary's
+    # classic query_norm: combined - primary == weight * secondary
+    idx, _ = corpus
+    s = Searcher(idx, similarity="classic")
+    primary = TermQuery("field", "word1")
+    secondary = TermQuery("field", "word2")
+    got = dict(s.rescore(primary, secondary, window=18, weight=3.0, k=18))
+    prim = dict(s.top_docs(primary, k=18))
+    sec = dict(s.top_docs(secondary, k=None))
+    for d, comb in got.items():
+        assert comb == pytest.approx(
+            prim[d] + 3.0 * sec.get(d, 0.0)
+        ), d
