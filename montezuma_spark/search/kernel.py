@@ -867,6 +867,15 @@ class ShardEval:
             docs = np.unique(
                 np.asarray(node.docids, dtype=np.int64)
             )
+            # clamp to the live docid universe: ids outside [0, max_doc)
+            # name no document and must not match (callers pass arbitrary
+            # allowlists; the zero-term root path has no candidate set or
+            # postings intersection to drop them naturally)
+            max_doc = max(
+                (s.get("num_docs", 0) for s in self.plan.stats.values()),
+                default=0,
+            )
+            docs = docs[(docs >= 0) & (docs < max_doc)]
             (docs,) = self._drop_deleted(docs)
             if candidates is not None:
                 docs, _ = self._restrict(

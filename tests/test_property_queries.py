@@ -8,6 +8,8 @@ One index is built once (Spark jobs are slow); hypothesis drives QUERIES,
 which the preloaded searcher answers driver-side (no Spark job per example).
 """
 
+import os
+
 import numpy as np
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -24,11 +26,14 @@ from montezuma_spark.search import (
     SHOULD,
     BooleanClause,
     BooleanQuery,
+    ConstantScoreQuery,
+    DocIdSetQuery,
     FuzzyQuery,
     MatchAllQuery,
     MultiPhraseQuery,
     PhraseQuery,
     RangeQuery,
+    RegexpQuery,
     Searcher,
     SpanNearQuery,
     TermQuery,
@@ -36,6 +41,9 @@ from montezuma_spark.search import (
 )
 
 N_DOCS = 80
+# extended background sweeps: PROP_EXAMPLES=10 multiplies every example
+# budget (default 1 keeps the CI suite fast)
+_X = int(os.environ.get("PROP_EXAMPLES", "1"))
 
 
 @pytest.fixture(scope="module")
@@ -97,36 +105,87 @@ def _query_strategy(vocab, slop_weights=("count",)):
                 "text", x[0], slop=x[1], in_order=x[2], first=x[3]
             )
         ),
+        # round-4 extensions: anchored regexp (alternation + prefix-class
+        # forms in the Java/Python-agreeing subset) and constant-score
+        # wrapping — both must rank/score identically to the oracle
+        st.tuples(terms, terms).map(
+            lambda x: RegexpQuery("text", f"{x[0]}|{x[1]}")
+        ),
+        terms.map(lambda t: RegexpQuery("text", t[:2] + "[a-z]*")),
+        st.tuples(terms, st.sampled_from([0.5, 1.0, 2.5])).map(
+            lambda x: ConstantScoreQuery(TermQuery("text", x[0]), x[1])
+        ),
         st.just(MatchAllQuery()),
     )
 
     def bool_of(args):
-        children, coord_disabled = args
+        children, coord_disabled, msm = args
         occurs = [MUST, SHOULD, SHOULD, MUST_NOT, FILTER]
         clauses = tuple(
             BooleanClause(c, occurs[i % len(occurs)])
             for i, c in enumerate(children)
         )
-        return BooleanQuery(clauses, coord_disabled=coord_disabled)
+        return BooleanQuery(
+            clauses, coord_disabled=coord_disabled, min_should_match=msm
+        )
 
     return st.recursive(
         leaf,
-        lambda inner: st.tuples(
-            st.lists(inner, min_size=1, max_size=4), st.booleans()
-        ).map(bool_of),
+        lambda inner: st.one_of(
+            st.tuples(
+                st.lists(inner, min_size=1, max_size=4),
+                st.booleans(),
+                # msm > #SHOULD must yield the empty result on BOTH sides
+                st.integers(0, 2),
+            ).map(bool_of),
+            inner.map(lambda c: ConstantScoreQuery(c, 1.5)),
+        ),
         max_leaves=6,
     )
 
 
+def _docidset_strategy(vocab):
+    """Valid DocIdSetQuery shapes only (placement is compile-checked:
+    root, FILTER beside a term-bearing restrictor, or MUST_NOT)."""
+    terms = _terms(vocab)
+    docsets = st.lists(
+        st.integers(0, N_DOCS + 10), min_size=1, max_size=8
+    ).map(lambda xs: tuple(sorted(set(xs))))
+    return st.one_of(
+        st.tuples(docsets, st.sampled_from([1.0, 1.5])).map(
+            lambda x: DocIdSetQuery(x[0], boost=x[1])
+        ),
+        docsets.map(lambda ds: ConstantScoreQuery(DocIdSetQuery(ds), 2.0)),
+        st.tuples(docsets, terms).map(
+            lambda x: BooleanQuery((
+                BooleanClause(TermQuery("text", x[1]), MUST),
+                BooleanClause(DocIdSetQuery(x[0]), FILTER),
+            ))
+        ),
+        st.tuples(docsets, terms).map(
+            lambda x: BooleanQuery((
+                BooleanClause(TermQuery("text", x[1]), SHOULD),
+                BooleanClause(DocIdSetQuery(x[0]), MUST_NOT),
+            ))
+        ),
+    )
+
+
+def _full_strategy(vocab, slop_weights=("count",)):
+    return st.one_of(
+        _query_strategy(vocab, slop_weights), _docidset_strategy(vocab)
+    )
+
+
 @settings(
-    max_examples=60,
+    max_examples=60 * _X,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
 def test_random_query_matches_oracle(engine, data):
     s, o, vocab = engine
-    q = data.draw(_query_strategy(vocab))
+    q = data.draw(_full_strategy(vocab))
     got = s.top_docs(q, k=N_DOCS)
     want = o.top_k(q, k=N_DOCS)
     assert [d for d, _ in got] == [d for d, _ in want], q
@@ -136,19 +195,19 @@ def test_random_query_matches_oracle(engine, data):
 
 
 @settings(
-    max_examples=30,
+    max_examples=30 * _X,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
 def test_random_query_doc_sets(engine, data):
     s, o, vocab = engine
-    q = data.draw(_query_strategy(vocab))
+    q = data.draw(_full_strategy(vocab))
     assert s.matching_docids(q) == o.matching(q), q
 
 
 @settings(
-    max_examples=10,
+    max_examples=10 * _X,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -160,7 +219,7 @@ def test_random_batch_matches_oracle(engine, data):
     s, o, vocab = engine
     cold = Searcher(s.index)
     qs = data.draw(
-        st.lists(_query_strategy(vocab), min_size=2, max_size=4)
+        st.lists(_full_strategy(vocab), min_size=2, max_size=4)
     )
     batch = {f"q{i}": q for i, q in enumerate(qs)}
     rows = cold.search_batch(batch, k=10).collect()
@@ -203,14 +262,14 @@ def engine_r2(spark):
 
 
 @settings(
-    max_examples=50,
+    max_examples=50 * _X,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
 def test_random_query_matches_oracle_boosted_classic(engine_r2, data):
     s, o, vocab = engine_r2
-    q = data.draw(_query_strategy(vocab, slop_weights=("count", "reciprocal")))
+    q = data.draw(_full_strategy(vocab, slop_weights=("count", "reciprocal")))
     got = s.top_docs(q, k=N_DOCS)
     want = o.top_k(q, k=N_DOCS)
     assert [d for d, _ in got] == [d for d, _ in want], q

@@ -59,6 +59,17 @@ def test_docidset_standalone_both_tiers(corpus):
     assert a == b == [(3, 1.5), (7, 1.5), (11, 1.5)]
 
 
+def test_docidset_out_of_range_ids_never_match(corpus):
+    """Ids outside [0, max_doc) name no document — the zero-term root
+    path has no postings intersection to drop them, so the kernel must
+    clamp (hypothesis-found: DocIdSetQuery((max_doc,)) returned a hit)."""
+    idx, _ = corpus
+    n = idx.num_docs()
+    q = DocIdSetQuery((-3, 0, n - 1, n, n + 7), boost=2.0)
+    for s in (Searcher(idx), Searcher(idx, distributed=True)):
+        assert s.top_docs(q, k=None) == [(0, 2.0), (n - 1, 2.0)]
+
+
 def test_docidset_rejected_as_should_or_must(corpus):
     idx, _ = corpus
     s = Searcher(idx)
