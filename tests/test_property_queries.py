@@ -236,6 +236,52 @@ def test_random_batch_matches_oracle(engine, data):
 
 
 @pytest.fixture(scope="module")
+def engine_saved(spark, tmp_path_factory):
+    """Saved layout → the DEFAULT serving tier (cell LRU cache + arrow
+    point reads), the deployment path the other fixtures skip."""
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")], shard_bits=4,
+        block_size=8,
+    )
+    idx = build_index(spark, synth_web_pages_df(spark, N_DOCS), cfg)
+    saved = idx.save(str(tmp_path_factory.mktemp("prop_saved")))
+    o = OracleIndex()
+    pdf = synth_web_pages_pdf(N_DOCS).sort_values("url").reset_index(drop=True)
+    for i, row in enumerate(pdf.itertuples(index=False)):
+        o.add(i, {"text": (row.text, "simple")})
+    an = get_analyzer("simple")
+    vocab = sorted({t for txt in pdf["text"] for t in an.tokens(txt)})
+    return saved, o, vocab
+
+
+@settings(
+    max_examples=25 * _X,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_query_sequence_cached_tier(engine_saved, data):
+    """Random query SEQUENCES against one cell-cache searcher: the cache
+    invariants are order-dependent (snapshot-before-put, full-positions
+    memos only after full decodes, LRU eviction mid-query), so state
+    bugs only show when a warm query follows the right cold one. Tiny
+    cache budgets force evictions inside a sequence."""
+    saved, o, vocab = engine_saved
+    cache_bytes = data.draw(
+        st.sampled_from([1 << 10, 64 << 10, 256 << 20])
+    )
+    s = Searcher(saved, cell_cache_bytes=cache_bytes)
+    qs = data.draw(st.lists(_full_strategy(vocab), min_size=2, max_size=5))
+    for q in qs:
+        got = s.top_docs(q, k=N_DOCS)
+        want = o.top_k(q, k=N_DOCS)
+        assert [d for d, _ in got] == [d for d, _ in want], (cache_bytes, q)
+        np.testing.assert_allclose(
+            [x for _, x in got], [x for _, x in want], rtol=1e-9, atol=1e-12
+        )
+
+
+@pytest.fixture(scope="module")
 def engine_r2(spark):
     """Round-2 scoring surface: index-time per-doc boosts + classic
     similarity + reciprocal sloppy weighting, vs the extended oracle."""
