@@ -55,6 +55,37 @@ BOOST_TERM = "\x00boost"
 BOOST_FIELD = "\x00doc"
 BOOST_SCALE = 1024
 
+# reserved Index.stats key carrying CORPUS-level counts: "num_docs" (doc
+# count, per-field semantics: stale until expunge) and "max_doc" (docid
+# universe bound — stays at the original size after expunge, which keeps
+# docids stable with holes). Per-field num_docs can undercount both when
+# add_indexes merges indexes with disjoint field sets; consumers fall
+# back to max-over-fields for layouts saved before this key existed.
+CORPUS_STATS_KEY = "\x00corpus"
+
+
+def corpus_num_docs(stats: dict) -> int:
+    """Corpus doc count (pre-tombstone) from an Index.stats dict."""
+    c = stats.get(CORPUS_STATS_KEY)
+    if c and c.get("num_docs"):
+        return int(c["num_docs"])
+    return max(
+        (
+            int(s.get("num_docs", 0))
+            for f, s in stats.items()
+            if f != CORPUS_STATS_KEY
+        ),
+        default=0,
+    )
+
+
+def corpus_max_doc(stats: dict) -> int:
+    """Docid universe size [0, max_doc) from an Index.stats dict."""
+    c = stats.get(CORPUS_STATS_KEY)
+    if c and c.get("max_doc"):
+        return int(c["max_doc"])
+    return corpus_num_docs(stats)
+
 META_FIELDS = ("first", "last", "n", "off", "codes_len", "ext_len",
                "maxtf", "mindl", "imp_n", "imp_tf", "imp_dl")
 

@@ -96,6 +96,9 @@ from montezuma_spark.codec.postings import (  # noqa: E402,F401 (re-export)
     BOOST_FIELD,
     BOOST_SCALE,
     BOOST_TERM,
+    CORPUS_STATS_KEY,
+    corpus_max_doc,
+    corpus_num_docs,
 )
 
 DOC_LENS_SCHEMA = "field string, docid long, dl long, shard long"
@@ -865,6 +868,13 @@ class Index:
 
         # sorted tombstoned docids (.del bitset analog — see deletions.py)
         self.tombstones: np.ndarray = load_tombstones(index_dir)
+        # sorted docids PERMANENTLY removed by expunge: docids stay stable
+        # (holes are never renumbered or reused), so a hole id names no
+        # document forever — DocIdSetQuery and friends must mask them like
+        # tombstones even though the postings no longer contain them.
+        # Persisted in meta.json; survives undelete_all by design.
+        self.holes: np.ndarray = np.empty(0, dtype=np.int64)
+        self._masked_cache: tuple | None = None
 
     # ------------------------------------------------------------- deletions
     def delete_docs(self, docids) -> int:
@@ -905,14 +915,25 @@ class Index:
     def has_deletions(self) -> bool:
         return len(self.tombstones) > 0
 
+    def masked_docids(self) -> np.ndarray:
+        """Tombstones ∪ expunge holes: every docid that must not match.
+        Memoized by set sizes (delete_docs mutates tombstones in place —
+        same invalidation convention as Searcher._tomb_df)."""
+        key = (len(self.tombstones), len(self.holes))
+        if self._masked_cache is None or self._masked_cache[0] != key:
+            self._masked_cache = (
+                key, np.union1d(self.tombstones, self.holes)
+            )
+        return self._masked_cache[1]
+
     def num_docs(self, field: str | None = None) -> int:
         """Live doc count (num-docs analog, segment-reader.lisp:170-178):
         total minus tombstones. Stats stay stale until expunge, like the
         reference's until-merge semantics."""
-        fields = [field] if field else list(self.stats)
-        total = max(
-            (self.stats[f]["num_docs"] for f in fields), default=0
-        )
+        if field:
+            total = self.stats.get(field, {}).get("num_docs", 0)
+        else:
+            total = corpus_num_docs(self.stats)
         return total - len(self.tombstones)
 
     def expunge_deletes(self) -> "Index":
@@ -937,6 +958,7 @@ class Index:
             f: dict(s) for f, s in self.stats.items()
         }
         tombs = [self.tombstones]
+        holes_parts = [self.holes]
         sb, bs = self.config.shard_bits, self.config.block_size
         cdc = self.config.block_codec
         for o in others:
@@ -964,8 +986,19 @@ class Index:
                 )
             if len(o.tombstones):
                 tombs.append(o.tombstones + b)
+            if len(o.holes):
+                holes_parts.append(o.holes + b)
             mx = o.doc_map.agg(F.max("docid")).collect()[0]
             base = b + (int(mx[0]) + 1 if mx[0] is not None else 0)
+        # exact merged docid universe from the rebase arithmetic itself —
+        # independent of whether the inputs carried a corpus entry; doc
+        # count sums each input's corpus count (max-over-fields fallback)
+        stats[CORPUS_STATS_KEY] = {
+            "num_docs": sum(
+                corpus_num_docs(ix.stats) for ix in (self, *others)
+            ),
+            "max_doc": int(base), "total_tokens": 0, "avgdl": 0.0,
+        }
         for f, s in stats.items():
             s["avgdl"] = (
                 s["total_tokens"] / s["num_docs"] if s["num_docs"] else 0.0
@@ -1001,6 +1034,7 @@ class Index:
             tv_offsets=tv_offsets,
         )
         merged.tombstones = np.sort(np.concatenate(tombs))
+        merged.holes = np.sort(np.concatenate(holes_parts))
         return merged
 
     def term_vectors(self, docids: list[int] | None = None,
@@ -1039,12 +1073,14 @@ class Index:
             .groupBy("field", "shard", "tbucket")
             .applyInPandas(merger, schema=POSTINGS_SCHEMA)
         )
-        return Index(
+        out = Index(
             self.spark, self.config, self.doc_map, self.doc_lens, postings,
             self.term_stats, self.stats, index_dir=None,
             build_report=dict(self.build_report),
             tv_offsets=self.tv_offsets,  # docids unchanged by optimize
         )
+        out.holes = self.holes  # docids unchanged → holes unchanged
+        return out
 
     # ------------------------------------------------------------------ save
     def save(self, index_dir: str) -> "Index":
@@ -1079,16 +1115,15 @@ class Index:
             self.tv_offsets.repartitionByRange("docid").sortWithinPartitions(
                 "docid"
             ).write.mode("overwrite").parquet(f"{index_dir}/term_vectors")
+        meta = {
+            "config": self.config.to_json(),
+            "stats": self.stats,
+            "build_report": self.build_report,
+        }
+        if len(self.holes):
+            meta["holes"] = [int(d) for d in self.holes]
         with open(f"{index_dir}/meta.json", "w") as fh:
-            json.dump(
-                {
-                    "config": self.config.to_json(),
-                    "stats": self.stats,
-                    "build_report": self.build_report,
-                },
-                fh,
-                indent=2,
-            )
+            json.dump(meta, fh, indent=2)
         return Index.load(self.spark, index_dir)
 
     @staticmethod
@@ -1110,6 +1145,8 @@ class Index:
                 spark.read.parquet(tv_dir) if os.path.isdir(tv_dir) else None
             ),
         )
+        if meta.get("holes"):
+            idx.holes = np.asarray(sorted(meta["holes"]), dtype=np.int64)
         # the saved-layout marker: self.postings is literally this parquet
         # directory, so the driver-direct arrow fetch (Searcher's local
         # tier) may read it without a Spark job. Deliberately NOT set for
@@ -1248,6 +1285,16 @@ def build_index(
         }
         for r in stats_rows
     }
+    # corpus doc count + docid universe (maxDoc analog): authoritative for
+    # the DocIdSet clamp and num_docs — per-field counts can diverge from
+    # both after heterogeneous add_indexes merges. The universe bound is
+    # docid_base + total_docs: a streaming segment's docids start at its
+    # base, so its own bound must cover them
+    if total_docs:  # empty corpus keeps stats == {} (edge-case contract)
+        stats[CORPUS_STATS_KEY] = {
+            "num_docs": int(total_docs), "max_doc": int(acc),
+            "avgdl": 0.0, "total_tokens": 0,
+        }
 
     # --- doc_map: JVM-only dense_rank over the same key sort ----------------
     offset_df = spark.createDataFrame(

@@ -178,6 +178,19 @@ def expunge_deletes(index) -> "object":
         }
         for r in stats_rows
     }
+    # docids are NOT renumbered (stable with holes) — the docid universe
+    # stays at the pre-expunge bound while the corpus doc count drops to
+    # the live count
+    from montezuma_spark.codec.postings import (
+        CORPUS_STATS_KEY,
+        corpus_max_doc,
+    )
+
+    stats[CORPUS_STATS_KEY] = {
+        "num_docs": int(index.num_docs()),
+        "max_doc": int(corpus_max_doc(index.stats)),
+        "avgdl": 0.0, "total_tokens": 0,
+    }
     cfg = index.config
     postings = index.postings.mapInPandas(
         lambda it: _rewrite_iter(
@@ -200,8 +213,12 @@ def expunge_deletes(index) -> "object":
         index_dir=None, build_report=dict(index.build_report),
         tv_offsets=tv_offsets,
     )
+    # expunged docids become permanent HOLES: docids are never renumbered
+    # or reused, so docid-level queries (DocIdSetQuery) must keep masking
+    # them even though the postings no longer contain them
+    new.holes = np.union1d(index.tombstones, index.holes)
     if index.index_dir:
         out_dir = index.index_dir + ".expunge"
-        new = new.save(out_dir)
+        new = new.save(out_dir)  # persists holes via meta.json
         save_tombstones(out_dir, np.empty(0, dtype=np.int64))
     return new

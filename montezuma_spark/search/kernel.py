@@ -36,6 +36,7 @@ import pandas as pd
 from montezuma_spark.codec.postings import (
     BOOST_SCALE,
     BOOST_TERM,
+    corpus_max_doc,
     decode_cell,
     decode_cell_rows,
     decode_positions,
@@ -262,17 +263,6 @@ class ShardEval:
                 self.lens[f] = (d[order], grp["dl"].to_numpy(dtype=np.int64)[order])
 
     # ---------------------------------------------------------------- helpers
-    def _dl(self, field: str, docids: np.ndarray) -> np.ndarray:
-        ent = self.lens.get(field)
-        if ent is None:
-            return np.ones(len(docids), dtype=np.int64)
-        d, dl = ent
-        idx = np.searchsorted(d, docids)
-        idx = np.clip(idx, 0, len(d) - 1)
-        out = dl[idx]
-        out = np.where(d[idx] == docids, out, 1)
-        return out
-
     def rebind(self, plan: CompiledPlan) -> "ShardEval":
         """Cheap per-plan view sharing the parsed cell buckets, boost
         arrays and lens map — bucketing rows into the (field, term) →
@@ -780,7 +770,6 @@ class ShardEval:
         k = self.plan.k
         if k is None:
             return None
-        boost = 1.0
         flat = self._flatten_should_terms(node)
         if flat is None:
             return None
@@ -792,11 +781,13 @@ class ShardEval:
         # falling back to exact eval in that (rare) case
         if len({(f, t) for f, t, _ in flat}) != len(flat):
             return None
-        terms = sorted(
-            flat,
-            key=lambda x: (-self._term_ub(*x), x[0], x[1]),
+        # one _term_ub pass per term (it walks every cell's impact front)
+        ranked = sorted(
+            ((self._term_ub(*x), x) for x in flat),
+            key=lambda p: (-p[0], p[1][0], p[1][1]),
         )
-        ubs = [self._term_ub(*t) for t in terms]
+        terms = [x for _, x in ranked]
+        ubs = [ub for ub, _ in ranked]
         suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
         docids = np.empty(0, dtype=np.int64)
         scores = np.empty(0, dtype=np.float64)
@@ -821,8 +812,8 @@ class ShardEval:
                 docids, scores = self._union_sum(
                     [(docids, scores), (d, s)]
                 )
-        if boost != 1.0:
-            scores = scores * boost
+        # clause boosts are already folded into each term's tboost by
+        # _flatten_should_terms — no root boost applies here
         return docids, scores
 
     # ------------------------------------------------------------------ eval
@@ -867,14 +858,11 @@ class ShardEval:
             docs = np.unique(
                 np.asarray(node.docids, dtype=np.int64)
             )
-            # clamp to the live docid universe: ids outside [0, max_doc)
-            # name no document and must not match (callers pass arbitrary
+            # clamp to the docid universe: ids outside [0, max_doc) name
+            # no document and must not match (callers pass arbitrary
             # allowlists; the zero-term root path has no candidate set or
             # postings intersection to drop them naturally)
-            max_doc = max(
-                (s.get("num_docs", 0) for s in self.plan.stats.values()),
-                default=0,
-            )
+            max_doc = corpus_max_doc(self.plan.stats)
             docs = docs[(docs >= 0) & (docs < max_doc)]
             (docs,) = self._drop_deleted(docs)
             if candidates is not None:
@@ -1239,6 +1227,7 @@ class ShardEval:
         docs = candidates
         doc_dls = None
         slot_handles: dict[int, list] = {}
+        alt_handles: dict[int, dict] = {}  # multi-alt: term -> handles
         for i in order:
             if len(alts[i]) == 1:
                 d, _, dl, slot_handles[i] = self._decode_with_handles(
@@ -1246,7 +1235,15 @@ class ShardEval:
                 )
                 d, dl = self._restrict(d, dl.astype(np.float64), docs)
             else:
-                parts = [self._decode(field, t, docs) for t in alts[i]]
+                # keep per-alternative handles too: step 2 must not pay a
+                # second doc-stream decode per alternative term
+                ah = alt_handles[i] = {}
+                parts = []
+                for t in alts[i]:
+                    dd, tt, ddl, ah[t] = self._decode_with_handles(
+                        field, t, docs
+                    )
+                    parts.append((dd, tt, ddl))
                 alld = np.concatenate([p[0] for p in parts])
                 alldl = np.concatenate([p[2] for p in parts])
                 d, first = np.unique(alld, return_index=True)
@@ -1271,8 +1268,16 @@ class ShardEval:
                 )
             else:
                 # sorted-unique union of the slot's alternatives: one
-                # lexsort + dedupe over all docs
-                fs = [self._positions_flat(field, t, docs) for t in alts[i]]
+                # lexsort + dedupe over all docs (hot tier routes through
+                # the cross-query memo; cold tiers reuse step 1's handles)
+                fs = [
+                    self._positions_flat(field, t, docs)
+                    if self.plan.hot
+                    else self._positions_flat_handles(
+                        docs, alt_handles[i][t]
+                    )
+                    for t in alts[i]
+                ]
                 flat = np.concatenate([x[0] for x in fs])
                 doc_idx = np.concatenate(
                     [np.repeat(np.arange(nd), x[1]) for x in fs]

@@ -92,6 +92,13 @@ CACHED_PATH_MAX_POSTINGS = 8_000_000
 # vocabulary size (the cache is an optimization, never a requirement)
 DF_CACHE_MAX = 1_000_000
 
+# total (term, df[, sim]) tuples the expansion memo may hold across all
+# cached patterns: a long-lived serving Searcher fed a stream of DISTINCT
+# wildcard/regexp/fuzzy/range queries must stay bounded (each entry can
+# carry up to max_expansion tuples; the cache is an optimization, never a
+# requirement — same policy as DF_CACHE_MAX)
+EXP_CACHE_MAX_TERMS = 1_000_000
+
 # delete sets up to this size ship inside the serialized plan (a broadcast
 # to every shard kernel, ~8 B/docid); beyond it the tombstones become a
 # TABLE cogrouped with the postings by shard, so each task receives only
@@ -175,6 +182,7 @@ class Searcher:
         self._sorted_terms: dict | None = None   # per-field vocab: preload only
         self._df_cache: dict = {}                # (field, term) -> df memo
         self._exp_cache: dict = {}               # range/wildcard -> ((t, df),)
+        self._exp_cache_terms = 0                # total tuples held (bound)
         self._hot: dict | None = None
         self._hot_parsed: dict = {}             # (field, term) -> [CellRow]
         self._tomb_df = None                     # tombstone table (big sets)
@@ -311,6 +319,18 @@ class Searcher:
                     self._df_cache[p] = df
         return out
 
+    def _exp_cache_put(self, key, out: tuple) -> tuple:
+        """FIFO-bounded expansion memo (insertion order = age)."""
+        self._exp_cache[key] = out
+        self._exp_cache_terms += len(out)
+        while (self._exp_cache_terms > EXP_CACHE_MAX_TERMS
+               and len(self._exp_cache) > 1):
+            oldest = next(iter(self._exp_cache))
+            if oldest == key:
+                break
+            self._exp_cache_terms -= len(self._exp_cache.pop(oldest))
+        return out
+
     def _expand_range(self, node: RangeQuery) -> tuple:
         """Concrete (term, df) list for a range — BETWEEN predicate pushed
         into the term_stats scan, ``max_expansion`` applied as LIMIT at
@@ -342,8 +362,7 @@ class Searcher:
                 .collect()
             )
             out = tuple((r["term"], int(r["df"])) for r in rows)
-        self._exp_cache[key] = out
-        return out
+        return self._exp_cache_put(key, out)
 
     def _expand_range_local(self, node: RangeQuery) -> tuple:
         import bisect
@@ -434,8 +453,7 @@ class Searcher:
                 node.field, node.literal_prefix(),
                 _wildcard_java_regex(node.to_regex()),
             )
-        self._exp_cache[key] = out
-        return out
+        return self._exp_cache_put(key, out)
 
 
     def _expand_regexp(self, node) -> tuple:
@@ -458,8 +476,7 @@ class Searcher:
                 node.field, node.literal_prefix(),
                 "^(?:" + node.pattern + ")\\z",
             )
-        self._exp_cache[key] = out
-        return out
+        return self._exp_cache_put(key, out)
 
     @staticmethod
     def _levenshtein(a: str, b: str) -> int:
@@ -507,8 +524,7 @@ class Searcher:
                 sorted((r["term"], int(r["df"]), float(r["_sim"]))
                        for r in rows)
             )
-        self._exp_cache[key] = out
-        return out
+        return self._exp_cache_put(key, out)
 
     def _fuzzy_scan(self, node: FuzzyQuery, order, limit: int):
         """The fuzzy candidate pushdown scan (length bounds + optional
@@ -728,7 +744,11 @@ class Searcher:
         # MatchAll needs every field's doc set
         def walk(node):
             if isinstance(node, MatchAllQuery):
-                f.update(self.index.stats.keys())
+                from montezuma_spark.codec.postings import CORPUS_STATS_KEY
+
+                f.update(
+                    k for k in self.index.stats if k != CORPUS_STATS_KEY
+                )
             elif isinstance(node, ConstantScoreQuery):
                 walk(node.query)
             elif isinstance(node, BooleanQuery):
@@ -862,7 +882,13 @@ class Searcher:
     def _compile(self, query: Query, k: int | None):
         resolved, idf, df_est, need_pos = self._resolve(query)
         self._check_docidset_positions(resolved)
-        tomb = getattr(self.index, "tombstones", None)
+        # tombstones ∪ expunge holes: both must mask (holes are docids the
+        # postings no longer contain but docid-level queries could name)
+        tomb = (
+            self.index.masked_docids()
+            if hasattr(self.index, "masked_docids")
+            else getattr(self.index, "tombstones", None)
+        )
         query_norm = 1.0
         if getattr(self.similarity, "normalize_query", False):
             ssw = self._sum_squared_weights(resolved, idf)
@@ -942,10 +968,9 @@ class Searcher:
         still fans out to every core."""
         est = self._est_matched_postings(needed, df_est)
         cap = self.index.spark.sparkContext.defaultParallelism
-        docs = max(
-            (st.get("num_docs", 0) for st in self.index.stats.values()),
-            default=0,
-        )
+        from montezuma_spark.codec.postings import corpus_max_doc
+
+        docs = corpus_max_doc(self.index.stats)
         nsh = (max(docs - 1, 0) >> self.index.config.shard_bits) + 1
         return max(1, min(cap, nsh, -(-est // POSTINGS_PER_TASK)))
 
@@ -955,7 +980,11 @@ class Searcher:
         delete-set SIZE: Index.delete_docs mutates index.tombstones in
         place, so a reused Searcher must rebuild when the set grows
         (round-2 advice — a stale cache silently returned deleted docs)."""
-        tomb = getattr(self.index, "tombstones", None)
+        tomb = (
+            self.index.masked_docids()
+            if hasattr(self.index, "masked_docids")
+            else getattr(self.index, "tombstones", None)
+        )
         if tomb is None or len(tomb) <= TOMBSTONE_BROADCAST_MAX:
             return None
         if self._tomb_df is None or self._tomb_df[0] != len(tomb):
@@ -1115,7 +1144,8 @@ class Searcher:
 
         want = [(f, t) for f, ts in sorted(needed.items())
                 for t in sorted(ts)]
-        if self.index.config.boost_col is not None:
+        # zero-term trees (docid sets) score as constants — no boost cells
+        if self.index.config.boost_col is not None and any(needed.values()):
             want.append((None, BOOST_TERM))
         # snapshot hits FIRST (LRU-touching them): a later put may evict
         # any entry when the budget is smaller than this query's working
@@ -1220,9 +1250,16 @@ class Searcher:
         if dset is None:
             postings, _ = self._filtered_postings(resolved, need_pos)
             return postings.toPandas()
+        needed = self._needed_terms(resolved)
         return self._arrow_cells_pdf(
-            dset, self._needed_terms(resolved), need_pos,
-            include_boost=self.index.config.boost_col is not None,
+            dset, needed, need_pos,
+            # zero-term trees (docid sets / constant-score wrappers) score
+            # as constants and never consult doc boosts — skip the marker
+            # cells, whose size tracks the CORPUS, not the query
+            include_boost=(
+                self.index.config.boost_col is not None
+                and any(needed.values())
+            ),
         )
 
     def _arrow_cells_pdf(self, dset, needed: dict, need_pos: bool,
@@ -1495,8 +1532,11 @@ class Searcher:
             from montezuma_spark.search.kernel import eval_local
 
             # prefetch: ONE point read per positions-variant for every
-            # missing term across the whole local sub-batch
-            for np_flag in (False, True):
+            # missing term across the whole local sub-batch. Positional
+            # first: a cached with-positions entry serves later
+            # non-positional requests (the reverse cannot), so terms
+            # needed by both variants fetch and cache exactly once
+            for np_flag in (True, False):
                 pre: dict[str, set] = {}
                 for _, _, needed, need_pos in local_batch:
                     if need_pos == np_flag:

@@ -161,9 +161,19 @@ class IncrementalIndexer:
     def multi_index(self) -> Index:
         """Union all segments into one queryable Index (multi-reader)."""
         man = self.manifest()
-        return self._union_index(
+        idx = self._union_index(
             man["segments"], man.get("tombstones", [])
         )
+        hs = man.get("holes", [])
+        if hs:
+            # docids expunged by an earlier compact: stable-with-holes, so
+            # docid-level queries must keep masking them (builder.holes)
+            import numpy as np
+
+            idx.holes = np.union1d(
+                idx.holes, np.asarray(sorted(hs), dtype=np.int64)
+            )
+        return idx
 
     def _union_index(self, entries: list, tombstones: list) -> Index:
         """Multi-reader over a subset of segment entries; ``tombstones``
@@ -204,6 +214,13 @@ class IncrementalIndexer:
                 )
                 agg["num_docs"] += st["num_docs"]
                 agg["total_tokens"] += st["total_tokens"]
+                if "max_doc" in st:
+                    # corpus entry: each segment's bound already covers
+                    # its docid_base range, so the merged universe is the
+                    # largest bound
+                    agg["max_doc"] = max(
+                        agg.get("max_doc", 0), st["max_doc"]
+                    )
         for f, st in stats.items():
             st["avgdl"] = (
                 st["total_tokens"] / st["num_docs"] if st["num_docs"] else 0.0
@@ -291,6 +308,7 @@ class IncrementalIndexer:
         seg_id = man["next_seg"]
         seg_dir = os.path.join(self.index_dir, "segments", f"seg-{seg_id:06d}")
         compacted = _merge_postings(merged, seg_dir)
+        compacted.holes = merged.holes  # survive for docid-level queries
         old_dirs = [e["dir"] for e in man["segments"]]
         new_man = {
             "segments": [
@@ -306,7 +324,8 @@ class IncrementalIndexer:
             "next_docid": man["next_docid"],
             "next_seg": seg_id + 1,
             "applied_batches": man["applied_batches"],
-            "tombstones": [],  # compaction expunged them
+            "tombstones": [],  # compaction expunged them → holes
+            "holes": [int(d) for d in merged.holes],
         }
         self._commit(new_man)
         for d in old_dirs:  # delete obsolete segment files (deletable list)

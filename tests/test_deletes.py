@@ -181,6 +181,30 @@ def test_expunge_matches_fresh_build(spark, idx, tmp_path):
     assert ph_before == ph_tomb
 
 
+def test_expunge_holes_mask_docid_sets(spark, idx, tmp_path):
+    """Expunge keeps docids stable with HOLES: an expunged docid names no
+    document forever, so docid-level queries must not resurrect it
+    (review finding — the tombstone mask used to vanish with expunge).
+    Holes survive save/load and undelete_all."""
+    from montezuma_spark.index.builder import Index
+    from montezuma_spark.search import DocIdSetQuery
+
+    idx.delete_docs([0, 5])
+    ex = idx.expunge_deletes()
+    assert not ex.has_deletions()
+    assert list(ex.holes) == [0, 5]
+    q = DocIdSetQuery((0, 5, N - 1, N))
+    want = [(N - 1, 1.0)]
+    assert Searcher(ex).top_docs(q, k=None) == want
+    ex.undelete_all()  # clears tombstones only — holes are physical
+    assert Searcher(ex).top_docs(q, k=None) == want
+    re = Index.load(spark, ex.index_dir) if ex.index_dir else ex.save(
+        str(tmp_path / "holes_ix"))
+    assert list(re.holes) == [0, 5]
+    assert Searcher(re, distributed=True).top_docs(q, k=None) == want
+    idx.undelete_all()
+
+
 def test_streaming_update_by_key(spark, tmp_path):
     """update_batch replaces docs by url: old docids tombstoned, new
     segment serves the fresh content."""
