@@ -282,6 +282,51 @@ def test_random_query_sequence_cached_tier(engine_saved, data):
 
 
 @pytest.fixture(scope="module")
+def engine_holes(spark, tmp_path_factory):
+    """Expunged index (stable docids with holes) vs an oracle that never
+    saw the expunged docs — every query shape must agree, including
+    docid-set shapes naming the holes."""
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "simple")], shard_bits=4,
+        block_size=8,
+    )
+    idx = build_index(
+        spark, synth_web_pages_df(spark, N_DOCS), cfg,
+        index_dir=str(tmp_path_factory.mktemp("prop_holes") / "ix"),
+    )
+    victims = sorted({0, 7, N_DOCS // 2, N_DOCS - 1})
+    idx.delete_docs(victims)
+    ex = idx.expunge_deletes()
+    s = Searcher(ex)
+    o = OracleIndex()
+    pdf = synth_web_pages_pdf(N_DOCS).sort_values("url").reset_index(drop=True)
+    for i, row in enumerate(pdf.itertuples(index=False)):
+        if i in victims:
+            continue
+        o.add(i, {"text": (row.text, "simple")})
+    an = get_analyzer("simple")
+    vocab = sorted({t for txt in pdf["text"] for t in an.tokens(txt)})
+    return s, o, vocab
+
+
+@settings(
+    max_examples=25 * _X,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_query_matches_oracle_expunged(engine_holes, data):
+    s, o, vocab = engine_holes
+    q = data.draw(_full_strategy(vocab))
+    got = s.top_docs(q, k=N_DOCS)
+    want = o.top_k(q, k=N_DOCS)
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    np.testing.assert_allclose(
+        [x for _, x in got], [x for _, x in want], rtol=1e-9, atol=1e-12
+    )
+
+
+@pytest.fixture(scope="module")
 def engine_r2(spark):
     """Round-2 scoring surface: index-time per-doc boosts + classic
     similarity + reciprocal sloppy weighting, vs the extended oracle."""
