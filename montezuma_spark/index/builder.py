@@ -864,16 +864,16 @@ class Index:
         self._pa_postings = None
         self.term_stats_path: str | None = None
         self._pa_term_stats = None
-        from montezuma_spark.index.deletions import load_tombstones
+        from montezuma_spark.index.deletions import load_holes, load_tombstones
 
         # sorted tombstoned docids (.del bitset analog — see deletions.py)
         self.tombstones: np.ndarray = load_tombstones(index_dir)
         # sorted docids PERMANENTLY removed by expunge: docids stay stable
         # (holes are never renumbered or reused), so a hole id names no
-        # document forever — DocIdSetQuery and friends must mask them like
-        # tombstones even though the postings no longer contain them.
-        # Persisted in meta.json; survives undelete_all by design.
-        self.holes: np.ndarray = np.empty(0, dtype=np.int64)
+        # document forever — docid-level queries (DocIdSetQuery) must mask
+        # them even though the postings no longer contain them. Persisted
+        # in the holes.json sidecar; survives undelete_all by design.
+        self.holes: np.ndarray = load_holes(index_dir)
         self._masked_cache: tuple | None = None
 
     # ------------------------------------------------------------- deletions
@@ -883,9 +883,18 @@ class Index:
         from montezuma_spark.index.deletions import save_tombstones
 
         before = len(self.tombstones)
-        merged = np.union1d(
-            self.tombstones, np.asarray(list(docids), dtype=np.int64)
-        )
+        ids = np.asarray(list(docids), dtype=np.int64)
+        # only LIVE ids tombstone: re-deleting an expunge hole (or an id
+        # outside the known universe) must not inflate the set — num_docs
+        # subtracts len(tombstones) and expunge bakes the count into the
+        # corpus stats entry
+        ids = ids[ids >= 0]
+        if len(self.holes):
+            ids = ids[~np.isin(ids, self.holes)]
+        c = self.stats.get(CORPUS_STATS_KEY, {})
+        if c.get("max_doc"):
+            ids = ids[ids < int(c["max_doc"])]
+        merged = np.union1d(self.tombstones, ids)
         self.tombstones = merged
         if self.index_dir:
             save_tombstones(self.index_dir, merged)
@@ -931,7 +940,7 @@ class Index:
         total minus tombstones. Stats stay stale until expunge, like the
         reference's until-merge semantics."""
         if field:
-            total = self.stats.get(field, {}).get("num_docs", 0)
+            total = self.stats[field]["num_docs"]  # unknown field raises
         else:
             total = corpus_num_docs(self.stats)
         return total - len(self.tombstones)
@@ -949,8 +958,17 @@ class Index:
         idiom, multi-reader.lisp:30-37); its cells are re-split at the new
         shard boundaries in one narrow mapInPandas (no shuffle). Fields
         must share analyzer config (field-infos merge is static here)."""
-        base_row = self.doc_map.agg(F.max("docid")).collect()[0]
-        base = int(base_row[0]) + 1 if base_row[0] is not None else 0
+        def _universe(ix: "Index") -> int:
+            """Docid universe bound of one input: holes mean the corpus
+            entry (or, failing that, the live doc_map max) must win over
+            per-field counts — rebasing at doc_map max + 1 would land the
+            appended index's docids ON an input's tail holes, where
+            masked_docids() would permanently hide them."""
+            row = ix.doc_map.agg(F.max("docid")).collect()[0]
+            live_hi = int(row[0]) + 1 if row[0] is not None else 0
+            return max(live_hi, corpus_max_doc(ix.stats))
+
+        base = _universe(self)
         postings_parts = [self.postings]
         doc_maps = [self.doc_map]
         doc_lens_parts = [self.doc_lens]
@@ -961,8 +979,10 @@ class Index:
         holes_parts = [self.holes]
         sb, bs = self.config.shard_bits, self.config.block_size
         cdc = self.config.block_codec
+        other_bases = []
         for o in others:
             b = base
+            other_bases.append(b)
             postings_parts.append(
                 o.postings.mapInPandas(
                     lambda it, _b=b: _rebase_iter(it, _b, sb, bs, cdc),
@@ -988,8 +1008,7 @@ class Index:
                 tombs.append(o.tombstones + b)
             if len(o.holes):
                 holes_parts.append(o.holes + b)
-            mx = o.doc_map.agg(F.max("docid")).collect()[0]
-            base = b + (int(mx[0]) + 1 if mx[0] is not None else 0)
+            base = b + _universe(o)
         # exact merged docid universe from the rebase arithmetic itself —
         # independent of whether the inputs carried a corpus entry; doc
         # count sums each input's corpus count (max-over-fields fallback)
@@ -1016,16 +1035,12 @@ class Index:
         tvs = [self.tv_offsets] + [o.tv_offsets for o in others]
         tv_offsets = None
         if all(t is not None for t in tvs):
-            # rebase each sidecar by the same base used for its postings
+            # rebase each sidecar by the SAME bases used for its postings
             rebased = [tvs[0]]
-            mx0 = self.doc_map.agg(F.max("docid")).collect()[0][0]
-            base2 = int(mx0) + 1 if mx0 is not None else 0
-            for o, t in zip(others, tvs[1:]):
+            for b2, t in zip(other_bases, tvs[1:]):
                 rebased.append(
-                    t.withColumn("docid", F.col("docid") + F.lit(base2))
+                    t.withColumn("docid", F.col("docid") + F.lit(b2))
                 )
-                mx = o.doc_map.agg(F.max("docid")).collect()[0]
-                base2 += int(mx[0]) + 1 if mx[0] is not None else 0
             tv_offsets = reduce(lambda a, c: a.unionByName(c), rebased)
         merged = Index(
             self.spark, self.config, doc_map, doc_lens, postings,
@@ -1120,10 +1135,19 @@ class Index:
             "stats": self.stats,
             "build_report": self.build_report,
         }
-        if len(self.holes):
-            meta["holes"] = [int(d) for d in self.holes]
         with open(f"{index_dir}/meta.json", "w") as fh:
             json.dump(meta, fh, indent=2)
+        from montezuma_spark.index.deletions import (
+            save_holes,
+            save_tombstones,
+        )
+
+        if len(self.holes):
+            save_holes(index_dir, self.holes)
+        if len(self.tombstones):
+            # an in-memory index's delete_docs had no dir to persist to —
+            # without this, save() would silently resurrect deleted docs
+            save_tombstones(index_dir, self.tombstones)
         return Index.load(self.spark, index_dir)
 
     @staticmethod
@@ -1145,8 +1169,6 @@ class Index:
                 spark.read.parquet(tv_dir) if os.path.isdir(tv_dir) else None
             ),
         )
-        if meta.get("holes"):
-            idx.holes = np.asarray(sorted(meta["holes"]), dtype=np.int64)
         # the saved-layout marker: self.postings is literally this parquet
         # directory, so the driver-direct arrow fetch (Searcher's local
         # tier) may read it without a Spark job. Deliberately NOT set for

@@ -67,6 +67,30 @@ def save_tombstones(index_dir: str, tombstones: np.ndarray) -> None:
     os.replace(tmp, path)
 
 
+# expunge holes sidecar: docids permanently removed by expunge (docids are
+# stable-with-holes — builder.Index.holes). A separate file, NOT meta.json
+# or the streaming manifest: holes only grow, and riding a per-commit JSON
+# document would cost O(holes) parse+rewrite on every micro-batch.
+HOLES_FILE = "holes.json"
+
+
+def load_holes(index_dir: str | None) -> np.ndarray:
+    if index_dir:
+        path = os.path.join(index_dir, HOLES_FILE)
+        if os.path.exists(path):
+            with open(path) as fh:
+                return np.asarray(sorted(json.load(fh)), dtype=np.int64)
+    return np.empty(0, dtype=np.int64)
+
+
+def save_holes(index_dir: str, holes: np.ndarray) -> None:
+    path = os.path.join(index_dir, HOLES_FILE)
+    tmp = path + ".new"
+    with open(tmp, "w") as fh:
+        json.dump([int(d) for d in holes], fh)
+    os.replace(tmp, path)
+
+
 def _rewrite_iter(
     batches: Iterator[pd.DataFrame],
     deleted: np.ndarray,
@@ -180,15 +204,19 @@ def expunge_deletes(index) -> "object":
     }
     # docids are NOT renumbered (stable with holes) — the docid universe
     # stays at the pre-expunge bound while the corpus doc count drops to
-    # the live count
-    from montezuma_spark.codec.postings import (
-        CORPUS_STATS_KEY,
-        corpus_max_doc,
-    )
+    # the live count. Pre-key layouts have no exact bound in stats; the
+    # original doc_map's max docid + 1 recovers it exactly (it still
+    # holds every live docid, and holes only exist below prior bounds)
+    from montezuma_spark.codec.postings import CORPUS_STATS_KEY
 
+    md = index.stats.get(CORPUS_STATS_KEY, {}).get("max_doc")
+    if not md:
+        row = index.doc_map.agg(F.max("docid")).collect()[0]
+        hi = int(row[0]) + 1 if row[0] is not None else 0
+        md = max(hi, int(index.holes.max()) + 1 if len(index.holes) else 0)
     stats[CORPUS_STATS_KEY] = {
         "num_docs": int(index.num_docs()),
-        "max_doc": int(corpus_max_doc(index.stats)),
+        "max_doc": int(md),
         "avgdl": 0.0, "total_tokens": 0,
     }
     cfg = index.config

@@ -36,7 +36,7 @@ import pandas as pd
 from montezuma_spark.codec.postings import (
     BOOST_SCALE,
     BOOST_TERM,
-    corpus_max_doc,
+    CORPUS_STATS_KEY,
     decode_cell,
     decode_cell_rows,
     decode_positions,
@@ -861,9 +861,14 @@ class ShardEval:
             # clamp to the docid universe: ids outside [0, max_doc) name
             # no document and must not match (callers pass arbitrary
             # allowlists; the zero-term root path has no candidate set or
-            # postings intersection to drop them naturally)
-            max_doc = corpus_max_doc(self.plan.stats)
-            docs = docs[(docs >= 0) & (docs < max_doc)]
+            # postings intersection to drop them naturally). Clamp ONLY
+            # when the corpus entry carries an exact bound — pre-key
+            # layouts with expunge holes undercount via per-field counts,
+            # and a guessed bound would drop LIVE docids
+            c = self.plan.stats.get(CORPUS_STATS_KEY) or {}
+            docs = docs[docs >= 0]
+            if c.get("max_doc"):
+                docs = docs[docs < int(c["max_doc"])]
             (docs,) = self._drop_deleted(docs)
             if candidates is not None:
                 docs, _ = self._restrict(

@@ -882,13 +882,15 @@ class Searcher:
     def _compile(self, query: Query, k: int | None):
         resolved, idf, df_est, need_pos = self._resolve(query)
         self._check_docidset_positions(resolved)
-        # tombstones ∪ expunge holes: both must mask (holes are docids the
-        # postings no longer contain but docid-level queries could name)
-        tomb = (
-            self.index.masked_docids()
-            if hasattr(self.index, "masked_docids")
-            else getattr(self.index, "tombstones", None)
-        )
+        tomb = getattr(self.index, "tombstones", None)
+        if self._has_docidset(resolved) and hasattr(
+            self.index, "masked_docids"
+        ):
+            # expunge holes only matter to docid-LEVEL queries (postings
+            # and doc_lens no longer contain them) — keeping them off
+            # ordinary plans stops the shipped mask growing with
+            # cumulative update/compact churn
+            tomb = self.index.masked_docids()
         query_norm = 1.0
         if getattr(self.similarity, "normalize_query", False):
             ssw = self._sum_squared_weights(resolved, idf)
@@ -980,11 +982,7 @@ class Searcher:
         delete-set SIZE: Index.delete_docs mutates index.tombstones in
         place, so a reused Searcher must rebuild when the set grows
         (round-2 advice — a stale cache silently returned deleted docs)."""
-        tomb = (
-            self.index.masked_docids()
-            if hasattr(self.index, "masked_docids")
-            else getattr(self.index, "tombstones", None)
-        )
+        tomb = getattr(self.index, "tombstones", None)
         if tomb is None or len(tomb) <= TOMBSTONE_BROADCAST_MAX:
             return None
         if self._tomb_df is None or self._tomb_df[0] != len(tomb):

@@ -164,15 +164,17 @@ class IncrementalIndexer:
         idx = self._union_index(
             man["segments"], man.get("tombstones", [])
         )
-        hs = man.get("holes", [])
-        if hs:
+        from montezuma_spark.index.deletions import load_holes
+
+        hs = load_holes(self.index_dir)
+        if len(hs):
             # docids expunged by an earlier compact: stable-with-holes, so
-            # docid-level queries must keep masking them (builder.holes)
+            # docid-level queries must keep masking them (builder.holes).
+            # Sidecar file, NOT the manifest — holes only grow and would
+            # cost O(holes) JSON parse+rewrite per micro-batch commit
             import numpy as np
 
-            idx.holes = np.union1d(
-                idx.holes, np.asarray(sorted(hs), dtype=np.int64)
-            )
+            idx.holes = np.union1d(idx.holes, hs)
         return idx
 
     def _union_index(self, entries: list, tombstones: list) -> Index:
@@ -206,25 +208,39 @@ class IncrementalIndexer:
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )
         # combined stats: df-weighted avgdl (exact: totals / counts)
+        from montezuma_spark.codec.postings import (
+            CORPUS_STATS_KEY,
+            corpus_num_docs,
+        )
+
         stats: dict = {}
         for s in segs:
             for f, st in s.stats.items():
+                if f == CORPUS_STATS_KEY:
+                    continue  # aggregated below with per-segment fallback
                 agg = stats.setdefault(
                     f, {"num_docs": 0, "total_tokens": 0}
                 )
                 agg["num_docs"] += st["num_docs"]
                 agg["total_tokens"] += st["total_tokens"]
-                if "max_doc" in st:
-                    # corpus entry: each segment's bound already covers
-                    # its docid_base range, so the merged universe is the
-                    # largest bound
-                    agg["max_doc"] = max(
-                        agg.get("max_doc", 0), st["max_doc"]
-                    )
         for f, st in stats.items():
             st["avgdl"] = (
                 st["total_tokens"] / st["num_docs"] if st["num_docs"] else 0.0
             )
+        # corpus entry: doc counts sum with a max-over-fields fallback for
+        # pre-key segments (a key-carrying minority must not shadow them);
+        # the exact universe bound (max of per-segment docid_base-aware
+        # bounds) only when EVERY segment carries one
+        corp = sum(corpus_num_docs(s.stats) for s in segs)
+        if corp:
+            ent = {"num_docs": corp, "total_tokens": 0, "avgdl": 0.0}
+            bounds = [
+                s.stats.get(CORPUS_STATS_KEY, {}).get("max_doc")
+                for s in segs
+            ]
+            if all(bounds):
+                ent["max_doc"] = max(int(b) for b in bounds)
+            stats[CORPUS_STATS_KEY] = ent
         idx = Index(
             self.spark, segs[0].config, doc_map, doc_lens, postings,
             term_stats, stats, index_dir=None,
@@ -324,9 +340,11 @@ class IncrementalIndexer:
             "next_docid": man["next_docid"],
             "next_seg": seg_id + 1,
             "applied_batches": man["applied_batches"],
-            "tombstones": [],  # compaction expunged them → holes
-            "holes": [int(d) for d in merged.holes],
+            "tombstones": [],  # compaction expunged them → holes sidecar
         }
+        from montezuma_spark.index.deletions import save_holes
+
+        save_holes(self.index_dir, merged.holes)
         self._commit(new_man)
         for d in old_dirs:  # delete obsolete segment files (deletable list)
             shutil.rmtree(d, ignore_errors=True)

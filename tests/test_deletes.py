@@ -205,6 +205,56 @@ def test_expunge_holes_mask_docid_sets(spark, idx, tmp_path):
     idx.undelete_all()
 
 
+def test_add_indexes_rebases_past_holes(spark, idx, tmp_path):
+    """Appending onto an expunged index must rebase at the docid
+    UNIVERSE bound, not doc_map max + 1 — otherwise appended docids land
+    on the tail holes and masked_docids() hides live documents."""
+    idx.delete_docs([N - 2, N - 1])          # tail victims → tail holes
+    ex = idx.expunge_deletes()
+    other = build_index(
+        spark, synth_web_pages_df(spark, 10), CFG,
+        index_dir=str(tmp_path / "other_ix"),
+    )
+    merged = ex.add_indexes(other)
+    # appended docids start AT the universe bound (N), clear of holes
+    assert merged.num_docs() == N - 2 + 10
+    s = Searcher(merged)
+    from montezuma_spark.search import DocIdSetQuery
+
+    got = s.top_docs(DocIdSetQuery(tuple(range(N - 2, N + 10))), k=None)
+    assert [d for d, _ in got] == list(range(N, N + 10))
+    idx.undelete_all()
+
+
+def test_save_preserves_inmemory_tombstones(spark, tmp_path):
+    """save() of an index whose deletes never hit a deletions.json (built
+    in-memory) must not resurrect the deleted docs."""
+    ix = build_index(spark, synth_web_pages_df(spark, 30), CFG)
+    ix.delete_docs([3, 4])
+    saved = ix.save(str(tmp_path / "saved_del"))
+    assert list(saved.tombstones) == [3, 4]
+    assert saved.num_docs() == 28
+    assert 3 not in {
+        d for d, _ in Searcher(saved).top_docs(MatchAllQuery(), k=None)
+    }
+
+
+def test_redeleting_a_hole_is_a_noop(spark, idx):
+    """delete_docs of an expunged hole (or an out-of-universe id) must
+    not inflate the tombstone set — num_docs subtracts its length and
+    expunge bakes the count into the corpus stats."""
+    idx.delete_docs([3])
+    ex = idx.expunge_deletes()
+    assert ex.num_docs() == N - 1
+    assert ex.delete_docs([3, 4, N + 50]) == 1   # only 4 is live
+    assert list(ex.tombstones) == [4]
+    assert ex.num_docs() == N - 2
+    ex2 = ex.expunge_deletes()
+    assert ex2.num_docs() == N - 2
+    assert list(ex2.holes) == [3, 4]
+    idx.undelete_all()
+
+
 def test_streaming_update_by_key(spark, tmp_path):
     """update_batch replaces docs by url: old docids tombstoned, new
     segment serves the fresh content."""
