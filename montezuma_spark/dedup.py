@@ -14,6 +14,9 @@ search library) and cover what a 100 TB training-data pipeline needs:
 * SimHash                — 32-bit weighted-bit fingerprint (Charikar 2002)
 * winnowing fingerprints — rolling min-hash over k-gram windows
                            (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+* cluster assignment     — connected components over the pair graph
+                           (min-label propagation + pointer jumping)
+* canonical selection    — one kept doc per cluster (struct-max groupBy)
 
 Everything is declarative DataFrame ops (JVM-side, codegen-friendly, no
 Python UDFs), so each operator has an exact ANSI-SQL oracle and Catalyst
@@ -407,4 +410,114 @@ def winnow_fingerprints(docs_toks: DataFrame, k: int = 3, w: int = 4,
     return (
         docs_toks.select(F.col(id_col), F.expr(grams).alias("_hs"))
         .select(F.col(id_col), F.explode(F.expr(wins)).alias("fp"))
+    )
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         id_col: str = "docid",
+                         src_col: str = "id_a", dst_col: str = "id_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Near-dup cluster assignment: (id, cluster_id) where cluster_id is
+    the MIN node id reachable from id through ``edges`` (singletons keep
+    their own id). This is the step AFTER candidate pairs that every
+    dedup pipeline needs — near-duplication is transitive in practice
+    (a~b, b~c ⇒ keep one of {a,b,c}), so pairs must be resolved into
+    components before a keep/drop decision can be made.
+
+    Algorithm: iterative min-label propagation WITH pointer jumping —
+    each round ``label ← min(label, min_{u∈N(v)} label(u))`` then
+    ``label ← label[label]`` (the hash-to-min / pointer-doubling family,
+    Rastogi et al. 2012). The doubling step bounds rounds at O(log n)
+    even on path-shaped components, where plain propagation needs
+    O(diameter) rounds.
+
+    Scale notes (100 TB): each round is two keyed equi-joins plus one
+    min-groupBy whose partial aggregation pre-reduces a giant
+    component's label fan-in map-side (no hot-key shuffle; AQE handles
+    residual skew). Lineage is truncated per round with
+    ``localCheckpoint`` — tens of rounds of self-referential joins would
+    otherwise compound the plan exponentially. Convergence is detected
+    by a changed-label count, so already-quiet graphs stop after one
+    round. Duplicate / both-direction edges are harmless under min-agg,
+    so no ``distinct`` shuffle is spent on the edge list.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("s"),
+        F.col(dst_col).cast("long").alias("d"),
+    )
+    e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    lab = nodes.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).cast("long").alias("label"),
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nmin = (
+            e.join(
+                lab.select(F.col("id").alias("s"),
+                           F.col("label").alias("slabel")),
+                "s",
+            )
+            .groupBy("d")
+            .agg(F.min("slabel").alias("nlabel"))
+        )
+        l1 = (
+            lab.join(nmin, lab["id"] == nmin["d"], "left")
+            .select(
+                lab["id"],
+                F.least(
+                    "label", F.coalesce("nlabel", "label")
+                ).alias("l1"),
+                lab["label"].alias("_old"),
+            )
+        )
+        ptr = l1.select(F.col("id").alias("pid"), F.col("l1").alias("plabel"))
+        new = (
+            l1.join(ptr, l1["l1"] == ptr["pid"], "left")
+            .select(
+                "id",
+                F.least("l1", F.coalesce("plabel", F.col("l1"))).alias("label"),
+                "_old",
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("label") != F.col("_old")).count()
+        lab = new.select("id", "label")
+        if changed == 0:
+            break
+    return lab.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def canonical_docs(clusters: DataFrame, quality: DataFrame,
+                   id_col: str = "docid",
+                   quality_col: str = "dl") -> DataFrame:
+    """One kept doc per near-dup cluster: highest ``quality_col``, ties
+    broken toward the smallest id. Input: ``clusters`` = (id, cluster_id)
+    from :func:`connected_components`; ``quality`` = (id, quality_col).
+
+    Output: (cluster_id, keep_docid, n_members).
+
+    Scale: ONE groupBy with a struct-max aggregate — partial aggregation
+    map-side (never a per-cluster sort window). ``-id`` rides the struct
+    so the lexicographic max is (quality desc, id asc); ids are
+    non-negative longs, so the negation cannot overflow.
+    """
+    q = clusters.join(
+        quality.select(F.col(id_col), F.col(quality_col).alias("_q")),
+        id_col,
+    )
+    picked = q.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("_q").alias("q"),
+                (-F.col(id_col)).cast("long").alias("negid"),
+            )
+        ).alias("_best"),
+        F.count("*").alias("n_members"),
+    )
+    return picked.select(
+        "cluster_id",
+        (-F.col("_best.negid")).alias("keep_docid"),
+        "n_members",
     )

@@ -883,6 +883,41 @@ def dd_ngram_jaccard(spark, sf_dir):
     )
 
 
+def dd_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT: connected components over the
+    dd_ngram_jaccard pair graph — (docid, cluster_id) for every doc,
+    cluster_id = min reachable docid (singletons keep their own id).
+    Iterative min-label propagation with pointer jumping
+    (montezuma_spark.dedup.connected_components, O(log n) rounds);
+    the oracle is a DuckDB recursive CTE over the same pair SQL."""
+    from montezuma_spark.dedup import connected_components, ngram_jaccard_pairs
+
+    t = _tokens_df(spark, sf_dir).select("docid", "toks")
+    pairs = ngram_jaccard_pairs(t, threshold=0.8, hash_family="affine")
+    return connected_components(pairs, t.select("docid"))
+
+
+def dd_canonical(spark, sf_dir):
+    """Canonical-doc selection: per near-dup cluster keep the LONGEST
+    doc (dl desc, docid asc) — the keep/drop decision a dedup pipeline
+    emits. One struct-max groupBy over the cluster assignment
+    (montezuma_spark.dedup.canonical_docs), never a per-cluster sort."""
+    from montezuma_spark.dedup import (
+        canonical_docs,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    t = _tokens_df(spark, sf_dir).select("docid", "toks")
+    pairs = ngram_jaccard_pairs(t, threshold=0.8, hash_family="affine")
+    cl = connected_components(pairs, t.select("docid"))
+    quality = t.select("docid", F.size("toks").cast("long").alias("dl"))
+    return canonical_docs(cl, quality).select(
+        "cluster_id", "keep_docid", F.col("n_members").cast("long")
+        .alias("n_members")
+    )
+
+
 def dd_embed_neardup(spark, sf_dir):
     """Embedding near-dup pairs: hyperplane-LSH band candidates -> exact
     cosine >= 0.4 — montezuma_spark.ann.embedding_neardup_pairs."""
@@ -1145,6 +1180,8 @@ QUERIES = {
     "dd_simhash": dd_simhash,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_clusters": dd_clusters,
+    "dd_canonical": dd_canonical,
     "dd_embed_neardup": dd_embed_neardup,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1374,6 +1411,62 @@ _SHINGLE_SQL = (
     "[array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) "
     "ELSE [] END"
 )
+
+# shared n-gram MinHash-band pair CTEs (dd_ngram_jaccard, dd_clusters,
+# dd_canonical): candidates via the 2-band affine-family signatures, exact
+# shingle Jaccard in `v`
+_NGRAM_PAIR_CTES = f"""
+, shq AS (SELECT docid, {{shingle}} AS sh FROM docs),
+dh AS (
+  SELECT docid,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS hm
+  FROM (SELECT docid, unnest(sh) AS g FROM shq)
+),
+mh AS (
+  SELECT docid, {{affine}}
+  FROM dh GROUP BY docid
+),
+mbands AS (
+  SELECT docid, 0 AS band_id, m0::VARCHAR || ':' || m1::VARCHAR AS band_val
+  FROM mh
+  UNION ALL
+  SELECT docid, 1, m2::VARCHAR || ':' || m3::VARCHAR FROM mh
+),
+cand AS (
+  SELECT DISTINCT a.docid AS id_a, b.docid AS id_b
+  FROM mbands a JOIN mbands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.docid < b.docid
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+         / greatest(len(list_distinct(a.sh || b.sh)), 1) AS jac
+  FROM cand c JOIN shq a ON a.docid = c.id_a JOIN shq b ON b.docid = c.id_b
+)
+"""
+
+# components: min reachable docid per node via a recursive CTE over the
+# thresholded pair graph — the oracle twin of dedup.connected_components
+_CLUSTER_CTES = """
+, pe AS (
+  SELECT id_a AS s, id_b AS d FROM v WHERE jac >= 0.8
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM v WHERE jac >= 0.8
+),
+reach(id, r) AS (
+  SELECT docid, docid FROM docs
+  UNION
+  SELECT pe.d, reach.r FROM reach JOIN pe ON pe.s = reach.id
+),
+cl AS (SELECT id AS docid, min(r) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+def _ngram_pair_ctes() -> str:
+    return _NGRAM_PAIR_CTES.format(
+        shingle=_SHINGLE_SQL, affine=_affine_minhash_sql(4)
+    )
 
 
 ORACLE = {
@@ -1864,36 +1957,29 @@ cand AS (
 SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """,
-    "dd_ngram_jaccard": _BASE + f"""
-, shq AS (SELECT docid, {_SHINGLE_SQL} AS sh FROM docs),
-dh AS (
-  SELECT docid,
-         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS hm
-  FROM (SELECT docid, unnest(sh) AS g FROM shq)
-),
-mh AS (
-  SELECT docid, {_affine_minhash_sql(4)}
-  FROM dh GROUP BY docid
-),
-mbands AS (
-  SELECT docid, 0 AS band_id, m0::VARCHAR || ':' || m1::VARCHAR AS band_val
-  FROM mh
-  UNION ALL
-  SELECT docid, 1, m2::VARCHAR || ':' || m3::VARCHAR FROM mh
-),
-cand AS (
-  SELECT DISTINCT a.docid AS id_a, b.docid AS id_b
-  FROM mbands a JOIN mbands b
-    ON a.band_id = b.band_id AND a.band_val = b.band_val
-   AND a.docid < b.docid
-),
-v AS (
-  SELECT c.id_a, c.id_b,
-         len(list_intersect(a.sh, b.sh))::DOUBLE
-         / greatest(len(list_distinct(a.sh || b.sh)), 1) AS jac
-  FROM cand c JOIN shq a ON a.docid = c.id_a JOIN shq b ON b.docid = c.id_b
-)
+    "dd_ngram_jaccard": _BASE + _ngram_pair_ctes() + """
 SELECT id_a, id_b, round(jac, 6) AS jaccard FROM v WHERE jac >= 0.8
+""",
+    "dd_clusters": _BASE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _ngram_pair_ctes() + _CLUSTER_CTES + """
+SELECT docid, cluster_id FROM cl
+""",
+    "dd_canonical": _BASE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _ngram_pair_ctes() + _CLUSTER_CTES + """
+, ql AS (
+  SELECT c.cluster_id, c.docid, l.dl
+  FROM cl c JOIN lens l USING (docid)
+),
+rk AS (
+  SELECT cluster_id, docid, dl,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY dl DESC, docid ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM ql
+)
+SELECT cluster_id, docid AS keep_docid, n_members
+FROM rk WHERE rn = 1
 """,
     "dd_embed_neardup": _lsh_sql_base() + """
 , cand AS (

@@ -486,3 +486,111 @@ def test_simhash_pairs_64bit(spark):
         if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= 3
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# connected components / canonical selection
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, edges, nodes, **kw):
+    from montezuma_spark.dedup import connected_components
+
+    e = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        e = e.filter(F.lit(False))
+    n = spark.createDataFrame([(i,) for i in nodes], "docid long")
+    rows = connected_components(e, n, **kw).collect()
+    return {r["docid"]: r["cluster_id"] for r in rows}
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min id per component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(comp[find(n)]) for n in nodes}
+
+
+def test_connected_components_shapes(spark):
+    # chain (worst case for plain propagation), clique, singleton,
+    # two separate components
+    edges = [(1, 2), (2, 3), (3, 4),          # path 1-2-3-4
+             (10, 11), (11, 12), (10, 12),    # triangle
+             (20, 21)]
+    nodes = [1, 2, 3, 4, 10, 11, 12, 20, 21, 30]
+    got = _cc(spark, edges, nodes)
+    assert got == _union_find(edges, nodes)
+    assert got[30] == 30 and got[4] == 1 and got[12] == 10
+
+
+def test_connected_components_empty_edges(spark):
+    got = _cc(spark, [], [5, 7, 9])
+    assert got == {5: 5, 7: 7, 9: 9}
+
+
+def test_connected_components_random_graphs(spark):
+    import random
+
+    rng = random.Random(0xC0C0)
+    for trial in range(3):
+        nodes = list(range(40))
+        edges = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(30)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc(spark, edges, nodes) == _union_find(edges, nodes)
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 40-node path has diameter 39: plain propagation would need 39
+    # rounds; pointer jumping must finish within the default max_iters=25
+    edges = [(i, i + 1) for i in range(39)]
+    got = _cc(spark, edges, list(range(40)))
+    assert set(got.values()) == {0}
+
+
+def test_canonical_docs_pick(spark):
+    from montezuma_spark.dedup import canonical_docs
+
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8)],
+        "docid long, cluster_id long",
+    )
+    q = spark.createDataFrame(
+        # doc 2 longest in cluster 1; 1 and 3 tie below it
+        [(1, 5), (2, 9), (3, 5), (7, 2), (8, 4)],
+        "docid long, dl long",
+    )
+    rows = {
+        r["cluster_id"]: (r["keep_docid"], r["n_members"])
+        for r in canonical_docs(cl, q).collect()
+    }
+    assert rows == {1: (2, 3), 7: (7, 1), 8: (8, 1)}
+
+
+def test_canonical_docs_tie_breaks_min_id(spark):
+    from montezuma_spark.dedup import canonical_docs
+
+    cl = spark.createDataFrame(
+        [(4, 4), (9, 4), (2, 4)], "docid long, cluster_id long"
+    )
+    q = spark.createDataFrame(
+        [(4, 7), (9, 7), (2, 7)], "docid long, dl long"
+    )
+    (row,) = canonical_docs(cl, q).collect()
+    assert (row["keep_docid"], row["n_members"]) == (2, 3)
