@@ -545,6 +545,10 @@ def _compact(result: dict) -> dict:
             for k in ("n_docs", "n_vectors", "cand_ratio", "probe_sec")
             if k in da
         }
+        hi = (da.get("dedup") or {}).get("hi") or {}
+        for kk in ("cluster_rounds", "cluster_seconds", "n_clusters"):
+            if kk in hi:
+                out["dedup_ann_scale"][kk] = hi[kk]
     return out
 
 

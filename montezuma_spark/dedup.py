@@ -416,7 +416,8 @@ def winnow_fingerprints(docs_toks: DataFrame, k: int = 3, w: int = 4,
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          id_col: str = "docid",
                          src_col: str = "id_a", dst_col: str = "id_b",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """Near-dup cluster assignment: (id, cluster_id) where cluster_id is
     the MIN node id reachable from id through ``edges`` (singletons keep
     their own id). This is the step AFTER candidate pairs that every
@@ -450,7 +451,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         F.col(id_col).cast("long").alias("id"),
         F.col(id_col).cast("long").alias("label"),
     ).localCheckpoint()
-    for _ in range(max_iters):
+    for rounds in range(1, max_iters + 1):
+        if stats is not None:
+            stats["rounds"] = rounds
         nmin = (
             e.join(
                 lab.select(F.col("id").alias("s"),

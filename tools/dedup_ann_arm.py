@@ -64,6 +64,8 @@ def _dedup_point(spark, n_docs: int, vocab_size: int) -> dict:
     from pyspark.sql import functions as F
 
     from montezuma_spark.dedup import (
+        canonical_docs,
+        connected_components,
         minhash_band_pairs,
         minhash_signature,
         ngram_jaccard_pairs,
@@ -99,10 +101,29 @@ def _dedup_point(spark, n_docs: int, vocab_size: int) -> dict:
     out["minhash_max_bucket"] = MINHASH_MAX_BUCKET
 
     t0 = time.time()
-    ver = ngram_jaccard_pairs(toks, threshold=0.8, cand=cand)
+    ver = ngram_jaccard_pairs(toks, threshold=0.8, cand=cand).persist()
     out["jaccard_pairs"] = ver.count()
     out["jaccard_seconds"] = round(time.time() - t0, 2)
     cand.unpersist()
+
+    # cluster assignment + canonical selection over the verified pairs —
+    # the keep/drop end of the pipeline (dedup.connected_components /
+    # canonical_docs); rounds should stay O(log n) flat across points
+    t0 = time.time()
+    ccs: dict = {}
+    cl = connected_components(
+        ver.select("id_a", "id_b"), toks.select("docid"), stats=ccs
+    )
+    out["n_clusters"] = cl.select("cluster_id").distinct().count()
+    out["cluster_rounds"] = ccs.get("rounds")
+    out["cluster_seconds"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    keep = canonical_docs(
+        cl, toks.select("docid", F.size("toks").alias("dl"))
+    )
+    out["docs_kept"] = keep.count()
+    out["canonical_seconds"] = round(time.time() - t0, 2)
+    ver.unpersist()
 
     t0 = time.time()
     tf = tok.groupBy("docid", "tok").agg(F.count("*").alias("tf"))
