@@ -762,6 +762,53 @@ def ta_quality(spark, sf_dir):
     )
 
 
+def _gram_sql(n: int) -> str:
+    """Spark SQL expr: ALL token n-grams (duplicates kept) of `toks`."""
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def ta_repetition(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher-rules family, Rae et
+    al. 2021 §A1.1): per doc — fraction of tokens taken by the single
+    most frequent token, distinct/total token ratio, and the fraction of
+    duplicate 2-/3-grams. Token-level stats ride the exploded table
+    through two partial-aggregated groupBys (never a per-row O(dl²)
+    array scan — at web doc lengths transform+filter per distinct token
+    is quadratic in dl); n-gram duplicate fractions are per-row array
+    ops (linear-ish), joined back on docid."""
+    t = _tokens_df(spark, sf_dir)
+    tok = t.select("docid", F.explode("toks").alias("tok"))
+    tf = tok.groupBy("docid", "tok").agg(F.count("*").alias("c"))
+    tt = tf.groupBy("docid").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_ratio"),
+    )
+    reps = t.select(
+        "docid",
+        F.expr(_gram_sql(2)).alias("_g2"),
+        F.expr(_gram_sql(3)).alias("_g3"),
+    ).select(
+        "docid",
+        *[
+            F.round(
+                (F.size(g) - F.size(F.array_distinct(g)))
+                / F.greatest(F.size(g), F.lit(1)),
+                6,
+            ).alias(name)
+            for g, name in (
+                (F.col("_g2"), "dup_2gram_frac"),
+                (F.col("_g3"), "dup_3gram_frac"),
+            )
+        ],
+    )
+    return tt.join(reps, "docid")
+
+
 def ta_langid(spark, sf_dir):
     t = _tokens_df(spark, sf_dir)
     stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
@@ -1171,6 +1218,7 @@ QUERIES = {
     "ft_doclens": ft_doclens,
     "ta_token_count": ta_token_count,
     "ta_quality": ta_quality,
+    "ta_repetition": ta_repetition,
     "ta_bpe_tokens": ta_bpe_tokens,
     "ta_langid": ta_langid,
     "ta_extract": ta_extract,
@@ -1861,6 +1909,36 @@ SELECT d.docid, l.dl::BIGINT AS n_tokens, d.n_chars::BIGINT AS n_chars,
         / greatest(len(list_distinct(d.toks)), 1), 6) AS stop_distinct_ratio,
   round(d.n_chars::DOUBLE / greatest(l.dl, 1), 6) AS chars_per_token
 FROM docs d JOIN lens l USING (docid)
+""",
+    "ta_repetition": _BASE + """
+, tf AS (SELECT docid, tok, count(*) AS c FROM tokens GROUP BY docid, tok),
+tt AS (
+  SELECT docid,
+         round(max(c)::DOUBLE / sum(c), 6) AS top_token_frac,
+         round(count(*)::DOUBLE / sum(c), 6) AS distinct_ratio
+  FROM tf GROUP BY docid
+),
+gr AS (
+  SELECT docid,
+    CASE WHEN len(toks) >= 2 THEN
+      [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+    ELSE [] END AS g2,
+    CASE WHEN len(toks) >= 3 THEN
+      [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+    ELSE [] END AS g3
+  FROM docs
+),
+reps AS (
+  SELECT docid,
+    round((len(g2) - len(list_distinct(g2)))::DOUBLE
+          / greatest(len(g2), 1), 6) AS dup_2gram_frac,
+    round((len(g3) - len(list_distinct(g3)))::DOUBLE
+          / greatest(len(g3), 1), 6) AS dup_3gram_frac
+  FROM gr
+)
+SELECT tt.docid, tt.top_token_frac, tt.distinct_ratio,
+       reps.dup_2gram_frac, reps.dup_3gram_frac
+FROM tt JOIN reps USING (docid)
 """,
     "ta_langid": _BASE + f"""
 SELECT d.docid,
