@@ -8,6 +8,11 @@ an exact ANSI-SQL oracle):
   signatures (Charikar 2002), banded into buckets; candidates = vectors
   sharing >=1 band with the query, then exact cosine rerank of candidates
   only. Also powers embedding near-duplicate pairs.
+* IVF coarse quantizer       — trained k-means cells, cid-partitioned
+  tables, nprobe partition-pruned probes (AnnIndex).
+* IVF-PQ / ADC               — the memory-scale tier (Jégou et al. 2011):
+  per-subspace codebooks, codes packed to one int64 per vector,
+  asymmetric-distance LUT probe + exact rerank of the shortlist.
 
 Hyperplanes are generated once from a fixed seed and embedded as literal
 arrays in both the Spark plan and the SQL oracle, so signatures match
@@ -546,6 +551,143 @@ def ivf_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ / ADC): the memory-scale path — m-byte codes
+# instead of dim×4-byte vectors (dim=64 float32 = 256 B -> 8 B, 32×), probed
+# via an asymmetric-distance lookup table (Jégou et al., TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8            # subspaces; codes pack into ONE int64 (m <= 8 required)
+PQ_KSUB = 256       # sub-centroids per subspace (8-bit codes)
+PQ_SEED = 97531
+PQ_TRAIN_ITERS = 20
+
+
+def pq_train_codebooks_local(vectors: np.ndarray, m: int = PQ_M,
+                             ksub: int = PQ_KSUB, seed: int = PQ_SEED,
+                             max_iter: int = PQ_TRAIN_ITERS) -> np.ndarray:
+    """Driver-side PQ codebook training: plain-L2 Lloyd's k-means run
+    independently per subspace. Pure float64-numpy function of
+    (vectors, seed) — bit-reproducible, so the DuckDB oracle templates
+    the EXACT codebooks as SQL literals (``planes_sql_values`` per
+    subspace). Feed it the bounded lowest-id sample (``IVF_TRAIN_CAP``),
+    same as the coarse quantizer. Returns (m, ksub, dim//m)."""
+    v = np.ascontiguousarray(vectors, dtype=np.float64)
+    n, dim = v.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = v[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.default_rng(seed + 7919 * j)
+        idx = rng.choice(n, size=ksub, replace=n < ksub)
+        c = np.ascontiguousarray(sub[idx])
+        for _ in range(max_iter):
+            # argmin ||x - c||² == argmin ||c||² − 2·x·c (ties -> lowest
+            # code, matching the oracle's (dist asc, c asc) row_number)
+            d = (c * c).sum(axis=1)[None, :] - 2.0 * (sub @ c.T)
+            assign = np.argmin(d, axis=1)
+            newc = c.copy()
+            for cc in range(ksub):
+                members = sub[assign == cc]
+                if len(members):
+                    newc[cc] = members.mean(axis=0)
+            if np.array_equal(newc, c):
+                break
+            c = newc
+        books[j] = c
+    return books
+
+
+def pq_encode_np(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 PQ codes: per subspace, the L2-nearest sub-centroid
+    (ties to the lowest code — numpy argmin keeps the first)."""
+    m, ksub, dsub = codebooks.shape
+    if ksub > 256 or m > 8:
+        raise ValueError("packed codes support m <= 8, ksub <= 256")
+    v = np.ascontiguousarray(vecs, dtype=np.float64)
+    codes = np.empty((len(v), m), dtype=np.uint8)
+    for j in range(m):
+        sub = v[:, j * dsub:(j + 1) * dsub]
+        cb = codebooks[j]
+        d = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Pack (n, m<=8) uint8 codes into one int64 per vector (byte j at
+    bit 8j) — a plain LONG column instead of a per-row binary blob, so
+    parquet stores it plain/dictionary-encoded and numpy unpacks it with
+    three shifts, no per-row Python."""
+    packed = np.zeros(len(codes), dtype=np.uint64)
+    for j in range(codes.shape[1]):
+        packed |= codes[:, j].astype(np.uint64) << np.uint64(8 * j)
+    return packed.astype(np.int64)  # two's-complement wrap is lossless
+
+
+def pq_unpack_codes(packed: np.ndarray, m: int) -> np.ndarray:
+    u = packed.astype(np.uint64)  # modular wrap inverts the int64 view
+    return np.stack(
+        [((u >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.intp)
+         for j in range(m)],
+        axis=1,
+    )
+
+
+def pq_adc_lut(qvec: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(m, ksub) inner-product lookup table: lut[j, c] = q_j · cb[j, c].
+    ADC approx dot(q, x) = Σ_j lut[j, code_j(x)]."""
+    m, ksub, dsub = codebooks.shape
+    q = np.ascontiguousarray(qvec, dtype=np.float64)
+    return np.stack(
+        [codebooks[j] @ q[j * dsub:(j + 1) * dsub] for j in range(m)]
+    )
+
+
+def pq_adc_scores(packed: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Vectorized ADC: one gather + sum per subspace over the whole
+    candidate block — no per-row Python."""
+    m = lut.shape[0]
+    codes = pq_unpack_codes(packed, m)
+    out = np.zeros(len(packed), dtype=np.float64)
+    for j in range(m):
+        out += lut[j][codes[:, j]]
+    return out
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              passthrough: tuple = ()) -> DataFrame:
+    """(id, codes long, vnorm double [, passthrough…]): Arrow-batched
+    encode — one GEMM + argmin per subspace per batch, codes packed to
+    int64. ``vnorm`` (the exact vector norm) rides along so ADC scores
+    convert to approximate cosines without touching the vectors table."""
+    cbs = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    def work(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _stack_vectors(pdf[vec_col])
+            out = {
+                id_col: pdf[id_col],
+                "codes": pq_pack_codes(pq_encode_np(v, cbs)),
+                "vnorm": np.linalg.norm(v, axis=1),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    extra = "".join(f", {c} long" for c in passthrough)
+    return emb.select(id_col, vec_col, *passthrough).mapInPandas(
+        work, schema=f"{id_col} long, codes long, vnorm double{extra}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # AnnIndex: build-once / probe-many persisted layout
 # ---------------------------------------------------------------------------
 
@@ -589,6 +731,14 @@ class AnnIndex:
                 dim=meta["dim"], n=meta["num_centroids"],
                 seed=meta["ivf_seed"],
             )
+        # PQ codes tier (optional; pre-PQ layouts stay servable)
+        pqpath = f"{index_dir}/pq_codebooks.npy"
+        if os.path.exists(pqpath) and os.path.isdir(f"{index_dir}/pq"):
+            self.pq_codebooks = np.load(pqpath)
+            self.pq = spark.read.parquet(f"{index_dir}/pq")
+        else:
+            self.pq_codebooks = None
+            self.pq = None
         self.vectors = spark.read.parquet(f"{index_dir}/vectors")
         self.bands = spark.read.parquet(f"{index_dir}/bands")
         # id-ordered lookup sidecar (older indexes may predate it; fall
@@ -607,11 +757,19 @@ class AnnIndex:
               num_centroids: int = NUM_CENTROIDS,
               lsh_seed: int = LSH_SEED, ivf_seed: int = IVF_SEED,
               centroids: np.ndarray | None = None,
+              pq: "bool | np.ndarray" = False,
+              pq_m: int = PQ_M, pq_ksub: int = PQ_KSUB,
               ) -> "AnnIndex":
         """``centroids``: optional trained quantizer matrix (unit-norm,
         e.g. from ``ivf_train_centroids``) — persisted alongside the index
         so probes reproduce the exact build-time assignment; default is
-        the deterministic seed-derived matrix."""
+        the deterministic seed-derived matrix.
+
+        ``pq``: False (off), True (train codebooks from the lowest-id
+        ``IVF_TRAIN_CAP`` sample), or an (m, ksub, dim/m) codebook matrix
+        — enables the IVF-PQ codes tier (``{dir}/pq``: (id, codes int64,
+        vnorm) PARTITIONED BY cid; 8 B codes + 8 B norm per vector vs
+        dim×8 B raw, the memory-scale probe path behind ``pq_topk``)."""
         import json
         import os
 
@@ -686,6 +844,26 @@ class AnnIndex:
             "num_centroids": int(cents.shape[0]),
             "lsh_seed": lsh_seed, "ivf_seed": ivf_seed,
         }
+        if pq is not False:
+            if pq is True:
+                sample = (
+                    emb.orderBy(id_col).limit(IVF_TRAIN_CAP)
+                    .toPandas()[vec_col]
+                )
+                books = pq_train_codebooks_local(
+                    _stack_vectors(sample), m=pq_m, ksub=pq_ksub
+                )
+            else:
+                books = np.ascontiguousarray(pq, dtype=np.float64)
+            codes = pq_encode(
+                saved_vec, books, id_col, vec_col, passthrough=("cid",)
+            )
+            codes.repartition("cid").write.mode("overwrite").partitionBy(
+                "cid"
+            ).parquet(f"{index_dir}/pq")
+            np.save(f"{index_dir}/pq_codebooks.npy", books)
+            meta["pq_m"] = int(books.shape[0])
+            meta["pq_ksub"] = int(books.shape[1])
         if trained:
             np.save(f"{index_dir}/centroids.npy", cents)
         with open(f"{index_dir}/meta.json", "w") as fh:
@@ -900,3 +1078,85 @@ class AnnIndex:
         if query_id is not None:
             cand = cand.filter(F.col(self.id_col) != query_id)
         return rerank_topk(cand, qvec, k, self.id_col, self.vec_col)
+
+    def pq_topk(self, query_id: int | None = None, k: int = 10,
+                nprobe: int = NPROBE, refine: int = 4,
+                qvec: np.ndarray | None = None) -> DataFrame:
+        """IVF-PQ probe (asymmetric distance, Jégou et al. 2011): scan
+        the nprobe cells' 16-byte code rows instead of their raw vectors
+        — the 100-TB memory path (a 10⁹-vector cell fits where the raw
+        vectors would not) — then exact-rerank the ``refine·k`` ADC
+        shortlist from the cid-pruned vectors table.
+
+        Approximate cosines are rounded to 6 decimals BEFORE the
+        shortlist cut with an id-asc tie-break, so the arrow-direct and
+        Spark fallback paths (different float summation orders) pick the
+        same shortlist. Returns rerank_topk's exact (id, cos) schema."""
+        if self.pq_codebooks is None:
+            raise ValueError("index was built without pq=True")
+        if qvec is None:
+            qvec = self._query_vec(query_id)
+        q = np.ascontiguousarray(qvec, dtype=np.float64)
+        probe = _probe_cells(q, self.centroids, nprobe)
+        lut = pq_adc_lut(q, self.pq_codebooks)
+        qn = float(np.linalg.norm(q))
+        nshort = max(int(refine) * k, k)
+        pds_ = self._dataset("pq", partitioned=True)
+        vds = self._dataset("vectors", partitioned=True)
+        if pds_ is not None and vds is not None:
+            import pyarrow.compute as pc
+
+            filt = pc.field("cid").isin([int(c) for c in probe])
+            # code rows are ~24 B vs ~8·dim B raw — the driver-direct
+            # budget stretches 8× at the same byte ceiling
+            if pds_.count_rows(filter=filt) <= (
+                self.ARROW_PROBE_MAX_ROWS * 8
+            ):
+                tbl = pds_.to_table(
+                    columns=[self.id_col, "codes", "vnorm"], filter=filt
+                )
+                ids = tbl[self.id_col].to_numpy()
+                appx = pq_adc_scores(tbl["codes"].to_numpy(), lut) / (
+                    np.maximum(tbl["vnorm"].to_numpy(), 1e-300) * qn
+                )
+                if query_id is not None:
+                    keep = ids != query_id
+                    ids, appx = ids[keep], appx[keep]
+                order = np.lexsort((ids, -np.round(appx, 6)))[:nshort]
+                short = np.sort(ids[order])
+                sids, svecs = self._fetch_vectors_cells(
+                    vds, np.asarray(probe), short
+                )
+                return self._topk_result(sids, svecs, q, k)
+        # Spark fallback: ADC via one Arrow-batched pass over the
+        # cid-pruned codes, bounded top-nshort, exact rerank on the
+        # shortlist join
+        cand = self.pq.filter(F.col("cid").isin(probe))
+        if query_id is not None:
+            cand = cand.filter(F.col(self.id_col) != query_id)
+        id_col = self.id_col
+
+        def adc(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sc = pq_adc_scores(
+                    pdf["codes"].to_numpy(np.int64), lut
+                ) / (np.maximum(pdf["vnorm"].to_numpy(), 1e-300) * qn)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "_appx": np.round(sc, 6)}
+                )
+
+        shortlist = (
+            cand.select(id_col, "codes", "vnorm")
+            .mapInPandas(adc, schema=f"{id_col} long, _appx double")
+            .orderBy(F.desc("_appx"), F.asc(id_col))
+            .limit(nshort)
+            .select(id_col)
+        )
+        return rerank_topk(
+            self.vectors.join(shortlist, id_col), q, k,
+            self.id_col, self.vec_col,
+        )

@@ -1011,6 +1011,41 @@ def _trained_centroids(sf_dir: str):
     return _CENTROID_CACHE[sf_dir]
 
 
+_PQ_BOOKS_CACHE: dict = {}
+# contract-scale PQ shape: m=8 subspaces of dim 8, 16 codes each (256 at
+# web scale — ksub=16 keeps the templated oracle codebook to 1k floats
+# and is honest for a 500-vector table)
+PQ_CONTRACT_KSUB = 16
+
+
+def _pq_books(sf_dir: str):
+    """TRAINED PQ codebooks for the graded path — same deterministic
+    driver-side recipe as ``_trained_centroids`` (DuckDB sample, pure
+    numpy per-subspace Lloyd's), so the Spark build and the DuckDB
+    oracle template the identical float64 codebooks."""
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        import duckdb
+        import numpy as np
+
+        from montezuma_spark.ann import (
+            IVF_TRAIN_CAP,
+            pq_train_codebooks_local,
+        )
+
+        rel = duckdb.sql(
+            "SELECT embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet') "
+            f"ORDER BY vec_id LIMIT {IVF_TRAIN_CAP}"
+        )
+        vecs = np.asarray(
+            [row[0] for row in rel.fetchall()], dtype=np.float64
+        )
+        _PQ_BOOKS_CACHE[sf_dir] = pq_train_codebooks_local(
+            vecs, m=8, ksub=PQ_CONTRACT_KSUB
+        )
+    return _PQ_BOOKS_CACHE[sf_dir]
+
+
 def _ann_index(spark, sf_dir):
     """Build-once persisted ANN artifacts (signatures + IVF assignment as
     partitioned parquet) — queries probe, never recompute table state.
@@ -1026,7 +1061,8 @@ def _ann_index(spark, sf_dir):
         dim = len(emb.select("embedding").head()["embedding"])
         d = tempfile.mkdtemp(prefix="annix_")
         _ANN_CACHE[key] = AnnIndex.build(
-            spark, emb, d, dim=dim, centroids=_trained_centroids(sf_dir)
+            spark, emb, d, dim=dim, centroids=_trained_centroids(sf_dir),
+            pq=_pq_books(sf_dir),
         )
     return _ANN_CACHE[key]
 
@@ -1120,6 +1156,17 @@ def ann_ivf_topk(spark, sf_dir):
     return _ann_index(spark, sf_dir).ivf_topk(query_id=0, k=10).select(
         "vec_id", F.round("cos", 5).alias("cos")
     )
+
+
+def ann_pq_topk(spark, sf_dir):
+    """IVF-PQ / ADC ANN against the persisted codes tier: probe the
+    nprobe cells' 16-byte code rows (codes packed to ONE int64 + the
+    exact vnorm), rank by asymmetric-distance approximate cosine, exact
+    rerank of the refine·k shortlist — AnnIndex.pq_topk. The memory-
+    scale probe path: 8 B codes vs 512 B raw vectors per row."""
+    return _ann_index(spark, sf_dir).pq_topk(
+        query_id=0, k=10, refine=4
+    ).select("vec_id", F.round("cos", 5).alias("cos"))
 
 
 def ann_cosine_topk(spark, sf_dir):
@@ -1233,6 +1280,7 @@ QUERIES = {
     "dd_embed_neardup": dd_embed_neardup,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "ann_cosine_topk": ann_cosine_topk,
     "ft_page2_topk": ft_page2_topk,
     "hy_rrf_topk": hy_rrf_topk,
@@ -1411,6 +1459,104 @@ qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q)
 SELECT vec_id, round(cos, 5) AS cos FROM (
   SELECT vec_id, dot / (sqrt(nn) * (SELECT qnorm FROM qn)) AS cos
   FROM r ORDER BY cos DESC, vec_id ASC LIMIT 10
+)
+"""
+
+
+def _pq_sql(cents=None, books=None, k: int = 10, refine: int = 4) -> str:
+    """IVF-PQ oracle: the SAME literal coarse-centroid matrix and PQ
+    codebooks as the Spark build, replicated end to end — arg_max cell
+    assignment, nprobe probe, per-subspace (dist asc, code asc) encode,
+    ADC lookup-table approximate cosine ROUNDED TO 6 before the
+    (rc desc, id asc) refine·k shortlist cut, exact cosine rerank.
+    ``get_oracle()`` passes the trained matrices for the graded sf."""
+    import numpy as np
+
+    from montezuma_spark.ann import (
+        NPROBE,
+        ivf_centroids,
+        planes_sql_values,
+        pq_train_codebooks_local,
+    )
+
+    if cents is None:
+        cents = ivf_centroids(dim=64)
+    if books is None:
+        books = pq_train_codebooks_local(
+            np.zeros((PQ_CONTRACT_KSUB, 64)), m=8, ksub=PQ_CONTRACT_KSUB
+        )
+    m, ksub, dsub = books.shape
+    cb_rows = ",\n  ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in books[j, c])}])"
+        for j in range(m)
+        for c in range(ksub)
+    )
+    nshort = refine * k
+    return f"""
+WITH cents(c, vec) AS (VALUES
+  {planes_sql_values(cents)}
+),
+cb(j, c, vec) AS (VALUES
+  {cb_rows}
+),
+expl AS (
+  SELECT e.vec_id, t.i, e.embedding[t.i]::DOUBLE AS ev
+  FROM embeddings e, range(1, {m * dsub + 1}) t(i)
+),
+cdots AS (
+  SELECT x.vec_id, ct.c, sum(x.ev * ct.vec[x.i]) AS dot
+  FROM expl x, cents ct GROUP BY x.vec_id, ct.c
+),
+assign AS (SELECT vec_id, arg_max(c, dot) AS cid FROM cdots GROUP BY vec_id),
+qprobe AS (
+  SELECT c AS cid FROM cdots WHERE vec_id = 0
+  ORDER BY dot DESC, c ASC LIMIT {NPROBE}
+),
+cand AS (
+  SELECT a.vec_id FROM assign a JOIN qprobe p ON a.cid = p.cid
+  WHERE a.vec_id != 0
+),
+q AS (SELECT i, ev AS qv FROM expl WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q),
+pdist AS (
+  SELECT x.vec_id, b.j, b.c,
+         sum(pow(x.ev - b.vec[x.i - b.j * {dsub}], 2)) AS dist
+  FROM expl x JOIN cand cd ON cd.vec_id = x.vec_id
+       JOIN cb b ON x.i > b.j * {dsub} AND x.i <= (b.j + 1) * {dsub}
+  GROUP BY x.vec_id, b.j, b.c
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c, row_number() OVER (
+      PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS rn
+    FROM pdist) WHERE rn = 1
+),
+lut AS (
+  SELECT b.j, b.c, sum(q.qv * b.vec[q.i - b.j * {dsub}]) AS dot
+  FROM q JOIN cb b ON q.i > b.j * {dsub} AND q.i <= (b.j + 1) * {dsub}
+  GROUP BY b.j, b.c
+),
+vn AS (
+  SELECT x.vec_id, sqrt(sum(x.ev * x.ev)) AS vnorm
+  FROM expl x JOIN cand cd ON cd.vec_id = x.vec_id GROUP BY x.vec_id
+),
+appx AS (
+  SELECT co.vec_id,
+         round(sum(l.dot) / (greatest(v.vnorm, 1e-300)
+               * (SELECT qnorm FROM qn)), 6) AS rc
+  FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.c
+       JOIN vn v ON v.vec_id = co.vec_id
+  GROUP BY co.vec_id, v.vnorm
+),
+short AS (SELECT vec_id FROM appx ORDER BY rc DESC, vec_id ASC LIMIT {nshort}),
+r AS (
+  SELECT x.vec_id, sum(x.ev * q.qv) AS dot, sum(x.ev * x.ev) AS nn
+  FROM expl x JOIN short s ON s.vec_id = x.vec_id JOIN q ON q.i = x.i
+  GROUP BY x.vec_id
+)
+SELECT vec_id, round(cos, 5) AS cos FROM (
+  SELECT vec_id, dot / (sqrt(nn) * (SELECT qnorm FROM qn)) AS cos
+  FROM r ORDER BY cos DESC, vec_id ASC LIMIT {k}
 )
 """
 
@@ -2131,6 +2277,7 @@ SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
 FROM sess GROUP BY user_id, sid
 """,
     "ann_ivf_topk": _ivf_sql(),
+    "ann_pq_topk": _pq_sql(),
     # cursor paging: page 2 == ranks 11..20 of the same BM25 ranking
     "ft_page2_topk": _BASE + _bm25_cte(["spark"]) + """
 SELECT docid, round(score, 6) AS score FROM (
@@ -2214,6 +2361,7 @@ def get_oracle() -> dict:
     sf = os.environ.get(ORACLE_SF_ENV, DEFAULT_ORACLE_SF)
     try:
         out["ann_ivf_topk"] = _ivf_sql(_trained_centroids(sf))
+        out["ann_pq_topk"] = _pq_sql(_trained_centroids(sf), _pq_books(sf))
     except Exception:
         # table unreadable at the assumed sf — the Spark side would fail
         # on the same path; keep the seed-matrix SQL rather than raise

@@ -594,3 +594,87 @@ def test_canonical_docs_tie_breaks_min_id(spark):
     )
     (row,) = canonical_docs(cl, q).collect()
     assert (row["keep_docid"], row["n_members"]) == (2, 3)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ / ADC)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_numpy_invariants():
+    from montezuma_spark.ann import (
+        pq_adc_lut,
+        pq_adc_scores,
+        pq_encode_np,
+        pq_pack_codes,
+        pq_train_codebooks_local,
+        pq_unpack_codes,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=(200, 16))
+    books = pq_train_codebooks_local(v, m=4, ksub=8)
+    assert books.shape == (4, 8, 4)
+    # deterministic (bit-identical retrain)
+    assert np.array_equal(books, pq_train_codebooks_local(v, m=4, ksub=8))
+    codes = pq_encode_np(v, books)
+    # encode == brute-force nearest sub-centroid
+    for j in range(4):
+        sub = v[:, j * 4:(j + 1) * 4]
+        d = ((sub[:, None, :] - books[j][None]) ** 2).sum(-1)
+        assert np.array_equal(codes[:, j], d.argmin(1))
+    packed = pq_pack_codes(codes)
+    assert np.array_equal(pq_unpack_codes(packed, 4), codes)
+    # high codes exercise the int64 sign bit at m=8
+    hi = np.full((3, 8), 255, dtype=np.uint8)
+    assert np.array_equal(pq_unpack_codes(pq_pack_codes(hi), 8), hi)
+    q = rng.normal(size=16)
+    lut = pq_adc_lut(q, books)
+    adc = pq_adc_scores(packed, lut)
+    brute = np.array(
+        [sum(lut[j, codes[i, j]] for j in range(4)) for i in range(200)]
+    )
+    assert np.allclose(adc, brute)
+
+
+def test_pq_topk_paths_and_refine(spark, emb_df, tmp_path_factory):
+    """pq_topk: arrow-direct == forced Spark fallback, and with a
+    shortlist covering every candidate it equals ivf_topk exactly (the
+    ADC stage then only reorders a superset the exact rerank fixes)."""
+    from montezuma_spark.ann import AnnIndex
+
+    df, rows = emb_df
+    d = str(tmp_path_factory.mktemp("pqix") / "ix")
+    ix = AnnIndex.build(
+        spark, df, d, dim=16, num_planes=16, num_centroids=8,
+        pq=True, pq_m=4, pq_ksub=8,
+    )
+    ix = AnnIndex.load(spark, d)
+    assert ix.meta["pq_m"] == 4 and ix.meta["pq_ksub"] == 8
+    for qid in (0, 17):
+        a = [(r["vec_id"], round(r["cos"], 9))
+             for r in ix.pq_topk(qid, k=5).collect()]
+        old = ix.ARROW_PROBE_MAX_ROWS
+        ix.ARROW_PROBE_MAX_ROWS = 0
+        try:
+            b = [(r["vec_id"], round(r["cos"], 9))
+                 for r in ix.pq_topk(qid, k=5).collect()]
+        finally:
+            ix.ARROW_PROBE_MAX_ROWS = old
+        assert a == b, qid
+        full = [(r["vec_id"], round(r["cos"], 9))
+                for r in ix.pq_topk(qid, k=5, refine=10 ** 6).collect()]
+        iv = [(r["vec_id"], round(r["cos"], 9))
+              for r in ix.ivf_topk(qid, k=5).collect()]
+        assert full == iv, qid
+
+
+def test_pq_topk_requires_pq_build(spark, emb_df, tmp_path_factory):
+    from montezuma_spark.ann import AnnIndex
+
+    df, _ = emb_df
+    d = str(tmp_path_factory.mktemp("nopq") / "ix")
+    ix = AnnIndex.build(spark, df, d, dim=16, num_planes=16,
+                        num_centroids=8)
+    with pytest.raises(ValueError, match="without pq"):
+        ix.pq_topk(0, k=5)

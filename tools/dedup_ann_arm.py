@@ -182,12 +182,13 @@ def _ann_arm(spark, n_vecs: int, work_dir: str) -> dict:
     ix = AnnIndex.build(
         spark, emb, f"{work_dir}/ann_ix", dim=64, centroids=cents,
         num_centroids=n_cent, num_planes=n_planes, band_bits=b_bits,
+        pq=True, pq_ksub=256 if big else 16,
     )
     build_s = time.time() - t0
 
     qids = [7, 123_457, 500_009, 777_781, n_vecs - 3]
     qids = [q for q in qids if q < n_vecs]
-    lat_ivf, lat_lsh, recall = [], [], []
+    lat_ivf, lat_lsh, lat_pq, recall, recall_pq = [], [], [], [], []
     for qid in qids:
         t0 = time.time()
         got = [r["vec_id"] for r in ix.ivf_topk(qid, k=10).collect()]
@@ -195,6 +196,13 @@ def _ann_arm(spark, n_vecs: int, work_dir: str) -> dict:
         t0 = time.time()
         ix.lsh_topk(qid, k=10).collect()
         lat_lsh.append(time.time() - t0)
+        t0 = time.time()
+        # refine=16: a 160-row exact rerank is noise next to the code
+        # scan, and it recovers most of the IVF-recall ceiling
+        got_pq = [
+            r["vec_id"] for r in ix.pq_topk(qid, k=10, refine=16).collect()
+        ]
+        lat_pq.append(time.time() - t0)
         qvec = ix._query_vec(qid)
         truth = [
             r["vec_id"]
@@ -203,6 +211,7 @@ def _ann_arm(spark, n_vecs: int, work_dir: str) -> dict:
             ).collect()
         ]
         recall.append(len(set(got) & set(truth)) / 10.0)
+        recall_pq.append(len(set(got_pq) & set(truth)) / 10.0)
     emb.unpersist()
 
     def med(xs):
@@ -215,7 +224,9 @@ def _ann_arm(spark, n_vecs: int, work_dir: str) -> dict:
         "vectors_per_sec": round(n_vecs / build_s, 1),
         "ivf_probe_median_s": med(lat_ivf),
         "lsh_probe_median_s": med(lat_lsh),
+        "pq_probe_median_s": med(lat_pq),
         "recall_at_10": round(sum(recall) / len(recall), 3),
+        "pq_recall_at_10": round(sum(recall_pq) / len(recall_pq), 3),
         "n_queries": len(qids),
     }
 
