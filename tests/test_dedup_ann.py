@@ -678,3 +678,25 @@ def test_pq_topk_requires_pq_build(spark, emb_df, tmp_path_factory):
                         num_centroids=8)
     with pytest.raises(ValueError, match="without pq"):
         ix.pq_topk(0, k=5)
+
+
+def test_pq_codes_table_partition_pruned(spark, emb_df, tmp_path_factory,
+                                         capsys):
+    """The PQ codes table is cid-partitioned like the vectors table — the
+    Spark-fallback ADC scan must show cid PartitionFilters, and the
+    codes schema is the compact (id, codes int64, vnorm) shape."""
+    from montezuma_spark.ann import AnnIndex
+
+    df, _ = emb_df
+    d = str(tmp_path_factory.mktemp("pqix2") / "ix")
+    ix = AnnIndex.build(spark, df, d, dim=16, num_planes=16,
+                        num_centroids=8, pq=True, pq_m=4, pq_ksub=8)
+    assert [f.name for f in ix.pq.schema.fields] == [
+        "vec_id", "codes", "vnorm", "cid"
+    ]
+    assert dict(ix.pq.dtypes)["codes"] == "bigint"
+    scan = ix.pq.filter(F.col("cid").isin([0, 2]))
+    scan.explain("formatted")
+    plan = capsys.readouterr().out
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1].splitlines()[0]
