@@ -601,17 +601,30 @@ def pq_train_codebooks_local(vectors: np.ndarray, m: int = PQ_M,
 
 def pq_encode_np(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """(n, m) uint8 PQ codes: per subspace, the L2-nearest sub-centroid
-    (ties to the lowest code — numpy argmin keeps the first)."""
+    (ties to the lowest code — numpy argmin keeps the first).
+
+    Distances use the EXACT Σ_d (x_d − c_d)² form, chunked to bound the
+    (chunk, ksub, dsub) temporary — not the ‖c‖²−2x·c expansion, whose
+    large-magnitude cancellation could flip a near-tie argmin against
+    the oracle's exact-form SQL (the discrete code is not protected by
+    the downstream score rounding)."""
     m, ksub, dsub = codebooks.shape
     if ksub > 256 or m > 8:
         raise ValueError("packed codes support m <= 8, ksub <= 256")
     v = np.ascontiguousarray(vecs, dtype=np.float64)
+    if v.shape[1] != m * dsub:
+        raise ValueError(
+            f"vector dim {v.shape[1]} != codebook dim {m}x{dsub}"
+        )
     codes = np.empty((len(v), m), dtype=np.uint8)
+    chunk = 4096
     for j in range(m):
         sub = v[:, j * dsub:(j + 1) * dsub]
         cb = codebooks[j]
-        d = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
-        codes[:, j] = np.argmin(d, axis=1)
+        for i0 in range(0, len(sub), chunk):
+            diff = sub[i0:i0 + chunk, None, :] - cb[None]
+            d = np.einsum("nkd,nkd->nk", diff, diff)
+            codes[i0:i0 + chunk, j] = np.argmin(d, axis=1)
     return codes
 
 
@@ -844,31 +857,58 @@ class AnnIndex:
             "num_centroids": int(cents.shape[0]),
             "lsh_seed": lsh_seed, "ivf_seed": ivf_seed,
         }
-        if pq is not False:
-            if pq is True:
-                sample = (
-                    emb.orderBy(id_col).limit(IVF_TRAIN_CAP)
-                    .toPandas()[vec_col]
-                )
-                books = pq_train_codebooks_local(
-                    _stack_vectors(sample), m=pq_m, ksub=pq_ksub
-                )
-            else:
-                books = np.ascontiguousarray(pq, dtype=np.float64)
-            codes = pq_encode(
-                saved_vec, books, id_col, vec_col, passthrough=("cid",)
-            )
-            codes.repartition("cid").write.mode("overwrite").partitionBy(
-                "cid"
-            ).parquet(f"{index_dir}/pq")
-            np.save(f"{index_dir}/pq_codebooks.npy", books)
-            meta["pq_m"] = int(books.shape[0])
-            meta["pq_ksub"] = int(books.shape[1])
         if trained:
             np.save(f"{index_dir}/centroids.npy", cents)
         with open(f"{index_dir}/meta.json", "w") as fh:
             json.dump(meta, fh, indent=2)
-        return AnnIndex(spark, index_dir, meta)
+        ix = AnnIndex(spark, index_dir, meta)
+        if pq is not False:
+            ix.add_pq(pq, pq_m=pq_m, pq_ksub=pq_ksub)
+        return ix
+
+    def add_pq(self, pq: "bool | np.ndarray" = True,
+               pq_m: int = PQ_M, pq_ksub: int = PQ_KSUB) -> "AnnIndex":
+        """Upgrade an EXISTING index with the IVF-PQ codes tier — no
+        rebuild of vectors/bands/by_id (at scale the raw-vector layout is
+        the expensive artifact; the codes tier is one encode pass over
+        the already-partitioned table). ``pq``: True trains codebooks
+        from the lowest-id ``IVF_TRAIN_CAP`` sample; or pass a trained
+        (m, ksub, dim/m) matrix. Validates the codebook shape against
+        the index dim — a wrong-dim matrix would silently encode only a
+        prefix of every vector."""
+        import json
+
+        if pq is True:
+            sample = (
+                self.by_id.orderBy(self.id_col).limit(IVF_TRAIN_CAP)
+                .select(self.vec_col).toPandas()[self.vec_col]
+            )
+            books = pq_train_codebooks_local(
+                _stack_vectors(sample), m=pq_m, ksub=pq_ksub
+            )
+        else:
+            books = np.ascontiguousarray(pq, dtype=np.float64)
+        m, ksub, dsub = books.shape
+        if m * dsub != self.meta["dim"]:
+            raise ValueError(
+                f"codebooks cover dim {m}x{dsub}, index dim is "
+                f"{self.meta['dim']}"
+            )
+        codes = pq_encode(
+            self.vectors, books, self.id_col, self.vec_col,
+            passthrough=("cid",),
+        )
+        codes.repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{self.index_dir}/pq")
+        np.save(f"{self.index_dir}/pq_codebooks.npy", books)
+        self.meta["pq_m"], self.meta["pq_ksub"] = int(m), int(ksub)
+        with open(f"{self.index_dir}/meta.json", "w") as fh:
+            json.dump(self.meta, fh, indent=2)
+        self.pq_codebooks = books
+        self.pq = self.spark.read.parquet(f"{self.index_dir}/pq")
+        self._ds_cache.pop("pq", None)
+        return self
 
     @staticmethod
     def load(spark, index_dir: str) -> "AnnIndex":

@@ -442,15 +442,23 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     round. Duplicate / both-direction edges are harmless under min-agg,
     so no ``distinct`` shuffle is spent on the edge list.
     """
+    from pyspark import StorageLevel
+
     e = edges.select(
         F.col(src_col).cast("long").alias("s"),
         F.col(dst_col).cast("long").alias("d"),
     )
     e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # pin the edge list ONCE: callers pass expensive plans (the full
+    # banded-Jaccard pipeline) and the loop references `e` every round —
+    # and the self-union alone would evaluate the input subtree twice
+    # per job without this
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     lab = nodes.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(id_col).cast("long").alias("label"),
     ).localCheckpoint()
+    changed = 0
     for rounds in range(1, max_iters + 1):
         if stats is not None:
             stats["rounds"] = rounds
@@ -487,6 +495,16 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         lab = new.select("id", "label")
         if changed == 0:
             break
+    e.unpersist()
+    if stats is not None:
+        stats["converged"] = changed == 0
+    if changed != 0:
+        # silently returning split components would under-dedup: a real
+        # cluster keeps several canonical docs with no signal anywhere
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"rounds ({changed} labels still moving) — raise max_iters"
+        )
     return lab.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )

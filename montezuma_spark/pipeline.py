@@ -52,18 +52,28 @@ class QualityThresholds:
 
 
 def _quality_cols(toks_col: str = "toks") -> list:
-    """The per-doc quality signal columns (pure expressions, no shuffle).
-    ``top_token_frac`` here uses the per-row array form — bounded by the
-    doc's own length; the cross-corpus aggregate form lives in the
-    contract's ``ta_repetition`` (exploded + partial-agg groupBys)."""
+    """The per-doc quality signal columns (pure expressions, no shuffle),
+    every one O(dl log dl) or better per row. ``top_token_frac`` is the
+    longest equal-run of the SORTED token array via one ``aggregate``
+    fold — never the transform-× -filter form, whose O(distinct × dl)
+    rescan stalls a task on a single pathological web doc before any
+    length gate can drop it. (The cross-corpus aggregate form lives in
+    the contract's ``ta_repetition``: exploded + partial-agg groupBys.)"""
     toks = F.col(toks_col)
     total = F.greatest(F.size(toks), F.lit(1))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda x: F.size(F.filter(toks, lambda t: t == x)),
-        )
+    run0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
+
+    def _run_step(acc, x):
+        nxt = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            nxt.alias("run"),
+            F.greatest(acc["best"], nxt).alias("best"),
+        )
+
+    top = F.aggregate(F.array_sort(toks), run0, _run_step)["best"]
     g3 = F.expr(
         f"CASE WHEN size({toks_col}) >= 3 THEN "
         f"transform(sequence(0, size({toks_col}) - 3), "
@@ -172,5 +182,9 @@ def prepare_corpus(docs: DataFrame, *, key_col: str = "url",
             n_neardup_dropped=n_exact - n_kept,
             n_kept=n_kept,
         )
-    uniq.unpersist()
+    # uniq stays persisted like ranked — the returned plan reads it, and
+    # unpersisting before the caller materializes would recompute the
+    # quality + exact-dedup stages for nothing
+    if persist_handle is not None:
+        persist_handle.append(uniq)
     return out

@@ -930,6 +930,27 @@ def dd_ngram_jaccard(spark, sf_dir):
     )
 
 
+_CLUSTERS_CACHE: dict = {}
+
+
+def _cluster_assignment(spark, sf_dir) -> DataFrame:
+    """Shared (docid, cluster_id) over the dd_ngram_jaccard pair graph —
+    dd_clusters and dd_canonical both read it, and the component rounds
+    are the most expensive dedup stage, so one run per (session, sf)
+    (the _tokens_df/_ANN_CACHE precedent). The result rows are pinned by
+    connected_components' final localCheckpoint."""
+    from montezuma_spark.dedup import connected_components, ngram_jaccard_pairs
+
+    key = _skey(spark, sf_dir)
+    if key not in _CLUSTERS_CACHE:
+        t = _tokens_df(spark, sf_dir).select("docid", "toks")
+        pairs = ngram_jaccard_pairs(t, threshold=0.8, hash_family="affine")
+        _CLUSTERS_CACHE[key] = connected_components(
+            pairs, t.select("docid")
+        )
+    return _CLUSTERS_CACHE[key]
+
+
 def dd_clusters(spark, sf_dir):
     """Near-dup CLUSTER ASSIGNMENT: connected components over the
     dd_ngram_jaccard pair graph — (docid, cluster_id) for every doc,
@@ -937,11 +958,7 @@ def dd_clusters(spark, sf_dir):
     Iterative min-label propagation with pointer jumping
     (montezuma_spark.dedup.connected_components, O(log n) rounds);
     the oracle is a DuckDB recursive CTE over the same pair SQL."""
-    from montezuma_spark.dedup import connected_components, ngram_jaccard_pairs
-
-    t = _tokens_df(spark, sf_dir).select("docid", "toks")
-    pairs = ngram_jaccard_pairs(t, threshold=0.8, hash_family="affine")
-    return connected_components(pairs, t.select("docid"))
+    return _cluster_assignment(spark, sf_dir)
 
 
 def dd_canonical(spark, sf_dir):
@@ -949,15 +966,10 @@ def dd_canonical(spark, sf_dir):
     doc (dl desc, docid asc) — the keep/drop decision a dedup pipeline
     emits. One struct-max groupBy over the cluster assignment
     (montezuma_spark.dedup.canonical_docs), never a per-cluster sort."""
-    from montezuma_spark.dedup import (
-        canonical_docs,
-        connected_components,
-        ngram_jaccard_pairs,
-    )
+    from montezuma_spark.dedup import canonical_docs
 
-    t = _tokens_df(spark, sf_dir).select("docid", "toks")
-    pairs = ngram_jaccard_pairs(t, threshold=0.8, hash_family="affine")
-    cl = connected_components(pairs, t.select("docid"))
+    t = _tokens_df(spark, sf_dir)
+    cl = _cluster_assignment(spark, sf_dir)
     quality = t.select("docid", F.size("toks").cast("long").alias("dl"))
     return canonical_docs(cl, quality).select(
         "cluster_id", "keep_docid", F.col("n_members").cast("long")
