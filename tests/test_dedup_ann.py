@@ -700,3 +700,16 @@ def test_pq_codes_table_partition_pruned(spark, emb_df, tmp_path_factory,
     plan = capsys.readouterr().out
     assert "PartitionFilters" in plan
     assert "cid" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from montezuma_spark.dedup import connected_components
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    n = spark.createDataFrame([(i,) for i in range(7)], "docid long")
+    stats: dict = {}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, n, max_iters=1, stats=stats)
+    assert stats == {"rounds": 1, "converged": False}
