@@ -122,6 +122,48 @@ def minhash_signature(tokens_df: DataFrame, num_hashes: int = 4,
     return tokens_df.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signature_from_hashes(hashes_df: DataFrame,
+                                  num_hashes: int = 4,
+                                  id_col: str = "docid",
+                                  hm_col: str = "hm") -> DataFrame:
+    """Affine-family signature from PRE-HASHED features: (id, hm) rows
+    with hm ∈ [0, P) → (id, m0..m{k-1}). The tail of the "affine" branch
+    of :func:`minhash_signature` — for callers that persist the hashed
+    feature sets (e.g. ``MinHashStore`` shingle sidecars) and must not
+    pay the md5 step twice."""
+    aggs = [
+        F.min((F.col(hm_col) * F.lit(a) + F.lit(b)) % MINHASH_P)
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes))
+    ]
+    return hashes_df.groupBy(id_col).agg(*aggs)
+
+
+def band_values(sig: DataFrame, num_hashes: int, band_rows: int,
+                id_col: str = "docid") -> DataFrame:
+    """(id, band_id, band_val) rows from a signature frame: b =
+    num_hashes/band_rows bands, band_val the ':'-joined hash values
+    (':'-separated so variable-width affine-family ints can never alias
+    across row boundaries — "1"+"23" vs "12"+"3")."""
+    assert num_hashes % band_rows == 0
+    nbands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"m{b * band_rows + r}").cast("string")
+                    for r in range(band_rows)
+                ],
+            )
+            for b in range(nbands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_id", "band_val")
+    )
+
+
 def minhash_band_pairs(sig: DataFrame, num_hashes: int = 4, band_rows: int = 2,
                        id_col: str = "docid",
                        max_bucket: int | None = None) -> DataFrame:
@@ -150,25 +192,7 @@ def minhash_band_pairs(sig: DataFrame, num_hashes: int = 4, band_rows: int = 2,
     r=4 vs 1.0 with r=6 — see tools/dedup_ann_arm.py). Pair the
     ``affine`` hash family with r ≥ 6 so signature width stays cheap.
     """
-    assert num_hashes % band_rows == 0
-    nbands = num_hashes // band_rows
-    # ':'-separated so variable-width values (affine-family ints) can
-    # never alias across row boundaries ("1"+"23" vs "12"+"3")
-    bands = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                *[
-                    F.col(f"m{b * band_rows + r}").cast("string")
-                    for r in range(band_rows)
-                ],
-            )
-            for b in range(nbands)
-        ]
-    )
-    keyed = sig.select(
-        F.col(id_col), F.posexplode(bands).alias("band_id", "band_val")
-    )
+    keyed = band_values(sig, num_hashes, band_rows, id_col)
     if max_bucket is not None:
         # hot-bucket list is tiny (boilerplate patterns) → broadcast
         # anti-join; one extra groupBy over the already-shuffled keys
