@@ -977,6 +977,44 @@ def dd_canonical(spark, sf_dir):
     )
 
 
+_STORE_CACHE: dict = {}
+
+
+def _neardup_store(spark, sf_dir):
+    """Build-once persisted MinHash band store over the documents table
+    (contract-scale banding: 4 affine hashes, 2 bands of 2 — the same
+    family/width the dd_minhash oracle helpers template)."""
+    key = _skey(spark, sf_dir)
+    if key not in _STORE_CACHE:
+        import tempfile
+
+        from montezuma_spark.neardup_store import MinHashStore
+
+        t = _tokens_df(spark, sf_dir).select("docid", "toks")
+        d = tempfile.mkdtemp(prefix="mhstore_")
+        _STORE_CACHE[key] = MinHashStore.build(
+            spark, t, d, num_hashes=4, band_rows=2, ngram=3
+        )
+    return _STORE_CACHE[key]
+
+
+def dd_store_probe(spark, sf_dir):
+    """STREAMING near-dup probe: a deterministic ingest batch (the first
+    3 docs with their first token dropped, re-keyed +100000) probed
+    against the PERSISTED MinHashStore — bucket-pruned band read +
+    hashed-shingle Jaccard verify on candidates only
+    (montezuma_spark.neardup_store.MinHashStore.near_dups)."""
+    st = _neardup_store(spark, sf_dir)
+    t = _tokens_df(spark, sf_dir)
+    batch = t.filter(F.col("docid") < 3).select(
+        (F.col("docid") + 100000).alias("docid"),
+        F.expr("slice(toks, 2, size(toks))").alias("toks"),
+    )
+    return st.near_dups(batch, threshold=0.5).select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def dd_embed_neardup(spark, sf_dir):
     """Embedding near-dup pairs: hyperplane-LSH band candidates -> exact
     cosine >= 0.4 — montezuma_spark.ann.embedding_neardup_pairs."""
@@ -1289,6 +1327,7 @@ QUERIES = {
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_clusters": dd_clusters,
     "dd_canonical": dd_canonical,
+    "dd_store_probe": dd_store_probe,
     "dd_embed_neardup": dd_embed_neardup,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -2199,6 +2238,64 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM v WHERE jac >= 0.8
     "dd_clusters": _BASE.replace("WITH ", "WITH RECURSIVE ", 1)
     + _ngram_pair_ctes() + _CLUSTER_CTES + """
 SELECT docid, cluster_id FROM cl
+""",
+    # streaming store probe: the corpus side (shingle-hash sets, affine
+    # signatures, 2 bands of 2) and the derived batch (first 3 docs,
+    # first token dropped, +100000) replicated end to end; verify
+    # Jaccard over the HASHED shingle sets — exactly what the persisted
+    # sidecar stores
+    "dd_store_probe": _BASE + f"""
+, shq AS (SELECT docid, {_SHINGLE_SQL} AS sh FROM docs),
+dh AS (
+  SELECT docid,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS hm
+  FROM (SELECT docid, unnest(sh) AS g FROM shq)
+),
+hs AS (SELECT docid, list_distinct(list(hm)) AS hset FROM dh GROUP BY docid),
+mh AS (
+  SELECT docid, {_affine_minhash_sql(4)}
+  FROM dh GROUP BY docid
+),
+mbands AS (
+  SELECT docid, 0 AS band_id, m0::VARCHAR || ':' || m1::VARCHAR AS band_val
+  FROM mh
+  UNION ALL
+  SELECT docid, 1, m2::VARCHAR || ':' || m3::VARCHAR FROM mh
+),
+bdocs AS (
+  SELECT docid + 100000 AS docid, toks[2:] AS toks
+  FROM docs WHERE docid < 3
+),
+bshq AS (SELECT docid, {_SHINGLE_SQL} AS sh FROM bdocs),
+bdh AS (
+  SELECT docid,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS hm
+  FROM (SELECT docid, unnest(sh) AS g FROM bshq)
+),
+bhs AS (SELECT docid, list_distinct(list(hm)) AS hset FROM bdh GROUP BY docid),
+bmh AS (
+  SELECT docid, {_affine_minhash_sql(4)}
+  FROM bdh GROUP BY docid
+),
+bbands AS (
+  SELECT docid, 0 AS band_id, m0::VARCHAR || ':' || m1::VARCHAR AS band_val
+  FROM bmh
+  UNION ALL
+  SELECT docid, 1, m2::VARCHAR || ':' || m3::VARCHAR FROM bmh
+),
+scand AS (
+  SELECT DISTINCT b.docid AS batch_id, c.docid AS corpus_id
+  FROM bbands b JOIN mbands c USING (band_id, band_val)
+),
+sv AS (
+  SELECT s.batch_id, s.corpus_id,
+         len(list_intersect(hb.hset, hc.hset))::DOUBLE
+         / greatest(len(list_distinct(hb.hset || hc.hset)), 1) AS jac
+  FROM scand s JOIN bhs hb ON hb.docid = s.batch_id
+       JOIN hs hc ON hc.docid = s.corpus_id
+)
+SELECT batch_id, corpus_id, round(jac, 6) AS jaccard
+FROM sv WHERE jac >= 0.5
 """,
     "dd_canonical": _BASE.replace("WITH ", "WITH RECURSIVE ", 1)
     + _ngram_pair_ctes() + _CLUSTER_CTES + """
