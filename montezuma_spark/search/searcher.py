@@ -2054,6 +2054,94 @@ class Searcher:
         docids = self.matching_docids(TermQuery(field, term))
         return self.index.delete_docs(docids)
 
+    def _match_spans(self, query: Query, docid: int,
+                     field: str | None = None):
+        """All (term, start, end) char spans of the query's resolved
+        terms in one doc, (start, end)-sorted, from the offsets sidecar
+        — None when the query resolves to no offset-bearing terms.
+        Shared by highlight (which drops overlaps) and snippets (which
+        scores passages over the full span set)."""
+        resolved, _, _, _ = self._resolve(query)
+        needed = self._needed_terms(resolved)
+        if field is not None:
+            needed = {field: needed.get(field, set())}
+        tv = self.index.term_vectors(docids=[docid], with_offsets=True)
+        cond = None
+        for f, terms in needed.items():
+            if not terms:
+                continue
+            c = (F.col("field") == f) & F.col("term").isin(sorted(terms))
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return None
+        spans: list[tuple[str, int, int]] = []
+        for r in tv.filter(cond).collect():
+            for s, e in zip(r["starts"], r["ends"]):
+                spans.append((r["term"], int(s), int(e)))
+        spans.sort(key=lambda x: (x[1], x[2]))
+        return spans
+
+    def snippets(self, query: Query, docid: int, *,
+                 field: str | None = None, text: str | None = None,
+                 window: int = 120, n: int = 1,
+                 pre: str = "<b>", post: str = "</b>"):
+        """Best-passage selection (the Lucene UnifiedHighlighter analog,
+        beyond-reference, labeled): among char windows of ``window``
+        anchored at each match span, keep the ``n`` highest-scoring
+        non-overlapping passages — score = (matched spans, distinct
+        terms, earliest start). Driver-side over ONE doc's match spans
+        (bounded by that doc's matches — never a corpus scan).
+
+        Returns a list of dicts (start, end, n_matches, terms[, text])
+        ordered best-first; with ``text``, each passage carries the
+        fragment with every span wrapped in ``pre``/``post``.
+        """
+        spans = self._match_spans(query, docid, field)
+        if not spans:
+            return []
+        chosen: list[dict] = []
+        taken: list[tuple[int, int]] = []
+        for _ in range(n):
+            best = None
+            for i, (_, s0, _) in enumerate(spans):
+                if any(a <= s0 < b for a, b in taken):
+                    continue
+                group = []
+                for t, s, e in spans[i:]:
+                    if e > s0 + window:
+                        break
+                    if any(a <= s < b for a, b in taken):
+                        continue
+                    group.append((t, s, e))
+                if not group:
+                    continue
+                key = (len(group), len({t for t, _, _ in group}), -s0)
+                if best is None or key > best[0]:
+                    best = (key, group)
+            if best is None:
+                break
+            _, group = best
+            lo, hi = group[0][1], max(e for _, _, e in group)
+            frag: dict = {
+                "start": lo,
+                "end": hi,
+                "n_matches": len(group),
+                "terms": sorted({t for t, _, _ in group}),
+            }
+            if text is not None:
+                out, prev = [], lo
+                for _, s, e in group:
+                    if s < prev:  # overlapping span (duplicate term hit)
+                        continue
+                    out.append(text[prev:s])
+                    out.append(pre + text[s:e] + post)
+                    prev = e
+                out.append(text[prev:hi])
+                frag["text"] = "".join(out)
+            chosen.append(frag)
+            taken.append((lo, hi))
+        return chosen
+
     def highlight(self, query: Query, docid: int, field: str | None = None,
                   text: str | None = None, pre: str = "<b>",
                   post: str = "</b>"):
@@ -2067,24 +2155,9 @@ class Searcher:
         non-overlapping (term, start, end) spans — or, when ``text`` is
         given, the text with every span wrapped in ``pre``/``post``.
         """
-        resolved, _, _, _ = self._resolve(query)
-        needed = self._needed_terms(resolved)
-        if field is not None:
-            needed = {field: needed.get(field, set())}
-        tv = self.index.term_vectors(docids=[docid], with_offsets=True)
-        cond = None
-        for f, terms in needed.items():
-            if not terms:
-                continue
-            c = (F.col("field") == f) & F.col("term").isin(sorted(terms))
-            cond = c if cond is None else (cond | c)
-        if cond is None:
+        spans = self._match_spans(query, docid, field)
+        if spans is None:
             return [] if text is None else text
-        spans: list[tuple[str, int, int]] = []
-        for r in tv.filter(cond).collect():
-            for s, e in zip(r["starts"], r["ends"]):
-                spans.append((r["term"], int(s), int(e)))
-        spans.sort(key=lambda x: (x[1], x[2]))
         # drop overlaps (keep the earliest-starting span)
         dedup: list[tuple[str, int, int]] = []
         for sp in spans:

@@ -378,3 +378,52 @@ def test_multivalue_position_gap(spark):
     )
     assert su.matching_docids(TermQuery("cat", "alpha beta")) == [0]
     assert su.matching_docids(TermQuery("cat", "epsilon")) == [1]
+
+
+def test_snippets_best_passage(spark, tmp_path):
+    """Searcher.snippets: the best window by (matches, distinct terms,
+    earliest start); passages are non-overlapping and best-first;
+    formatted fragments wrap every span in the window."""
+    import pandas as pd
+
+    from montezuma_spark.index import FieldConfig, IndexConfig, build_index
+    from montezuma_spark.search import SHOULD, Searcher, TermQuery, bool_query
+
+    filler = " ".join(f"pad{i}" for i in range(30))
+    # cluster of 3 matches late in the doc beats the lone early match
+    text = (
+        "spark alone " + filler
+        + " spark merge spark tail words " + filler
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"url": ["u://0"], "text": [text]})
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "whitespace", offsets=True)],
+        key_col="url", shard_bits=3,
+    )
+    idx = build_index(spark, docs, cfg, index_dir=str(tmp_path / "snix"))
+    s = Searcher(idx)
+    q = bool_query(
+        (TermQuery("text", "spark"), SHOULD),
+        (TermQuery("text", "merge"), SHOULD),
+    )
+    frags = s.snippets(q, 0, window=40, n=2, text=text)
+    assert len(frags) == 2
+    best, second = frags
+    assert best["n_matches"] == 3 and best["terms"] == ["merge", "spark"]
+    assert text[best["start"]:].startswith("spark merge spark")
+    assert best["text"].startswith("<b>spark</b> <b>merge</b> <b>spark</b>")
+    # second passage: the early lone match, non-overlapping with best
+    assert second["n_matches"] == 1 and second["start"] == 0
+    assert second["end"] <= best["start"] or second["start"] >= best["end"]
+    # brute-force oracle: best window anchored at any span
+    spans = s._match_spans(q, 0)
+    def win(i):
+        s0 = spans[i][1]
+        g = [sp for sp in spans[i:] if sp[2] <= s0 + 40]
+        return (len(g), len({t for t, _, _ in g}), -s0)
+    assert max(win(i) for i in range(len(spans))) == (
+        best["n_matches"], len(best["terms"]), -best["start"])
+    # n=1 returns only the best
+    assert s.snippets(q, 0, window=40)[0]["start"] == best["start"]
