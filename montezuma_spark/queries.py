@@ -977,6 +977,21 @@ def dd_canonical(spark, sf_dir):
     )
 
 
+def pp_prepare(spark, sf_dir):
+    """END-TO-END corpus preparation (montezuma_spark.pipeline
+    .prepare_corpus): Gopher-style quality gates → exact dedup (md5,
+    min-docid survivor) → banded near-dup pairs → connected components
+    → keep the longest doc per cluster. The oracle replicates every
+    stage in SQL, components via a recursive CTE. Returns the kept
+    (docid, n_tokens) — the rows a training shard export would write."""
+    from montezuma_spark.pipeline import prepare_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = prepare_corpus(d, key_col="doc_id", jaccard_threshold=0.8)
+    return kept.select("docid", F.col("n_tokens").cast("long")
+                       .alias("n_tokens"))
+
+
 _STORE_CACHE: dict = {}
 
 
@@ -1328,6 +1343,7 @@ QUERIES = {
     "dd_clusters": dd_clusters,
     "dd_canonical": dd_canonical,
     "dd_store_probe": dd_store_probe,
+    "pp_prepare": pp_prepare,
     "dd_embed_neardup": dd_embed_neardup,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -2238,6 +2254,90 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM v WHERE jac >= 0.8
     "dd_clusters": _BASE.replace("WITH ", "WITH RECURSIVE ", 1)
     + _ngram_pair_ctes() + _CLUSTER_CTES + """
 SELECT docid, cluster_id FROM cl
+""",
+    # END-TO-END pipeline: quality gates (max-tf/distinct/dup-3gram over
+    # the tokens CTE — identical integer divisions to the engine's
+    # per-row fold), md5 exact dedup (min-docid survivor), banded pairs
+    # over the SURVIVOR set only, recursive-CTE components, keep the
+    # longest doc per cluster
+    "pp_prepare": _BASE.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+, tf AS (SELECT docid, tok, count(*) AS c FROM tokens GROUP BY docid, tok),
+qs AS (
+  SELECT docid, max(c)::DOUBLE / sum(c) AS topf,
+         count(*)::DOUBLE / sum(c) AS dr
+  FROM tf GROUP BY docid
+),
+g3 AS (
+  SELECT docid,
+    CASE WHEN len(toks) >= 3 THEN
+      [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+    ELSE [] END AS g
+  FROM docs
+),
+d3 AS (
+  SELECT docid, (len(g) - len(list_distinct(g)))::DOUBLE
+         / greatest(len(g), 1) AS dup3
+  FROM g3
+),
+qkeep AS (
+  SELECT d.docid, l.dl FROM docs d
+  JOIN lens l USING (docid) JOIN qs USING (docid) JOIN d3 USING (docid)
+  WHERE l.dl >= 5 AND l.dl <= 1000000 AND qs.topf <= 0.5
+    AND qs.dr >= 0.1 AND d3.dup3 <= 0.5
+),
+uq AS (
+  SELECT min(q.docid) AS docid
+  FROM qkeep q JOIN docs d USING (docid)
+  GROUP BY md5(d.text)
+),
+ushq AS (SELECT d.docid, {_SHINGLE_SQL} AS sh FROM docs d JOIN uq USING (docid)),
+udh AS (
+  SELECT docid,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS hm
+  FROM (SELECT docid, unnest(sh) AS g FROM ushq)
+),
+umh AS (
+  SELECT docid, {_affine_minhash_sql(4)}
+  FROM udh GROUP BY docid
+),
+ubands AS (
+  SELECT docid, 0 AS band_id, m0::VARCHAR || ':' || m1::VARCHAR AS band_val
+  FROM umh
+  UNION ALL
+  SELECT docid, 1, m2::VARCHAR || ':' || m3::VARCHAR FROM umh
+),
+ucand AS (
+  SELECT DISTINCT a.docid AS id_a, b.docid AS id_b
+  FROM ubands a JOIN ubands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.docid < b.docid
+),
+uv AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+         / greatest(len(list_distinct(a.sh || b.sh)), 1) AS jac
+  FROM ucand c JOIN ushq a ON a.docid = c.id_a
+       JOIN ushq b ON b.docid = c.id_b
+),
+upe AS (
+  SELECT id_a AS s, id_b AS d FROM uv WHERE jac >= 0.8
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM uv WHERE jac >= 0.8
+),
+ureach(id, r) AS (
+  SELECT docid, docid FROM uq
+  UNION
+  SELECT upe.d, ureach.r FROM ureach JOIN upe ON upe.s = ureach.id
+),
+ucl AS (SELECT id AS docid, min(r) AS cluster_id FROM ureach GROUP BY id),
+urk AS (
+  SELECT c.cluster_id, c.docid, q.dl,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY q.dl DESC, c.docid ASC
+         ) AS rn
+  FROM ucl c JOIN qkeep q USING (docid)
+)
+SELECT docid, dl AS n_tokens FROM urk WHERE rn = 1
 """,
     # streaming store probe: the corpus side (shingle-hash sets, affine
     # signatures, 2 bands of 2) and the derived batch (first 3 docs,
