@@ -268,6 +268,12 @@ def main():
                 hi["minhash_candidates"] / hi["n_docs"], 3
             ),
         }
+    if n_docs:
+        work = f"/tmp/dedup_store_arm_{os.getpid()}"
+        try:
+            result["store"] = _store_arm(spark, n_docs, work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
     if n_vecs:
         work = f"/tmp/dedup_ann_arm_{os.getpid()}"
         try:
@@ -276,6 +282,57 @@ def main():
             shutil.rmtree(work, ignore_errors=True)
     print("DEDUP_ANN_RESULT " + json.dumps(result))
     spark.stop()
+
+
+def _store_arm(spark, n_docs: int, work_dir: str) -> dict:
+    """MinHashStore at n_docs corpus docs: build-once cost, then probe a
+    10k-doc ingest batch (re-keyed one-token-edit dups of corpus docs —
+    every batch doc SHOULD match its source) — the streaming-ingest
+    near-dup gate's scale numbers. Corpus-side probe work must be
+    bounded by the batch, so probe seconds ≈ batch hashing + pruned
+    bucket reads, corpus-size-independent."""
+    from pyspark.sql import functions as F
+
+    from montezuma_spark.fixtures import synth_corpus_spark
+    from montezuma_spark.neardup_store import MinHashStore
+
+    vocab = max(50_000, n_docs // 5)
+    docs = synth_corpus_spark(spark, n_docs, vocab_size=vocab,
+                              dup_every=None)
+    toks = docs.select(
+        F.substring("url", -12, 12).cast("long").alias("docid"),
+        F.split("text", " ").alias("toks"),
+    ).persist()
+    toks.count()
+    t0 = time.time()
+    store = MinHashStore.build(
+        spark, toks, f"{work_dir}/store",
+        num_hashes=MINHASH_HASHES, band_rows=MINHASH_BAND_ROWS,
+    )
+    build_s = time.time() - t0
+    n_batch = 10_000
+    batch = toks.filter(F.col("docid") < n_batch).select(
+        (F.col("docid") + 10_000_000).alias("docid"),
+        F.expr("slice(toks, 2, size(toks))").alias("toks"),
+    )
+    t0 = time.time()
+    pairs = store.near_dups(batch, threshold=0.5).persist()
+    n_pairs = pairs.count()
+    probe_s = time.time() - t0
+    matched = pairs.select("batch_id").distinct().count()
+    pairs.unpersist()
+    toks.unpersist()
+    return {
+        "n_corpus": n_docs,
+        "n_batch": n_batch,
+        "build_seconds": round(build_s, 2),
+        "docs_per_sec_build": round(n_docs / build_s, 1),
+        "probe_seconds": round(probe_s, 2),
+        "batch_docs_per_sec_probe": round(n_batch / probe_s, 1),
+        "pairs_found": n_pairs,
+        "batch_docs_matched": matched,
+        "probe_recall": round(matched / n_batch, 4),
+    }
 
 
 if __name__ == "__main__":
