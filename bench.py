@@ -370,13 +370,14 @@ def _dedup_ann_subprocess(n_docs: int, n_vecs: int,
            str(n_docs), str(n_vecs), str(cores)]
     try:
         out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=1800, check=True
+            cmd, capture_output=True, text=True, timeout=2400, check=True
         )
         for line in out.stdout.splitlines():
             if line.startswith("DEDUP_ANN_RESULT "):
                 return _json.loads(line[len("DEDUP_ANN_RESULT "):])
-    except Exception:
-        pass
+    except Exception as e:  # optional tail — but never SILENTLY absent
+        print(f"dedup_ann arm failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     return None
 
 
@@ -549,6 +550,10 @@ def _compact(result: dict) -> dict:
         for kk in ("cluster_rounds", "cluster_seconds", "n_clusters"):
             if kk in hi:
                 out["dedup_ann_scale"][kk] = hi[kk]
+        st = da.get("store") or {}
+        for kk in ("probe_seconds", "probe_recall"):
+            if kk in st:
+                out["dedup_ann_scale"][f"store_{kk}"] = st[kk]
     return out
 
 

@@ -100,13 +100,9 @@ def minhash_signature(tokens_df: DataFrame, num_hashes: int = 4,
     (every doc is its own group).
     """
     if hash_family == "affine":
-        hm = (
-            F.conv(
-                F.substring(F.md5(F.encode(F.col(tok_col), "UTF-8")), 1, 8),
-                16, 10,
-            ).cast("long") % MINHASH_P
+        reduced = tokens_df.select(
+            F.col(id_col), feature_hash(F.col(tok_col)).alias("_hm")
         )
-        reduced = tokens_df.select(F.col(id_col), hm.alias("_hm"))
         aggs = [
             F.min((F.col("_hm") * F.lit(a) + F.lit(b)) % MINHASH_P)
             .alias(f"m{i}")
@@ -120,6 +116,18 @@ def minhash_signature(tokens_df: DataFrame, num_hashes: int = 4,
         for i in range(num_hashes)
     ]
     return tokens_df.groupBy(id_col).agg(*aggs)
+
+
+def feature_hash(col: Column) -> Column:
+    """The affine family's feature reduction: md5-low32 of the UTF-8
+    bytes, mod P — ONE definition shared by the signature path, the
+    MinHashStore shingle sidecar, and (as templated SQL) the oracles; a
+    divergent copy would silently break the sign-what-you-verify
+    invariant."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8), 16, 10)
+        .cast("long") % MINHASH_P
+    )
 
 
 def minhash_signature_from_hashes(hashes_df: DataFrame,

@@ -46,9 +46,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from montezuma_spark.dedup import (
-    MINHASH_P,
     _shingles_expr,
     band_values,
+    feature_hash,
     minhash_signature_from_hashes,
 )
 
@@ -66,8 +66,22 @@ class MinHashStore:
         self.num_hashes = meta["num_hashes"]
         self.band_rows = meta["band_rows"]
         self.ngram = meta["ngram"]
-        self.bands = spark.read.parquet(f"{store_dir}/bands")
-        self.shingles = spark.read.parquet(f"{store_dir}/shingles")
+        # an all-short-docs corpus writes ZERO band/shingle files (only
+        # _SUCCESS) — fall back to empty frames with the layout schema
+        # instead of failing schema inference; such a store matches
+        # nothing, which is correct
+        try:
+            self.bands = spark.read.parquet(f"{store_dir}/bands")
+        except Exception:
+            self.bands = spark.createDataFrame(
+                [], "docid long, band_val string, band_id int"
+            )
+        try:
+            self.shingles = spark.read.parquet(f"{store_dir}/shingles")
+        except Exception:
+            self.shingles = spark.createDataFrame(
+                [], "docid long, sh array<long>"
+            )
 
     # ------------------------------------------------------------ build
     @staticmethod
@@ -75,17 +89,13 @@ class MinHashStore:
               band_rows: int, id_col: str, toks_col: str):
         """(shingle-hash arrays, signature, band rows) for a doc set —
         the one hashing pass shared by build, add_batch and probes."""
-        hm = (
-            F.conv(F.substring(F.md5(F.encode(F.col("_g"), "UTF-8")), 1, 8),
-                   16, 10).cast("long") % MINHASH_P
-        )
         sh = (
             docs_toks.select(
                 F.col(id_col).alias("docid"),
                 F.explode(F.expr(_shingles_expr(toks_col, ngram)))
                 .alias("_g"),
             )
-            .select("docid", hm.alias("_hm"))
+            .select("docid", feature_hash(F.col("_g")).alias("_hm"))
             .groupBy("docid")
             .agg(F.array_sort(F.collect_set("_hm")).alias("sh"))
         )
@@ -196,86 +206,89 @@ class MinHashStore:
         the batch: band buckets are read via pushed-down value
         predicates (small batches) or a broadcast bucket join; verify
         reads only candidate docs' shingle rows."""
+        # ONE hashing pass per probe: both frames are referenced several
+        # times by the returned plan (candidate join, verify join), so
+        # pin their ROWS with localCheckpoint — a persist released after
+        # the internal count would recompute the md5/groupBy stages at
+        # the caller's materialization
         b_sh, b_bands = self._batch_prep(batch_toks, id_col, toks_col)
-        b_bands = b_bands.persist()
-        try:
-            nvals = b_bands.count()
-            if nvals <= pushdown_max_values:
-                # literal pushdown: band_val strings are digits+':' only
-                # (affine-family ints), safe to inline in ONE expr — the
-                # searcher._terms_predicate lesson: never one py4j
-                # round-trip per literal
-                rows = b_bands.select("band_id", "band_val").distinct() \
-                    .collect()
-                by_band: dict = {}
-                for r in rows:
-                    by_band.setdefault(int(r["band_id"]), []).append(
-                        r["band_val"]
-                    )
-                parts = [
-                    "(band_id = {} AND band_val IN ({}))".format(
-                        k, ", ".join(f"'{v}'" for v in vs)
-                    )
-                    for k, vs in sorted(by_band.items())
-                ]
-                corpus_bands = self.bands.filter(
-                    F.expr(" OR ".join(parts)) if parts else F.lit(False)
+        b_sh = b_sh.localCheckpoint()
+        b_bands = b_bands.localCheckpoint()
+        nvals = b_bands.count()
+        if nvals <= pushdown_max_values:
+            # literal pushdown: band_val strings are digits+':' only
+            # (affine-family ints), safe to inline in ONE expr — the
+            # searcher._terms_predicate lesson: never one py4j
+            # round-trip per literal
+            rows = b_bands.select("band_id", "band_val").distinct() \
+                .collect()
+            by_band: dict = {}
+            for r in rows:
+                by_band.setdefault(int(r["band_id"]), []).append(
+                    r["band_val"]
                 )
-            else:
-                corpus_bands = self.bands.join(
-                    F.broadcast(
-                        b_bands.select("band_id", "band_val").distinct()
-                    ),
-                    ["band_id", "band_val"],
+            parts = [
+                "(band_id = {} AND band_val IN ({}))".format(
+                    k, ", ".join(f"'{v}'" for v in vs)
                 )
-            cand = (
-                corpus_bands.select(
-                    "band_id", "band_val",
+                for k, vs in sorted(by_band.items())
+            ]
+            corpus_bands = self.bands.filter(
+                F.expr(" OR ".join(parts)) if parts else F.lit(False)
+            )
+        else:
+            corpus_bands = self.bands.join(
+                F.broadcast(
+                    b_bands.select("band_id", "band_val").distinct()
+                ),
+                ["band_id", "band_val"],
+            )
+        cand = (
+            corpus_bands.select(
+                "band_id", "band_val",
+                F.col("docid").alias("corpus_id"),
+            )
+            .join(
+                F.broadcast(
+                    b_bands.select(
+                        "band_id", "band_val",
+                        F.col("docid").alias("batch_id"),
+                    )
+                ),
+                ["band_id", "band_val"],
+            )
+            .filter(F.col("corpus_id") != F.col("batch_id"))
+            .select("batch_id", "corpus_id")
+            .distinct()
+        )
+        j = (
+            cand.join(
+                self.shingles.select(
                     F.col("docid").alias("corpus_id"),
-                )
-                .join(
-                    F.broadcast(
-                        b_bands.select(
-                            "band_id", "band_val",
-                            F.col("docid").alias("batch_id"),
-                        )
-                    ),
-                    ["band_id", "band_val"],
-                )
-                .filter(F.col("corpus_id") != F.col("batch_id"))
-                .select("batch_id", "corpus_id")
-                .distinct()
+                    F.col("sh").alias("sh_a"),
+                ),
+                "corpus_id",
             )
-            j = (
-                cand.join(
-                    self.shingles.select(
-                        F.col("docid").alias("corpus_id"),
-                        F.col("sh").alias("sh_a"),
-                    ),
-                    "corpus_id",
-                )
-                .join(
-                    F.broadcast(
-                        b_sh.select(
-                            F.col("docid").alias("batch_id"),
-                            F.col("sh").alias("sh_b"),
-                        )
-                    ),
-                    "batch_id",
-                )
-                .withColumn(
-                    "jaccard",
-                    F.size(F.array_intersect("sh_a", "sh_b"))
-                    / F.greatest(
-                        F.size(F.array_union("sh_a", "sh_b")), F.lit(1)
-                    ),
-                )
+            .join(
+                F.broadcast(
+                    b_sh.select(
+                        F.col("docid").alias("batch_id"),
+                        F.col("sh").alias("sh_b"),
+                    )
+                ),
+                "batch_id",
             )
-            return j.filter(F.col("jaccard") >= threshold).select(
-                "batch_id", "corpus_id", "jaccard"
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(
+                    F.size(F.array_union("sh_a", "sh_b")), F.lit(1)
+                ),
             )
-        finally:
-            b_bands.unpersist()
+        )
+        return j.filter(F.col("jaccard") >= threshold).select(
+            "batch_id", "corpus_id", "jaccard"
+        )
 
     def dedup_gate(self, batch_docs: DataFrame, threshold: float = 0.8,
                    id_col: str = "docid",

@@ -2101,16 +2101,25 @@ class Searcher:
             return []
         chosen: list[dict] = []
         taken: list[tuple[int, int]] = []
+
+        def _overlaps_taken(s: int, e: int) -> bool:
+            # reject any span OVERLAPPING a chosen passage (not just
+            # starts inside it) — a straddling span would otherwise pull
+            # a later window across a chosen passage's boundary
+            return any(s < b and e > a for a, b in taken)
+
         for _ in range(n):
             best = None
-            for i, (_, s0, _) in enumerate(spans):
-                if any(a <= s0 < b for a, b in taken):
+            for i, (_, s0, e0) in enumerate(spans):
+                if _overlaps_taken(s0, e0):
                     continue
                 group = []
                 for t, s, e in spans[i:]:
+                    if s >= s0 + window:
+                        break  # starts are sorted — nothing later fits
                     if e > s0 + window:
-                        break
-                    if any(a <= s < b for a, b in taken):
+                        continue  # long straddler; shorter spans may follow
+                    if _overlaps_taken(s, e):
                         continue
                     group.append((t, s, e))
                 if not group:

@@ -103,3 +103,14 @@ def test_add_batch_extends_corpus(spark, tmp_path_factory):
 def test_short_docs_never_match(spark, store):
     batch = _toks(spark, [(300, "ti ny")])  # < ngram tokens: no shingles
     assert store.near_dups(batch, threshold=0.1).collect() == []
+
+
+def test_all_short_corpus_store_matches_nothing(spark, tmp_path_factory):
+    corpus = _toks(spark, [(0, "a b"), (1, "x")])  # every doc < ngram
+    d = str(tmp_path_factory.mktemp("mhstore3") / "store")
+    st = MinHashStore.build(spark, corpus, d, num_hashes=8, band_rows=1)
+    st = MinHashStore.load(spark, d)
+    batch = _toks(spark, [(9, BASE)])
+    assert st.near_dups(batch, threshold=0.1).collect() == []
+    kept = st.dedup_gate(batch)
+    assert [r["docid"] for r in kept.select("docid").collect()] == [9]

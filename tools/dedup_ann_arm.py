@@ -310,7 +310,7 @@ def _store_arm(spark, n_docs: int, work_dir: str) -> dict:
         num_hashes=MINHASH_HASHES, band_rows=MINHASH_BAND_ROWS,
     )
     build_s = time.time() - t0
-    n_batch = 10_000
+    n_batch = min(10_000, n_docs)  # the recall/throughput denominator
     batch = toks.filter(F.col("docid") < n_batch).select(
         (F.col("docid") + 10_000_000).alias("docid"),
         F.expr("slice(toks, 2, size(toks))").alias("toks"),
