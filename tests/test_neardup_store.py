@@ -114,3 +114,60 @@ def test_all_short_corpus_store_matches_nothing(spark, tmp_path_factory):
     assert st.near_dups(batch, threshold=0.1).collect() == []
     kept = st.dedup_gate(batch)
     assert [r["docid"] for r in kept.select("docid").collect()] == [9]
+
+
+def test_ingest_gate_before_incremental_indexer(spark, tmp_path_factory):
+    """The streaming-ingest composition: batch 1 builds the corpus
+    (store + index); batch 2 passes through the store's dedup_gate
+    before IncrementalIndexer.add_batch, so near-dups of already-indexed
+    docs never enter the index; the store then learns the survivors."""
+    from montezuma_spark.index import FieldConfig, IndexConfig
+    from montezuma_spark.search import Searcher, TermQuery
+    from montezuma_spark.streaming import IncrementalIndexer
+
+    root = tmp_path_factory.mktemp("gatepipe")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", "text", "whitespace")],
+        key_col="url", shard_bits=3,
+    )
+    ix = IncrementalIndexer(spark, str(root / "ix"), cfg)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "url string, text string")
+
+    def toks_of(df):
+        return df.select(
+            F.xxhash64("url").alias("docid"),
+            F.split("text", " ").alias("toks"),
+        )
+
+    b1 = docs([("u://0", BASE), ("u://1", OTHER)])
+    ix.add_batch(b1, batch_id=0)
+    store = MinHashStore.build(
+        spark, toks_of(b1), str(root / "store"),
+        num_hashes=8, band_rows=1,
+    )
+
+    b2 = docs([
+        ("u://2", BASE.replace("lazy", "sleepy")),     # near-dup -> gated
+        ("u://3", "genuinely new material about codec cells and "
+                  "impact ordered block fronts for pruned scoring"),
+    ])
+    kept = store.dedup_gate(toks_of(b2), threshold=0.5).select("docid") \
+        .join(toks_of(b2).join(b2.selectExpr(
+            "xxhash64(url) AS docid", "url", "text"), "docid"), "docid") \
+        .select("url", "text")
+    assert [r["url"] for r in kept.select("url").collect()] == ["u://3"]
+    entry = ix.add_batch(kept, batch_id=1)
+    assert entry["num_docs"] == 1
+    store.add_batch(toks_of(kept))
+
+    s = Searcher(ix.multi_index())
+    # the gated near-dup's marker word never entered the index
+    assert s.top_docs(TermQuery("text", "sleepy"), k=5) == []
+    assert len(s.top_docs(TermQuery("text", "codec"), k=5)) == 1
+    # and the store now knows batch 2's survivor
+    probe = toks_of(docs([("u://9", "genuinely new material about codec "
+                                    "cells and impact ordered block "
+                                    "fronts for pruned scoring today")]))
+    assert store.near_dups(probe, threshold=0.5).count() >= 1
