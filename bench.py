@@ -309,6 +309,58 @@ def ann_recall(spark) -> dict:
     return out
 
 
+def _pipeline_ops_suite(spark) -> dict:
+    """Always-on sf-scale tripwires for the data-pipeline tiers: cluster
+    assignment + canonical keep, MinHashStore build + batch probe, and
+    the IVF-PQ probe — each a median of warm repeats where a probe, a
+    one-shot timing where a build. Uses the contract module's cached
+    artifacts (same (session, sf) keying as the graded path)."""
+    import statistics as _st
+
+    from montezuma_spark.queries import (
+        _ann_index,
+        _cluster_assignment,
+        _neardup_store,
+        _tokens_df,
+        dd_canonical,
+        dd_store_probe,
+    )
+
+    out: dict = {}
+    _tokens_df(spark, SF_DIR)  # shared token table: exclude from timings
+    t0 = time.time()
+    _cluster_assignment(spark, SF_DIR).count()
+    out["dd_clusters_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dd_canonical(spark, SF_DIR).count()
+    out["dd_canonical_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _neardup_store(spark, SF_DIR)  # build (cached after)
+    out["store_build_s"] = round(time.time() - t0, 3)
+    dd_store_probe(spark, SF_DIR).count()  # warm
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        dd_store_probe(spark, SF_DIR).count()
+        ts.append(time.time() - t0)
+    out["store_probe_s"] = round(_st.median(ts), 3)
+    ix = _ann_index(spark, SF_DIR)  # builds LSH+IVF+PQ (cached after)
+    ix.pq_topk(query_id=0, k=10).collect()  # warm
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        ix.pq_topk(query_id=0, k=10).collect()
+        ts.append(time.time() - t0)
+    out["pq_probe_s"] = round(_st.median(ts), 3)
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        ix.ivf_topk(query_id=0, k=10).collect()
+        ts.append(time.time() - t0)
+    out["ivf_probe_s"] = round(_st.median(ts), 3)
+    return out
+
+
 def _scale_arm_subprocess(cores: int, n_docs: int) -> dict:
     """Run one scaling arm in a fresh process pinned to ``cores`` CPUs
     (taskset) so local[N] cannot borrow idle cores for JVM/python helpers.
@@ -554,6 +606,9 @@ def _compact(result: dict) -> dict:
         for kk in ("probe_seconds", "probe_recall"):
             if kk in st:
                 out["dedup_ann_scale"][f"store_{kk}"] = st[kk]
+    po = result.get("pipeline_ops") or {}
+    if po:
+        out["pipeline_ops"] = po
     return out
 
 
@@ -721,6 +776,10 @@ def main():
     # the extensions WITHOUT changing the comparable headline suite total
     result["new_ops"] = _new_ops_suite(spark, searcher)
     result["ann_recall"] = ann_recall(spark)  # cheap (~1 min incl. KMeans)
+    # ---- round-4 data-pipeline tiers, ALWAYS-ON at sf scale (the 1M
+    # dedup/ANN arm is budget-gated and can be starved; these ~30 s
+    # tripwires guarantee every round carries cluster/store/PQ numbers)
+    result["pipeline_ops"] = _pipeline_ops_suite(spark)
     spark.stop()
 
     # SECTION ORDER is by grading importance: the scaling pair (the north
