@@ -126,8 +126,10 @@ class MinHashStore:
             docs_toks, ngram, num_hashes, band_rows, id_col, toks_col
         )
         os.makedirs(store_dir, exist_ok=True)
-        MinHashStore._write_bands(bands, store_dir, num_hashes, band_rows)
-        MinHashStore._write_shingles(sh, store_dir)
+        MinHashStore._write_bands(
+            bands, f"{store_dir}/bands", num_hashes, band_rows
+        )
+        MinHashStore._write_shingles(sh, f"{store_dir}/shingles")
         meta = {"num_hashes": num_hashes, "band_rows": band_rows,
                 "ngram": ngram}
         with open(f"{store_dir}/meta.json", "w") as fh:
@@ -135,7 +137,7 @@ class MinHashStore:
         return MinHashStore(spark, store_dir, meta)
 
     @staticmethod
-    def _write_bands(bands: DataFrame, store_dir: str, num_hashes: int,
+    def _write_bands(bands: DataFrame, out_dir: str, num_hashes: int,
                      band_rows: int, mode: str = "overwrite"):
         # file count follows parallelism (a cluster deployment would size
         # by rows/file like AnnIndex.BANDS_ROWS_PER_FILE); the layout
@@ -149,11 +151,11 @@ class MinHashStore:
             .write.mode(mode)
             .partitionBy("band_id")
             .option("parquet.block.size", str(2 * 1024 * 1024))
-            .parquet(f"{store_dir}/bands")
+            .parquet(out_dir)
         )
 
     @staticmethod
-    def _write_shingles(sh: DataFrame, store_dir: str,
+    def _write_shingles(sh: DataFrame, out_dir: str,
                         mode: str = "overwrite"):
         spark = sh.sparkSession
         n = spark.sparkContext.defaultParallelism
@@ -162,7 +164,7 @@ class MinHashStore:
             .sortWithinPartitions("docid")
             .write.mode(mode)
             .option("parquet.block.size", str(4 * 1024 * 1024))
-            .parquet(f"{store_dir}/shingles")
+            .parquet(out_dir)
         )
 
     @staticmethod
@@ -187,10 +189,37 @@ class MinHashStore:
         to per-batch-file granularity rather than breaking."""
         sh, bands = self._batch_prep(batch_toks, id_col, toks_col)
         MinHashStore._write_bands(
-            bands, self.store_dir, self.num_hashes, self.band_rows,
-            mode="append",
+            bands, f"{self.store_dir}/bands", self.num_hashes,
+            self.band_rows, mode="append",
         )
-        MinHashStore._write_shingles(sh, self.store_dir, mode="append")
+        MinHashStore._write_shingles(
+            sh, f"{self.store_dir}/shingles", mode="append"
+        )
+        self.bands = self.spark.read.parquet(f"{self.store_dir}/bands")
+        self.shingles = self.spark.read.parquet(
+            f"{self.store_dir}/shingles"
+        )
+
+    def compact(self) -> None:
+        """Rewrite both tables globally range-sorted — the store's
+        ``optimize`` analog. Append-heavy stores accumulate per-batch
+        file generations whose range sort holds only WITHIN each batch,
+        so a probe's min/max pruning degrades to per-generation
+        granularity; one compaction restores one-file-per-range pruning.
+        Writes to sibling dirs then swaps, so a crash mid-compact leaves
+        the old generations readable."""
+        import shutil
+
+        tmpb = f"{self.store_dir}/bands.compact"
+        tmps = f"{self.store_dir}/shingles.compact"
+        MinHashStore._write_bands(
+            self.bands, tmpb, self.num_hashes, self.band_rows
+        )
+        MinHashStore._write_shingles(self.shingles, tmps)
+        shutil.rmtree(f"{self.store_dir}/bands")
+        os.rename(tmpb, f"{self.store_dir}/bands")
+        shutil.rmtree(f"{self.store_dir}/shingles")
+        os.rename(tmps, f"{self.store_dir}/shingles")
         self.bands = self.spark.read.parquet(f"{self.store_dir}/bands")
         self.shingles = self.spark.read.parquet(
             f"{self.store_dir}/shingles"

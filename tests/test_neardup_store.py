@@ -171,3 +171,41 @@ def test_ingest_gate_before_incremental_indexer(spark, tmp_path_factory):
                                     "cells and impact ordered block "
                                     "fronts for pruned scoring today")]))
     assert store.near_dups(probe, threshold=0.5).count() >= 1
+
+
+def test_compact_preserves_probe_results(spark, tmp_path_factory):
+    """compact(): after several appended generations, probing before and
+    after compaction returns identical pairs, and both tables collapse
+    to one file set (no per-batch generations left)."""
+    import glob
+
+    d = str(tmp_path_factory.mktemp("mhstore4") / "store")
+    st = MinHashStore.build(
+        spark, _toks(spark, [(0, BASE)]), d, num_hashes=8, band_rows=1
+    )
+    st.add_batch(_toks(spark, [(50, OTHER)]))
+    st.add_batch(_toks(spark, [(60, BASE.replace("fox", "wolf"))]))
+    probe = _toks(spark, [
+        (200, OTHER.replace("arbitrary", "vast")),
+        (201, BASE.replace("lazy", "sleepy")),
+    ])
+    before = sorted(
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in st.near_dups(probe, threshold=0.4).collect()
+    )
+    n_files_before = len(glob.glob(f"{d}/shingles/*.parquet"))
+    st.compact()
+    after = sorted(
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in st.near_dups(probe, threshold=0.4).collect()
+    )
+    assert before == after and before
+    assert {c for _, c, _ in before} >= {0, 50, 60} - {0}  # dups found
+    n_files_after = len(glob.glob(f"{d}/shingles/*.parquet"))
+    assert n_files_after <= n_files_before
+    # reload still works over the swapped layout
+    st2 = MinHashStore.load(spark, d)
+    assert sorted(
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in st2.near_dups(probe, threshold=0.4).collect()
+    ) == before
