@@ -193,7 +193,8 @@ def test_compact_preserves_probe_results(spark, tmp_path_factory):
         (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
         for r in st.near_dups(probe, threshold=0.4).collect()
     )
-    n_files_before = len(glob.glob(f"{d}/shingles/*.parquet"))
+    n_gens_before = len(glob.glob(f"{d}/shingles/gen=*"))
+    assert n_gens_before == 3  # build + two appended generations
     st.compact()
     after = sorted(
         (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
@@ -201,11 +202,131 @@ def test_compact_preserves_probe_results(spark, tmp_path_factory):
     )
     assert before == after and before
     assert {c for _, c, _ in before} >= {0, 50, 60} - {0}  # dups found
-    n_files_after = len(glob.glob(f"{d}/shingles/*.parquet"))
-    assert n_files_after <= n_files_before
+    assert len(glob.glob(f"{d}/shingles/gen=*")) == 1
+    assert len(glob.glob(f"{d}/bands/gen=*")) == 1
     # reload still works over the swapped layout
     st2 = MinHashStore.load(spark, d)
     assert sorted(
         (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
         for r in st2.near_dups(probe, threshold=0.4).collect()
     ) == before
+
+
+def test_auto_merge_bounds_generations(spark, tmp_path_factory):
+    """Log-tier auto-merge: many 1-doc appends with a tiny tier-0 target
+    keep the committed generation count bounded, and probes return the
+    same pairs a never-merged store would (parity across every merge)."""
+    import glob
+
+    d = str(tmp_path_factory.mktemp("mhstore5") / "store")
+    st = MinHashStore.build(
+        spark, _toks(spark, [(0, BASE)]), d, num_hashes=8, band_rows=1
+    )
+    st.min_merge_docs = 2  # tier-0 target: 2 docs, factor 10
+    texts = [OTHER, BASE.replace("fox", "wolf"),
+             OTHER.replace("state", "status"),
+             BASE.replace("dog", "cat"), OTHER.replace("scale", "size")]
+    for i, t in enumerate(texts):
+        st.add_batch(_toks(spark, [(50 + i, t)]))
+    # 6 one-doc generations would exist without merging; the tier walk
+    # keeps strictly fewer committed generations than appends
+    assert len(st.meta["gens"]) < 6
+    assert len(glob.glob(f"{d}/shingles/gen=*")) == len(st.meta["gens"])
+    probe = _toks(spark, [
+        (200, OTHER.replace("arbitrary", "vast")),
+        (201, BASE.replace("lazy", "sleepy")),
+    ])
+    got = sorted(
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in st.near_dups(probe, threshold=0.4).collect()
+    )
+    # reference: identical corpus built in one generation (no merges)
+    d2 = str(tmp_path_factory.mktemp("mhstore5") / "ref")
+    rows = [(0, BASE)] + [(50 + i, t) for i, t in enumerate(texts)]
+    ref = MinHashStore.build(
+        spark, _toks(spark, rows), d2, num_hashes=8, band_rows=1
+    )
+    want = sorted(
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in ref.near_dups(probe, threshold=0.4).collect()
+    )
+    assert got == want and got
+
+
+def test_load_ignores_and_gcs_orphan_generations(spark, tmp_path_factory):
+    """A generation dir with no meta entry (crash after write, before
+    the meta commit) is invisible to probes and garbage-collected by
+    load() — never half-visible data."""
+    import os
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("mhstore6") / "store")
+    st = MinHashStore.build(
+        spark, _toks(spark, [(0, BASE)]), d, num_hashes=8, band_rows=1
+    )
+    # forge an uncommitted generation holding a would-match near-dup
+    orphan = _toks(spark, [(77, BASE.replace("lazy", "sleepy"))])
+    sh, bands = st._batch_prep(orphan, "docid", "toks")
+    MinHashStore._write_generation(spark, d, 99, bands, sh, 8, 1)
+    assert os.path.isdir(f"{d}/bands/gen=99")
+    st2 = MinHashStore.load(spark, d)
+    probe = _toks(spark, [(200, BASE.replace("lazy", "sleepy"))])
+    pairs = st2.near_dups(probe, threshold=0.4).collect()
+    assert {r["corpus_id"] for r in pairs} == {0}  # 77 never visible
+    assert not os.path.isdir(f"{d}/bands/gen=99")  # GC'd
+    assert not os.path.isdir(f"{d}/shingles/gen=99")
+
+
+def test_legacy_flat_layout_migrates_on_load(spark, tmp_path_factory):
+    """A round-4 store (flat bands/band_id=…, no generation list in
+    meta.json) loads via the one-time gen=0 migration with identical
+    probe results, and supports appends afterwards."""
+    import json
+    import os
+
+    d = str(tmp_path_factory.mktemp("mhstore7") / "store")
+    st = MinHashStore.build(
+        spark, _toks(spark, [(0, BASE), (1, OTHER)]), d,
+        num_hashes=8, band_rows=1,
+    )
+    probe = _toks(spark, [(200, BASE.replace("lazy", "sleepy"))])
+    want = sorted(
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in st.near_dups(probe, threshold=0.4).collect()
+    )
+    # flatten to the legacy layout: gen=0 contents hoisted up a level
+    for name in ("bands", "shingles"):
+        os.rename(f"{d}/{name}/gen=0", f"{d}/{name}.flat")
+        os.rmdir(f"{d}/{name}")
+        os.rename(f"{d}/{name}.flat", f"{d}/{name}")
+    meta = json.load(open(f"{d}/meta.json"))
+    for k in ("gens", "next_gen"):
+        meta.pop(k)
+    json.dump(meta, open(f"{d}/meta.json", "w"))
+    st2 = MinHashStore.load(spark, d)
+    assert "gens" in st2.meta and st2.meta["gens"][0]["docs"] == 2
+    got = sorted(
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in st2.near_dups(probe, threshold=0.4).collect()
+    )
+    assert got == want and got
+    st2.add_batch(_toks(spark, [(50, OTHER.replace("scale", "size"))]))
+    assert MinHashStore.load(spark, d).near_dups(
+        _toks(spark, [(300, OTHER.replace("scale", "size"))]),
+        threshold=0.5,
+    ).count() >= 1
+
+
+def test_missing_committed_table_raises(spark, tmp_path_factory):
+    """A committed non-empty generation whose directory is gone must
+    RAISE at load — silently matching nothing would let dedup_gate
+    admit every near-dup (the silent-under-dedup rule)."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("mhstore8") / "store")
+    MinHashStore.build(
+        spark, _toks(spark, [(0, BASE)]), d, num_hashes=8, band_rows=1
+    )
+    shutil.rmtree(f"{d}/bands")
+    with pytest.raises(Exception):
+        MinHashStore.load(spark, d)
