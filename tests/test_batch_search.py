@@ -284,3 +284,47 @@ def test_large_term_list_expr_pushdown(searcher, monkeypatch):
     searcher._df_cache.clear()
     assert dfs_unsafe[("field", "o'brien")] == 0
     assert dfs_unsafe[("field", "word1")] == dfs_lit[("field", "word1")]
+
+
+def test_batch_cached_tier_serves_positional_plans(spark, tmp_path):
+    """Positional plans (phrase / sloppy / span-near) ride the budgeted
+    cached driver tier on a saved layout: the whole phrase-heavy batch
+    is served without touching the distributed machinery (sabotaged
+    here), with rows identical to the forced-distributed kernel
+    (round-4 verdict #6)."""
+    from montezuma_spark.index import Index
+    from montezuma_spark.search import SpanNearQuery
+
+    d = str(tmp_path / "posbatch_ix")
+    build_index(spark, search_docs_df(spark), CFG, index_dir=d)
+    idx = Index.load(spark, d)
+
+    batch = {
+        "ph": PhraseQuery.of("field", ["word1", "word2"]),
+        "sl": PhraseQuery.of("field", ["word1", "word3"], slop=4),
+        "sp": SpanNearQuery.of("field", ["word2", "word3"], slop=3),
+        "t": TermQuery("field", "fox"),
+    }
+    want = sorted(
+        (r["qid"], r["docid"], round(r["score"], 9))
+        for r in Searcher(idx, distributed=True)
+        .search_batch(batch, k=5).collect()
+    )
+    cached = Searcher(idx)
+
+    def _boom(*a, **kw):
+        raise AssertionError("distributed machinery used for cached batch")
+
+    cached._postings_for = _boom
+    got = sorted(
+        (r["qid"], r["docid"], round(r["score"], 9))
+        for r in cached.search_batch(batch, k=5).collect()
+    )
+    assert got == want and got
+    # and the cells (incl. positions variants) are now cache-resident:
+    # a second batch still never schedules the kernel
+    got2 = sorted(
+        (r["qid"], r["docid"], round(r["score"], 9))
+        for r in cached.search_batch(batch, k=5).collect()
+    )
+    assert got2 == want

@@ -143,3 +143,31 @@ def test_spell_correct_orders_by_similarity_then_df(spark, corpus):
     # an in-vocabulary query term is excluded from its own suggestions
     got2 = s.spell_correct("field", "word1", n=5, min_similarity=0.7)
     assert all(t != "word1" for t, _df, _s in got2) and got2
+
+
+def test_fuzzy_truncation_keeps_nearest_spellings(spark):
+    """Adversarial truncation: MORE in-threshold terms than
+    max_expansion, with the worse-similarity terms lexicographically
+    FIRST — a lexicographic limit would keep exactly the wrong ones.
+    Locks the round-4 fix: truncation orders by (sim desc, term asc)
+    on both the distributed and preload tiers."""
+    worse = ["aadd", "abdd", "acdd", "aedd", "afdd"]   # lev 2 -> sim 0.5
+    better = ["addd", "bddd", "cddd"]                  # lev 1 -> sim 0.75
+    rows = [(f"u://{i:02d}", t)
+            for i, t in enumerate(worse + better + ["dddd"])]
+    docs = spark.createDataFrame(rows, "url string, field string")
+    cfg = IndexConfig(
+        fields=[FieldConfig("field", "field", "whitespace")],
+        key_col="url", shard_bits=2,
+    )
+    idx = build_index(spark, docs, cfg)
+    q = FuzzyQuery("field", "dddd", 0.45)  # all 9 terms in-threshold
+    expansions = []
+    for s in (Searcher(idx), Searcher(idx, preload=True)):
+        s.max_expansion = 4
+        s.top_docs(TermQuery("field", "dddd"), k=1)  # preload dict warm
+        exp = s._expand_fuzzy(q)
+        assert [t for t, _df, _s in exp] == sorted(better + ["dddd"])
+        assert {round(sim, 9) for _t, _df, sim in exp} == {1.0, 0.75}
+        expansions.append(exp)
+    assert expansions[0] == expansions[1]  # tier identity
