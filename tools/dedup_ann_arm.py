@@ -239,9 +239,22 @@ def _ann_arm(spark, n_vecs: int, work_dir: str) -> dict:
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
-    cores = int(sys.argv[3]) if len(sys.argv) > 3 else (os.cpu_count() or 8)
+    # `store <n_docs> [cores]` runs ONLY the MinHashStore arm (the 10M-doc
+    # store-scale evidence — verdict r4 #7 — without paying the banding
+    # growth points or the ANN build at that size)
+    args = list(sys.argv[1:])
+    store_only = bool(args) and args[0] == "store"
+    if store_only:
+        args = args[1:]
+    n_docs = int(args[0]) if args else 1_000_000
+    n_vecs = int(args[1]) if len(args) > 1 else (0 if store_only
+                                                else 1_000_000)
+    cores = int(args[2]) if len(args) > 2 else (os.cpu_count() or 8)
+    if n_docs >= 5_000_000:
+        # the robustness-arm lesson (robustness_arm.py docstring): the
+        # default 8g local-mode heap OOMs holding a ≥10M-doc corpus
+        # persist; partitions silently recompute inside the timed build
+        os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 
     from bench import _fresh_spark, _warm_workers
 
@@ -249,6 +262,15 @@ def main():
     _warm_workers(spark, cores)
 
     result: dict = {"cores": cores}
+    if store_only:
+        work = f"/tmp/dedup_store_arm_{os.getpid()}"
+        try:
+            result["store"] = _store_arm(spark, n_docs, work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print("DEDUP_ANN_RESULT " + json.dumps(result))
+        spark.stop()
+        return
     if n_docs:
         # Heaps'-law-ish vocabulary for the corpus size (a 10k shared
         # vocab at 1M docs is unrealistically overlapping and would
