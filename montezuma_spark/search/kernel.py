@@ -1497,12 +1497,22 @@ def _sloppy_freqs_flat(term_flats: list[np.ndarray],
     per-doc strictly ascending); synthetic inputs with within-run
     duplicates would diverge from the scalar sweep (round-2 advice).
 
-    Sweep identity: the loop retires the minimum pointer each step, so the
-    retired elements follow the merged (value, list) sorted order, and at
-    the step retiring element (v, j) every other list t's pointer sits at
-    its first element (> v), or (== v) for t > j (the argmin tie-break
-    retires lower list ids first). The sweep stops — inclusively — at the
-    first element that is the last of its list.
+    Sweep identity (the closed form this computes per ELEMENT, never
+    materializing the merged stream): the scalar loop retires the
+    minimum pointer each step, so retirements follow the per-doc
+    (value, lid) sorted order, and at the step retiring element (v, j)
+    every other list u's pointer sits at its first element (> v) for
+    u < j, or (>= v) for u > j (the argmin tie-break retires lower list
+    ids first). The sweep stops — inclusively — at the first element
+    that is the last of its list; under the retirement order that stop
+    element is simply the per-doc lexicographic MIN over lists of
+    (last-run-element key, lid), so "retires before the stop" is a
+    direct key comparison — no rank bookkeeping. Each retired element's
+    window span is max over other lists of (pointer value − v), found
+    with one searchsorted per ordered list pair; k(k-1) binary searches
+    replace the former merged-stream argsort + per-list cumsum walk
+    (~3× less work for the common 2-term phrase, same results —
+    batch == scalar property-tested).
 
     Returns per-doc frequency (count or Σ 1/(1+span)).
     """
@@ -1517,82 +1527,55 @@ def _sloppy_freqs_flat(term_flats: list[np.ndarray],
     if len(active) == 0:
         return freqs
     # per-term flat streams restricted to active docs (one gather each)
-    flat = []
+    flat, alens = [], []
     for t in range(k):
         starts = np.cumsum(lens[t]) - lens[t]
+        alens.append(lens[t][active])
         flat.append(
             ShardEval._gather_runs(
-                np.asarray(term_flats[t]), starts[active], lens[t][active]
+                np.asarray(term_flats[t]), starts[active], alens[t]
             )
         )
     vmin = min(int(f.min()) for f in flat)
     vmax = max(int(f.max()) for f in flat)
     M = np.int64(vmax - vmin + 2)
-    doc_of = [
-        np.repeat(np.arange(len(active)), lens[t][active]) for t in range(k)
-    ]
+    nact = len(active)
+    doc_of = [np.repeat(np.arange(nact), alens[t]) for t in range(k)]
     key = [doc_of[t] * M + (flat[t] - vmin) for t in range(k)]  # sorted asc
-    # merged element stream over all terms
-    all_key = np.concatenate(key)
-    all_val = np.concatenate(flat).astype(np.float64)
-    all_doc = np.concatenate(doc_of)
-    all_lid = np.concatenate(
-        [np.full(len(key[t]), t, dtype=np.int64) for t in range(k)]
-    )
-    # is_last: element is the final one of its (doc, term) run
-    last_parts = []
+    # stop element per doc: lexicographic min over lists of
+    # (key of the list's LAST per-doc element, lid)
+    stop_key = np.full(nact, np.iinfo(np.int64).max)
+    stop_lid = np.zeros(nact, dtype=np.int64)
     for t in range(k):
-        arr = np.zeros(len(flat[t]), dtype=bool)
-        arr[np.cumsum(lens[t][active]) - 1] = True
-        last_parts.append(arr)
-    is_last = np.concatenate(last_parts)
-    # (doc, value, lid) retirement order. Keys within one list are
-    # strictly increasing (doc-major, per-doc runs strictly ascending), so
-    # key*k+lid is unique → one flat argsort replaces the two-key lexsort
-    # when it cannot overflow.
-    if int(all_key.max()) < (2**62) // max(k, 1):
-        order = np.argsort(all_key * k + all_lid)
-    else:
-        order = np.lexsort((all_lid, all_key))
-    s_key = all_key[order]
-    s_val = all_val[order]
-    s_doc = all_doc[order]
-    s_lid = all_lid[order]
-    s_last = is_last[order]
-    n = len(order)
-    # per-doc segment starts in the sorted stream
-    doc_starts = np.searchsorted(s_doc, np.arange(len(active)))
-    rank = np.arange(n) - np.repeat(
-        doc_starts, np.diff(np.append(doc_starts, n))
-    )
-    # stop rank per doc: min within-doc rank of a last-of-its-list element
-    rank_or_inf = np.where(s_last, rank, np.iinfo(np.int64).max)
-    stop_rank = np.minimum.reduceat(rank_or_inf, doc_starts)
-    in_range = rank <= stop_rank[s_doc]
-    # next-element value per other list t at each retirement. The m-th
-    # retired element of list t IS flat[t][m-1] (list keys are strictly
-    # increasing), so each list's pointer is a running retired-count:
-    # cumsum(s_lid == t) — O(k·n) total, no O(k·n log n) searchsorted.
-    # Ties fall out of the retirement order itself: an equal-key element
-    # of list t < j is already counted (it sorted earlier on lid), one of
-    # list t > j is not (pointer sits at == v), and for t == j the
-    # pointer is the element itself (count - 1) → value v.
-    nxt = np.full((k, n), np.inf)
+        lk = key[t][np.cumsum(alens[t]) - 1]
+        better = lk < stop_key  # lids ascend, so ties keep the lower lid
+        stop_key = np.where(better, lk, stop_key)
+        stop_lid = np.where(better, t, stop_lid)
     for t in range(k):
-        is_t = s_lid == t
-        c_t = np.cumsum(is_t)
-        idx = np.where(is_t, c_t - 1, c_t)
-        valid = idx < len(flat[t])
-        idxc = np.minimum(idx, len(flat[t]) - 1)
-        valid &= doc_of[t][idxc] == s_doc
-        nxt[t] = np.where(valid, flat[t][idxc], np.inf)
-    span = nxt.max(axis=0) - s_val
-    contrib = np.where(
-        in_range & (span <= slop),
-        1.0 if weight == "count" else 1.0 / (1.0 + span),
-        0.0,
-    )
-    np.add.at(freqs, active[s_doc], contrib)
+        kt = key[t]
+        sd = doc_of[t]
+        in_range = (kt < stop_key[sd]) | (
+            (kt == stop_key[sd]) & (t <= stop_lid[sd])
+        )
+        # window span at this element's retirement: max over other
+        # lists' pointer values minus v (own pointer contributes v − v)
+        span = np.zeros(len(kt), dtype=np.float64)
+        for u in range(k):
+            if u == t:
+                continue
+            j = np.searchsorted(key[u], kt + 1 if u < t else kt, "left")
+            valid = j < len(key[u])
+            jc = np.minimum(j, max(len(key[u]) - 1, 0))
+            valid &= doc_of[u][jc] == sd
+            span = np.maximum(
+                span, np.where(valid, flat[u][jc] - flat[t], np.inf)
+            )
+        contrib = np.where(
+            in_range & (span <= slop),
+            1.0 if weight == "count" else 1.0 / (1.0 + span),
+            0.0,
+        )
+        freqs[active] += np.bincount(sd, weights=contrib, minlength=nact)
     return freqs
 
 
