@@ -51,10 +51,21 @@ Docids must be unique across the corpus and every probed/added batch
 (the ingest pipeline's docid assignment — e.g. ``queries.rank_docids``
 offsets or the IncrementalIndexer's docid bases — owns that).
 
-Scale shape of a probe: batch-side hashing is O(batch); the corpus-side
-read is bucket-pruned to the batch's band values; the verify join
-touches only candidate corpus docs' shingle rows. Nothing rescans the
-corpus, nothing is quadratic.
+Scale shape of a probe: batch-side hashing is O(batch), and NOTHING
+about the probe shuffles corpus-sized data — the band read is either
+value-pruned (small batches: literal IN pushdown hits row-group stats)
+or a shuffle-free broadcast-bucket pass, and the verify join BROADCASTS
+the batch-bounded candidate pairs against the shingle sidecar (a
+sort-merge plan here shuffles the whole corpus sidecar: measured 59.5 s
+vs ~10 s at 10M docs / 10k-doc batch). A large batch's scattered band
+values defeat min/max pruning by construction (every 2 MB row group of
+a sorted 40M-row table contains some probed value), so the big-batch
+floor is one sequential columnar pass per table at scan bandwidth —
+linear in corpus bytes but embarrassingly parallel and shuffle-free.
+On a truly huge corpus, amortize that pass by accumulating deltas into
+larger probe batches (probe cost is flat in batch size until the
+candidate cap), exactly like the batch-serving tier amortizes its scan.
+Nothing is quadratic.
 """
 
 from __future__ import annotations
@@ -78,6 +89,14 @@ from montezuma_spark.dedup import (
 # (row-group pruning); above it, a broadcast join (still bucket-equi,
 # just unpruned)
 PUSHDOWN_MAX_VALUES = 20_000
+# candidate-pair broadcast gate: candidates are batch-bounded (~batch ×
+# dup multiplicity), so the verify join broadcasts them against the
+# shingle sidecar — a shuffle-free scan instead of sort-merge-shuffling
+# the corpus-sized shingle table (measured 59.5 s vs ~8 s at 10M docs /
+# 10k batch). The cap guards the pathological template-batch case where
+# band buckets fan out; above it the plain join's shuffle is the safer
+# plan.
+CAND_BROADCAST_MAX = 2_000_000
 
 
 def _count_rows(spark, path: str) -> int:
@@ -479,6 +498,14 @@ class MinHashStore:
             .select("batch_id", "corpus_id")
             .distinct()
         )
+        # pin the candidate pairs (one bands pass total: the count below
+        # and the verify join both reuse the checkpointed rows), then
+        # broadcast them into the shingle join — the verify becomes a
+        # single shuffle-free pass over the docid-sorted sidecar, never
+        # a sort-merge shuffle of the corpus-sized table
+        cand = cand.localCheckpoint()
+        if cand.count() <= CAND_BROADCAST_MAX:
+            cand = F.broadcast(cand)
         j = (
             cand.join(
                 self.shingles.select(
