@@ -571,8 +571,13 @@ class ShardEval:
     # -------------------------------------------------------- top-k pruning
     def eval_top(self, node: Query):
         """Entry point for per-shard top-k: uses the block-max pruned
-        disjunction path when the plan shape allows, else exact eval."""
+        disjunction path (or the bound-ordered phrase rounds) when the
+        plan shape allows, else exact eval."""
         pruned = self._try_pruned_disjunction(node)
+        if pruned is None:
+            pruned = self._try_pruned_phrase(node)
+        if pruned is None:
+            pruned = self._try_early_span(node)
         docids, scores = pruned if pruned is not None else self.eval(node)
         qn = self.plan.query_norm
         if self.normalize and qn != 1.0 and len(scores):
@@ -1210,6 +1215,201 @@ class ShardEval:
         pb = np.concatenate([[0], np.cumsum(t_all)])
         return d_all, t_all, flat, pb
 
+    @staticmethod
+    def _phrase_freqs(slot_flats, slot_lens, nd, offsets, slop,
+                      weight="count"):
+        """Per-doc phrase frequency over flat doc-major slot positions —
+        the one freq kernel behind BOTH the exhaustive phrase eval and
+        the pruned top-k rounds. slop == 0: composite (doc, shifted
+        position) key intersection; slop > 0: the sloppy sweep."""
+        freqs = np.zeros(nd, dtype=np.float64)
+        if slop == 0:
+            # vectorized across ALL candidate docs: encode (doc, shifted
+            # position) as one composite key and intersect the slots' key
+            # sets. Bias keeps shifted positions non-negative; it is
+            # identical per slot so intersection is unaffected.
+            M = np.int64(1) << np.int64(33)
+            bias = max(offsets)
+            keys = None
+            for i in range(len(slot_flats)):
+                di = np.repeat(
+                    np.arange(nd, dtype=np.int64), slot_lens[i]
+                )
+                k = di * M + (slot_flats[i] - offsets[i] + bias)
+                keys = (
+                    k
+                    if keys is None
+                    else np.intersect1d(keys, k, assume_unique=True)
+                )
+                if len(keys) == 0:
+                    break
+            if keys is not None and len(keys):
+                freqs = np.bincount(
+                    (keys // M).astype(np.int64), minlength=nd
+                ).astype(np.float64)
+            return freqs
+        return _sloppy_freqs_flat(
+            [slot_flats[i] - offsets[i] for i in range(len(slot_flats))],
+            slot_lens, slop, weight,
+        )
+
+    def _try_pruned_phrase(self, node: Query):
+        """Root-level pruned top-k for plain (single-term-slot) phrase
+        queries — the positional analog of ``_try_pruned_term``. The
+        positions fetch + window sweep are the dominant phrase cost and
+        are O(intersection); for top-k only the docs whose score BOUND
+        can reach the k-th best matter. Per-doc bound (valid under the
+        Similarity monotone-tf_norm contract, with EXACT per-doc boosts):
+
+            phrase_freq ≤ min(slot tf)              (slop == 0)
+            phrase_freq ≤ Σ slot tf − (n_slots − 1) (sloppy sweep: one
+              retirement per step, the sweep stops at the first
+              exhausted list; reciprocal weight contributes ≤ 1/step)
+
+        so ub = idf·boost·doc_boost·tf_norm(bound_tf, dl). Docs evaluate
+        in descending-ub rounds with a DOUBLING budget, and the loop
+        stops when the next unseen doc's bound falls STRICTLY below the
+        running k-th-best score θ (the single-term stop rule: an equal
+        bound still evaluates, so the docid-asc tie-break survives).
+        Step-1 decode streams and handles are shared with the rounds —
+        no doc stream decodes twice. Returns None when the shape can't
+        prune (no k, multi-alternative slots, < 2 slots, tiny df,
+        non-positive scale)."""
+        k = self.plan.k
+        if (
+            k is None
+            or not isinstance(node, PhraseQuery)
+            or isinstance(node, MultiPhraseQuery)
+            or len(node.terms) < 2
+        ):
+            return None
+        p = self.plan
+        field = node.field
+        dfm = p.df_est
+        dfs = [dfm.get((field, t)) for t in node.terms]
+        if any(d is None for d in dfs) or min(dfs) < PRUNE_MIN_POSTINGS:
+            return None  # intersection ≤ min df: exact eval is cheap
+        idf = sum(p.idf.get((field, t), 0.0) for t in set(node.terms))
+        if self.normalize:
+            idf = idf * idf
+        scale = idf * node.boost
+        if scale <= 0.0:
+            return None  # a non-positive scale inverts the bound order
+        # step 1 (same as the exact path): intersect doc sets rarest
+        # first, keeping each slot's decode stream + handles
+        order1 = sorted(
+            range(len(node.terms)),
+            key=lambda i: dfm.get((field, node.terms[i]), 0),
+        )
+        docs = None
+        streams: dict[int, tuple] = {}
+        handles: dict[int, list] = {}
+        for i in order1:
+            d, tf, dl, handles[i] = self._decode_with_handles(
+                field, node.terms[i], docs
+            )
+            streams[i] = (d, tf, dl)
+            if docs is not None:
+                d, _ = self._restrict(
+                    d, np.zeros(len(d), dtype=np.float64), docs
+                )
+            docs = d
+            if len(docs) == 0:
+                return _EMPTY
+        nd = len(docs)
+        # per-slot tf aligned on the final intersection (docs ⊆ every
+        # slot's decoded doc set by construction)
+        tfs = np.empty((len(node.terms), nd), dtype=np.int64)
+        dl = None
+        for i in order1:
+            d_i, tf_i, dl_i = streams[i]
+            idx = np.searchsorted(d_i, docs)
+            tfs[i] = tf_i[idx]
+            if dl is None:
+                dl = dl_i[idx].astype(np.float64)
+        avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
+        dboost = self._doc_boost(docs)
+        boost_arr = dboost if isinstance(dboost, np.ndarray) else None
+        # Round sizing balances two costs that both hurt: position
+        # decode is block-granular (a 4096-doc round scatters over ~2/3
+        # of all position blocks — nearly the exhaustive decode), while
+        # every extra round re-pays the per-cell handle walk (~300
+        # cells × ~50 µs per term at 1M docs). ~1k-doc rounds fill
+        # k=10 at the measured window-match rate in one or two rounds
+        # while touching ~20% of blocks; doubling bounds sparse cases.
+        need = max(k * 64, 1024)
+        if nd <= need:
+            # one round evaluates everything anyway — skip the bound
+            # math and reuse step-1 handles (≡ the exhaustive eval; a
+            # None return here would re-decode every doc stream)
+            order = np.arange(nd, dtype=np.int64)
+            ub = None
+        else:
+            if node.slop == 0:
+                ub_tf = tfs.min(axis=0)
+            else:
+                ub_tf = tfs.sum(axis=0) - (len(node.terms) - 1)
+            # 1e-9 relative headroom: the exact score multiplies the
+            # same factors in a different association order (ulp safety)
+            ub = (
+                scale * dboost * self.sim.tf_norm(ub_tf, dl, avgdl)
+                * (1.0 + 1e-9)
+            )
+            order = np.argsort(-ub, kind="stable")
+        weight = getattr(node, "weight", "count")
+        d_parts: list = []
+        s_parts: list = []
+        n_found = 0
+        pos = 0
+        while pos < nd:
+            take = min(nd, pos + need)
+            sel = np.sort(order[pos:take])
+            pos = take
+            need *= 2
+            wdocs = docs[sel]
+            slot_flats, slot_lens = [], []
+            for i in range(len(node.terms)):
+                f, ln = (
+                    self._positions_flat(field, node.terms[i], wdocs)
+                    if self.plan.hot
+                    else self._positions_flat_handles(wdocs, handles[i])
+                )
+                slot_flats.append(f)
+                slot_lens.append(np.asarray(ln, dtype=np.int64))
+            freqs = self._phrase_freqs(
+                slot_flats, slot_lens, len(wdocs), node.offsets,
+                node.slop, weight,
+            )
+            keep = freqs > 0
+            if keep.any():
+                sc = (
+                    scale
+                    * (boost_arr[sel][keep] if boost_arr is not None
+                       else dboost)
+                    * self.sim.tf_norm(freqs[keep], dl[sel][keep], avgdl)
+                )
+                d_parts.append(wdocs[keep])
+                s_parts.append(sc)
+                n_found += int(keep.sum())
+            if pos >= nd:
+                break
+            if ub is not None and n_found >= k:
+                scores = np.concatenate(s_parts)
+                s_parts = [scores]
+                theta = np.partition(scores, len(scores) - k)[
+                    len(scores) - k
+                ]
+                if ub[order[pos]] < theta:
+                    break
+        docids = np.concatenate(d_parts) if d_parts else _EMPTY[0]
+        scores = (
+            np.concatenate(s_parts)
+            if s_parts
+            else np.empty(0, dtype=np.float64)
+        )
+        by_doc = np.argsort(docids)
+        return docids[by_doc], scores[by_doc]
+
     def _eval_phrase(self, node, candidates):
         """PhraseQuery or MultiPhraseQuery (per-slot alternatives): a slot
         matches where ANY of its terms occurs; slots with one term keep
@@ -1296,41 +1496,10 @@ class ShardEval:
                 f, ln = f_s, np.bincount(d_s, minlength=nd)
             slot_flats.append(f)
             slot_lens.append(np.asarray(ln, dtype=np.int64))
-        freqs = np.zeros(nd, dtype=np.float64)
-        if node.slop == 0:
-            # vectorized across ALL candidate docs: encode (doc, shifted
-            # position) as one composite key and intersect the slots' key
-            # sets. Bias keeps shifted positions non-negative; it is
-            # identical per slot so intersection is unaffected.
-            M = np.int64(1) << np.int64(33)
-            bias = max(node.offsets)
-            keys = None
-            for i in range(len(alts)):
-                di = np.repeat(
-                    np.arange(nd, dtype=np.int64), slot_lens[i]
-                )
-                k = di * M + (slot_flats[i] - node.offsets[i] + bias)
-                keys = (
-                    k
-                    if keys is None
-                    else np.intersect1d(keys, k, assume_unique=True)
-                )
-                if len(keys) == 0:
-                    break
-            if keys is not None and len(keys):
-                freqs = np.bincount(
-                    (keys // M).astype(np.int64), minlength=nd
-                ).astype(np.float64)
-        else:
-            freqs = _sloppy_freqs_flat(
-                [
-                    slot_flats[i] - node.offsets[i]
-                    for i in range(len(alts))
-                ],
-                slot_lens,
-                node.slop,
-                getattr(node, "weight", "count"),
-            )
+        freqs = self._phrase_freqs(
+            slot_flats, slot_lens, nd, node.offsets, node.slop,
+            getattr(node, "weight", "count"),
+        )
         keep = freqs > 0
         docs = docs[keep]
         freqs = freqs[keep]
@@ -1394,8 +1563,16 @@ class ShardEval:
             docs = d
             if len(docs) == 0:
                 return _EMPTY
-        # 2. flat (doc-index * M + position) keys per unique term —
-        # doc-major ascending positions, so each array is sorted
+        match = self._span_hits(node, docs, mult, term_handles)
+        return match, np.full(len(match), float(node.boost))
+
+    def _span_hits(self, node, docs, mult, term_handles) -> np.ndarray:
+        """Docids of ``docs`` (sorted ascending) containing a qualifying
+        span window — step 2 of the span kernel, shared by the
+        exhaustive eval and the docid-order early-exit rounds. Flat
+        (doc-index·M + position) composite keys per unique term;
+        per-doc independence makes subset evaluation exact."""
+        field = node.field
         nd = len(docs)
         M = np.int64(1) << np.int64(33)
         keys: dict[str, np.ndarray] = {}
@@ -1434,7 +1611,67 @@ class ShardEval:
                 hi = np.searchsorted(kt, anchors + W + 1, side="left")
                 ok &= (hi - lo) >= mult[term]
         hit_docs = np.unique(anchors[ok] // M).astype(np.int64)
-        match = docs[hit_docs]
+        return docs[hit_docs]
+
+    def _try_early_span(self, node: Query):
+        """Root-level top-k for SpanNearQuery via DOCID-ORDER early exit
+        — NOT a score-bound (WAND) path: span stays excluded from those
+        (it is not term-like and has no tf bound). Constant-score
+        semantics make this exact for free: every match scores exactly
+        ``boost``, so under the (score desc, docid asc) tie-break the
+        top-k IS the k lowest-docid matches. Candidate docs (already
+        ascending) evaluate in doubling-budget chunks and the scan stops
+        once k matches exist — the positions fetch + window kernels
+        never touch the tail of a hot intersection. Returns None when
+        the shape can't exit early (no k, tiny df)."""
+        k = self.plan.k
+        if (
+            k is None
+            or not isinstance(node, SpanNearQuery)
+            or not node.terms
+        ):
+            return None
+        field = node.field
+        dfm = self.plan.df_est
+        dfs = [dfm.get((field, t)) for t in node.terms]
+        if any(d is None for d in dfs) or min(dfs) < PRUNE_MIN_POSTINGS:
+            return None
+        from collections import Counter
+
+        mult = Counter(node.terms)
+        # step 1 (same as the exhaustive path): intersect doc sets
+        docs = None
+        term_handles: dict[str, list] = {}
+        for term in sorted(mult, key=lambda t: dfm.get((field, t), 0)):
+            d, tf, _dl, term_handles[term] = self._decode_with_handles(
+                field, term, docs
+            )
+            if mult[term] > 1:
+                d = d[tf >= mult[term]]
+            d, _ = self._restrict(
+                d, np.zeros(len(d), dtype=np.float64), docs
+            )
+            docs = d
+            if len(docs) == 0:
+                return _EMPTY
+        parts: list = []
+        n_found = 0
+        pos = 0
+        # chunks are docid-CONTIGUOUS (good position-block locality),
+        # so small first rounds cost little and stop the scan early
+        # when matches are dense; doubling bounds the sparse case
+        need = max(k * 16, 512)
+        while pos < len(docs) and n_found < k:
+            chunk = docs[pos:pos + need]
+            pos += need
+            need *= 2
+            hits = self._span_hits(node, chunk, mult, term_handles)
+            if len(hits):
+                parts.append(hits)
+                n_found += len(hits)
+        match = (
+            np.concatenate(parts) if parts else _EMPTY[0]
+        )
         return match, np.full(len(match), float(node.boost))
 
 
