@@ -139,6 +139,17 @@ class MinHashStore:
         gens = self.meta["gens"]
         band_gens = [g["id"] for g in gens if g["bands"] > 0]
         doc_gens = [g["id"] for g in gens if g["docs"] > 0]
+        # every committed non-empty generation directory must EXIST —
+        # parquet partition discovery would silently match fewer rows if
+        # one went missing (partial restore, stray cleanup), and a
+        # store that under-matches admits near-dups through dedup_gate
+        for name, ids in (("bands", band_gens), ("shingles", doc_gens)):
+            for gid in ids:
+                d = f"{self.store_dir}/{name}/gen={gid}"
+                if not os.path.isdir(d):
+                    raise FileNotFoundError(
+                        f"committed generation missing: {d}"
+                    )
         if band_gens:
             self.bands = (
                 self.spark.read.parquet(f"{self.store_dir}/bands")
@@ -293,6 +304,10 @@ class MinHashStore:
             "id": 0,
             "docs": _count_rows(spark, f"{store_dir}/shingles/gen=0"),
             "bands": _count_rows(spark, f"{store_dir}/bands/gen=0"),
+            # legacy files may be per-batch appends whose range sort
+            # holds only within each old batch — compact() must treat
+            # this generation as rewrite-needed even when it is alone
+            "migrated": True,
         }
         meta = dict(meta)
         meta["gens"] = [entry]
@@ -342,6 +357,15 @@ class MinHashStore:
             self.spark, self.store_dir, gid, bands, sh,
             self.num_hashes, self.band_rows,
         )
+        if entry["docs"] == 0 and entry["bands"] == 0:
+            # empty delta: never commit a zero generation — repeated
+            # empty batches would grow the generation list unboundedly
+            # (zero-doc runs can never satisfy a merge tier target)
+            shutil.rmtree(f"{self.store_dir}/bands/gen={gid}",
+                          ignore_errors=True)
+            shutil.rmtree(f"{self.store_dir}/shingles/gen={gid}",
+                          ignore_errors=True)
+            return
         self.meta["gens"].append(entry)
         self.meta["next_gen"] = gid + 1
         self._commit_meta()
@@ -427,12 +451,14 @@ class MinHashStore:
         tier state. Same crash-safe commit as the tiered merge: the old
         generations stay live (and readable) until the meta commit, and
         their directories are deleted only after it."""
-        if len(self.meta["gens"]) >= 2:
+        gens = self.meta["gens"]
+        if len(gens) >= 2 or (gens and gens[0].get("migrated")):
+            # a lone generation written by _write_generation is already
+            # globally range-sorted (nothing to do), but a MIGRATED
+            # legacy generation holds the old per-batch append files
+            # whose sort held only within each batch — rewrite it
             self._merge_generations(0)
-        elif self.meta["gens"]:
-            # a single appended generation can still carry a degraded
-            # internal layout only if it was never range-written, which
-            # _write_generation precludes — nothing to do
+        else:
             self._refresh()
 
     # ------------------------------------------------------------- probe

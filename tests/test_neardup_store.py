@@ -330,3 +330,77 @@ def test_missing_committed_table_raises(spark, tmp_path_factory):
     shutil.rmtree(f"{d}/bands")
     with pytest.raises(Exception):
         MinHashStore.load(spark, d)
+
+
+def test_missing_single_generation_raises(spark, tmp_path_factory):
+    """One committed non-empty generation dir gone (partial restore,
+    stray cleanup) while others remain: load must RAISE, not silently
+    match fewer rows."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("mhstore9") / "store")
+    st = MinHashStore.build(
+        spark, _toks(spark, [(0, BASE)]), d, num_hashes=8, band_rows=1
+    )
+    st.add_batch(_toks(spark, [(50, OTHER)]))
+    gone = st.meta["gens"][-1]["id"]
+    shutil.rmtree(f"{d}/bands/gen={gone}")
+    with pytest.raises(Exception):
+        MinHashStore.load(spark, d)
+
+
+def test_empty_batch_commits_no_generation(spark, tmp_path_factory):
+    """Empty ingest deltas never grow the generation list (zero-doc
+    generations could never satisfy a merge tier target)."""
+    import glob
+
+    d = str(tmp_path_factory.mktemp("mhstore10") / "store")
+    st = MinHashStore.build(
+        spark, _toks(spark, [(0, BASE)]), d, num_hashes=8, band_rows=1
+    )
+    for _ in range(3):
+        st.add_batch(_toks(spark, []))
+    assert len(st.meta["gens"]) == 1
+    assert len(glob.glob(f"{d}/shingles/gen=*")) == 1
+    assert st.near_dups(
+        _toks(spark, [(200, BASE.replace("lazy", "sleepy"))]), 0.4
+    ).count() == 1
+
+
+def test_compact_rewrites_migrated_legacy_generation(spark,
+                                                     tmp_path_factory):
+    """A migrated legacy store's lone gen=0 holds old per-batch append
+    files (range-sorted only within each batch); compact() must rewrite
+    it rather than no-op, and probes stay identical."""
+    import json
+    import os
+
+    d = str(tmp_path_factory.mktemp("mhstore11") / "store")
+    st = MinHashStore.build(
+        spark, _toks(spark, [(0, BASE), (1, OTHER)]), d,
+        num_hashes=8, band_rows=1,
+    )
+    for name in ("bands", "shingles"):
+        os.rename(f"{d}/{name}/gen=0", f"{d}/{name}.flat")
+        os.rmdir(f"{d}/{name}")
+        os.rename(f"{d}/{name}.flat", f"{d}/{name}")
+    meta = json.load(open(f"{d}/meta.json"))
+    for k in ("gens", "next_gen"):
+        meta.pop(k)
+    json.dump(meta, open(f"{d}/meta.json", "w"))
+    st2 = MinHashStore.load(spark, d)
+    assert st2.meta["gens"][0].get("migrated")
+    probe = _toks(spark, [(200, BASE.replace("lazy", "sleepy"))])
+    before = sorted(
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in st2.near_dups(probe, threshold=0.4).collect()
+    )
+    st2.compact()
+    assert len(st2.meta["gens"]) == 1
+    assert not st2.meta["gens"][0].get("migrated")  # rewritten fresh
+    assert st2.meta["gens"][0]["id"] == 1
+    after = sorted(
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in st2.near_dups(probe, threshold=0.4).collect()
+    )
+    assert before == after and before

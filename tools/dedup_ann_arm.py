@@ -333,8 +333,12 @@ def _store_arm(spark, n_docs: int, work_dir: str) -> dict:
     )
     build_s = time.time() - t0
     n_batch = min(10_000, n_docs)  # the recall/throughput denominator
+    # re-key by n_docs, not a fixed constant: a fixed +10M offset
+    # collides with real corpus docids once n_docs > 10M, and the
+    # probe's corpus_id != batch_id guard would silently drop genuine
+    # pairs (the store's docid-uniqueness contract)
     batch = toks.filter(F.col("docid") < n_batch).select(
-        (F.col("docid") + 10_000_000).alias("docid"),
+        (F.col("docid") + F.lit(int(n_docs))).alias("docid"),
         F.expr("slice(toks, 2, size(toks))").alias("toks"),
     )
     t0 = time.time()
