@@ -669,7 +669,7 @@ class ShardEval:
         plan shape can't prune (no k, preload full-decode cache active,
         non-positive bound scale, or metadata-free cells)."""
         k = self.plan.k
-        if k is None or self.plan.hot:
+        if k is None or k <= 0 or self.plan.hot:
             return None
         rows = self.cells.get((field, term))
         if not rows:
@@ -773,7 +773,7 @@ class ShardEval:
         exhaustive path.
         """
         k = self.plan.k
-        if k is None:
+        if k is None or k <= 0:
             return None
         flat = self._flatten_should_terms(node)
         if flat is None:
@@ -1276,10 +1276,14 @@ class ShardEval:
         prune (no k, multi-alternative slots, < 2 slots, tiny df,
         non-positive scale)."""
         k = self.plan.k
+        # k <= 0 (empty page) goes exhaustive: the round machinery's
+        # theta partition has no k-th element to select. MultiPhrase
+        # needs no exclusion arm — it is a SIBLING of PhraseQuery in
+        # the AST (ast.py:45,72), so the isinstance check rejects it.
         if (
             k is None
+            or k <= 0
             or not isinstance(node, PhraseQuery)
-            or isinstance(node, MultiPhraseQuery)
             or len(node.terms) < 2
         ):
             return None
@@ -1317,16 +1321,10 @@ class ShardEval:
             if len(docs) == 0:
                 return _EMPTY
         nd = len(docs)
-        # per-slot tf aligned on the final intersection (docs ⊆ every
-        # slot's decoded doc set by construction)
-        tfs = np.empty((len(node.terms), nd), dtype=np.int64)
-        dl = None
-        for i in order1:
-            d_i, tf_i, dl_i = streams[i]
-            idx = np.searchsorted(d_i, docs)
-            tfs[i] = tf_i[idx]
-            if dl is None:
-                dl = dl_i[idx].astype(np.float64)
+        # dl per doc is slot-independent — align it from the first
+        # decoded slot (docs ⊆ every slot's doc set by construction)
+        d_0, _tf_0, dl_0 = streams[order1[0]]
+        dl = dl_0[np.searchsorted(d_0, docs)].astype(np.float64)
         avgdl = max(p.stats.get(field, {}).get("avgdl", 1.0), 1e-9)
         dboost = self._doc_boost(docs)
         boost_arr = dboost if isinstance(dboost, np.ndarray) else None
@@ -1340,11 +1338,18 @@ class ShardEval:
         need = max(k * 64, 1024)
         if nd <= need:
             # one round evaluates everything anyway — skip the bound
-            # math and reuse step-1 handles (≡ the exhaustive eval; a
-            # None return here would re-decode every doc stream)
+            # math (incl. the per-slot tf alignment it feeds) and reuse
+            # step-1 handles (≡ the exhaustive eval; a None return here
+            # would re-decode every doc stream)
             order = np.arange(nd, dtype=np.int64)
             ub = None
         else:
+            # per-slot tf aligned on the final intersection — consumed
+            # only by the bound
+            tfs = np.empty((len(node.terms), nd), dtype=np.int64)
+            for i in order1:
+                d_i, tf_i, _dl_i = streams[i]
+                tfs[i] = tf_i[np.searchsorted(d_i, docs)]
             if node.slop == 0:
                 ub_tf = tfs.min(axis=0)
             else:
@@ -1539,16 +1544,26 @@ class ShardEval:
         occurrence — taking the smallest next position > previous
         minimizes the chain's end, so the greedy chain matches iff ANY
         ordered selection does; one searchsorted per subsequent term."""
-        field = node.field
         if not node.terms:
             return _EMPTY  # matches the oracle's graceful empty result
         from collections import Counter
 
         mult = Counter(node.terms)
+        docs, term_handles = self._span_intersect(node, mult, candidates)
+        if len(docs) == 0:
+            return _EMPTY
+        match = self._span_hits(node, docs, mult, term_handles)
+        return match, np.full(len(match), float(node.boost))
+
+    def _span_intersect(self, node, mult, candidates):
+        """Step 1 of the span kernel, shared by the exhaustive eval and
+        the early-exit rounds (one definition — the two paths must stay
+        in lockstep): intersect doc sets rarest term first, with
+        tf >= multiplicity pruning docs that can't seat duplicate
+        listed terms; decode handles carry over so step 2 never
+        re-decodes doc streams. Returns (docs, term_handles)."""
+        field = node.field
         dfm = self.plan.df_est
-        # 1. intersect doc sets (rarest term first); tf >= multiplicity
-        # prunes docs that can't seat duplicate listed terms. Decode
-        # handles carry over so step 2 never re-decodes doc streams.
         docs = candidates
         term_handles: dict[str, list] = {}
         for term in sorted(mult, key=lambda t: dfm.get((field, t), 0)):
@@ -1562,9 +1577,8 @@ class ShardEval:
             )
             docs = d
             if len(docs) == 0:
-                return _EMPTY
-        match = self._span_hits(node, docs, mult, term_handles)
-        return match, np.full(len(match), float(node.boost))
+                break
+        return docs, term_handles
 
     def _span_hits(self, node, docs, mult, term_handles) -> np.ndarray:
         """Docids of ``docs`` (sorted ascending) containing a qualifying
@@ -1639,21 +1653,9 @@ class ShardEval:
         from collections import Counter
 
         mult = Counter(node.terms)
-        # step 1 (same as the exhaustive path): intersect doc sets
-        docs = None
-        term_handles: dict[str, list] = {}
-        for term in sorted(mult, key=lambda t: dfm.get((field, t), 0)):
-            d, tf, _dl, term_handles[term] = self._decode_with_handles(
-                field, term, docs
-            )
-            if mult[term] > 1:
-                d = d[tf >= mult[term]]
-            d, _ = self._restrict(
-                d, np.zeros(len(d), dtype=np.float64), docs
-            )
-            docs = d
-            if len(docs) == 0:
-                return _EMPTY
+        docs, term_handles = self._span_intersect(node, mult, None)
+        if len(docs) == 0:
+            return _EMPTY
         parts: list = []
         n_found = 0
         pos = 0

@@ -178,3 +178,19 @@ def test_early_span_k_none_exhaustive(spark, corpus):
     q = SpanNearQuery.of("text", ["spark", "index"], slop=3)
     got = Searcher(idx).top_docs(q, k=None)
     assert [d for d, _ in got] == [d for d, _ in o.top_k(q, k=None)]
+
+
+def test_k_zero_returns_empty_everywhere(spark, corpus):
+    """k=0 (an empty page) must return no rows, never crash — the
+    pruned paths' theta partition has no k-th element at k=0."""
+    from montezuma_spark.search import SpanNearQuery, TermQuery, bool_query, SHOULD
+
+    idx, _ = corpus
+    s = Searcher(idx)
+    for q in (PhraseQuery.of("text", ["spark", "index"], slop=4),
+              PhraseQuery.of("text", ["spark", "index"]),
+              SpanNearQuery.of("text", ["spark", "index"], slop=3),
+              TermQuery("text", "spark"),
+              bool_query((TermQuery("text", "spark"), SHOULD),
+                         (TermQuery("text", "index"), SHOULD))):
+        assert s.top_docs(q, k=0) == []
